@@ -1,0 +1,13 @@
+"""Compute ops: dot-product, FIR/IIR filters, FFT engine, NCO, AGC, correlators.
+
+Every op is a pure block transform ``(params, state, x) -> (y, state)`` plus a
+thin stateful wrapper class mirroring the reference's streaming API.
+"""
+
+from . import dotprod  # noqa: F401
+from . import fir  # noqa: F401
+from . import iir  # noqa: F401
+from . import nco  # noqa: F401
+from . import agc  # noqa: F401
+from . import fft  # noqa: F401
+from . import autocorr  # noqa: F401

@@ -1,0 +1,258 @@
+"""NCO — numerically controlled oscillator, mixers, PLL coupling.
+
+Parity: reference ``src/nco/mod.rs`` — struct (:26-33), new (:36-50, 1024-pt
+sine LUT), constrain (:175-187), step (:93-96), LUT index (:98-101, rounding
+index ((theta + 2^21) >> 22) & 0x3ff), sin/cos (:103-112, cos = LUT[idx+256]),
+pll coupling alpha=bw / beta=sqrt(alpha) (:124-138), mix_up/mix_down
+(:140-150) and block mixing (:152-172).
+
+The reference steps a u32 phase accumulator one sample at a time; the phase
+sequence is closed-form — theta[k] = theta0 + k * dtheta (mod 2^32) — so a
+whole block of oscillator samples / mixed samples is one vectorized
+expression with NO sequential dependency (SURVEY §2 parallelism table).
+
+Two tone modes:
+* ``lut``  — exact reference parity: u32 wraparound + 1024-entry LUT lookup;
+* ``exact`` — sin/cos of the exact phase (still u32-quantized frequency), the
+  high-fidelity fast path on TPU (no gather).
+
+Reference quirks intentionally NOT reproduced: ``get_frequency``/``get_phase``
+perform integer division `u64 / 2^32` and therefore always return 0.0
+(nco/mod.rs:67-74, 89-91); ``mix_*_block`` writes through an empty Vec (UB,
+:152-172).  We implement the documented intent and note the divergence here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "constrain",
+    "make_sine_lut",
+    "nco_phases",
+    "nco_sincos",
+    "nco_complex_exponential",
+    "mix_up_block",
+    "mix_down_block",
+    "pll_step",
+    "NCO",
+]
+
+_TWO_PI = 2.0 * np.pi
+_U32 = np.uint64(1) << np.uint64(32)
+
+
+def constrain(theta: float) -> np.uint32:
+    """radians -> u32 phase word.  Parity: ref nco/mod.rs:175-187.
+
+    frac(theta / 2pi), made positive, times 0xffffffff (note: not 2^32),
+    truncated toward zero.
+    """
+    frac = np.float64(theta) / _TWO_PI
+    frac = frac - np.trunc(frac)
+    if frac < 0.0:
+        frac += 1.0
+    return np.uint32(np.trunc(frac * np.float64(0xFFFFFFFF)))
+
+
+def make_sine_lut(dtype=jnp.float64) -> jnp.ndarray:
+    """1024-entry sine table: LUT[i] = sin(2 pi i / 1024) (ref :36-50)."""
+    i = np.arange(1024, dtype=np.float64)
+    return jnp.asarray(np.sin(_TWO_PI * i / 1024.0), dtype=dtype)
+
+
+def nco_phases(theta0, delta_theta, n: int) -> jnp.ndarray:
+    """u32 phase words theta0 + k*dtheta (wrapping) for k = 0..n-1."""
+    k = jnp.arange(n, dtype=jnp.uint32)
+    return (jnp.uint32(theta0) + k * jnp.uint32(delta_theta)).astype(jnp.uint32)
+
+
+def _lut_index(theta: jnp.ndarray) -> jnp.ndarray:
+    """Rounded 10-bit LUT index (ref nco/mod.rs:98-101)."""
+    return ((theta + jnp.uint32(1 << 21)) >> jnp.uint32(22)) & jnp.uint32(0x3FF)
+
+
+@partial(jax.jit, static_argnames=("n", "mode"))
+def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
+    """(sin, cos) arrays for a block of n oscillator steps."""
+    theta = nco_phases(theta0, delta_theta, n)
+    if mode == "lut":
+        if lut is None:
+            lut = make_sine_lut()
+        idx = _lut_index(theta)
+        s = jnp.take(lut, idx)
+        c = jnp.take(lut, (idx + jnp.uint32(256)) & jnp.uint32(0x3FF))
+    else:
+        ph = theta.astype(jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32) * (_TWO_PI / float(_U32))
+        s = jnp.sin(ph)
+        c = jnp.cos(ph)
+    return s, c
+
+
+def nco_complex_exponential(theta0, delta_theta, n: int, lut=None,
+                            mode: str = "lut") -> jnp.ndarray:
+    """Block of e^{+j theta_k} = cos + j sin (ref complex_exponential :119)."""
+    s, c = nco_sincos(theta0, delta_theta, n, lut, mode)
+    return jax.lax.complex(c, s) if s.dtype != jnp.float64 else c + 1j * s
+
+
+def mix_up_block(x: jnp.ndarray, theta0, delta_theta, lut=None,
+                 mode: str = "lut"):
+    """y[k] = e^{+j theta_k} x[k]; returns (y, theta_after_block).
+
+    Parity intent of ref nco/mod.rs:152-161 (see module docstring re UB).
+    """
+    n = x.shape[-1]
+    ph = nco_complex_exponential(theta0, delta_theta, n, lut, mode)
+    theta_end = (jnp.uint32(theta0) + jnp.uint32(n) * jnp.uint32(delta_theta))
+    return x * ph.astype(x.dtype), theta_end
+
+
+def mix_down_block(x: jnp.ndarray, theta0, delta_theta, lut=None,
+                   mode: str = "lut"):
+    """y[k] = e^{-j theta_k} x[k]; returns (y, theta_after_block)."""
+    n = x.shape[-1]
+    ph = nco_complex_exponential(theta0, delta_theta, n, lut, mode)
+    theta_end = (jnp.uint32(theta0) + jnp.uint32(n) * jnp.uint32(delta_theta))
+    return x * jnp.conj(ph).astype(x.dtype), theta_end
+
+
+def pll_step(theta, delta_theta, delta_phi, alpha, beta):
+    """One PLL coupling step (ref nco/mod.rs:134-138):
+
+    delta_theta += constrain(delta_phi * alpha); theta += constrain(delta_phi * beta)
+    Traced (jnp) version of constrain for in-loop carrier recovery.
+    """
+    def _constrain_traced(rad):
+        frac = rad / _TWO_PI
+        frac = frac - jnp.trunc(frac)
+        frac = jnp.where(frac < 0.0, frac + 1.0, frac)
+        return jnp.trunc(frac * 4294967295.0).astype(jnp.int64).astype(jnp.uint32)
+
+    ddt = _constrain_traced(delta_phi * alpha)
+    dth = _constrain_traced(delta_phi * beta)
+    return theta + dth, delta_theta + ddt
+
+
+class NCO:
+    """Stateful oscillator with the reference's API shape (ref nco/mod.rs)."""
+
+    def __init__(self, mode: str = "lut", dtype=None):
+        self.mode = mode
+        self._lut = make_sine_lut(dtype or (jnp.float64 if jax.config.jax_enable_x64
+                                            else jnp.float32))
+        self.theta = np.uint32(0)
+        self.delta_theta = np.uint32(0)
+        self.alpha = 0.1
+        self.beta = float(np.sqrt(0.1))
+
+    def reset(self) -> None:
+        self.theta = np.uint32(0)
+        self.delta_theta = np.uint32(0)
+
+    def set_frequency(self, rad_per_sample: float) -> None:
+        self.delta_theta = constrain(rad_per_sample)
+
+    def adjust_frequency(self, d: float) -> None:
+        self.delta_theta = np.uint32(
+            (np.uint64(self.delta_theta) + np.uint64(constrain(d))) % _U32
+        )
+
+    def set_phase(self, phi: float) -> None:
+        self.theta = constrain(phi)
+
+    def adjust_phase(self, dphi: float) -> None:
+        self.theta = np.uint32(
+            (np.uint64(self.theta) + np.uint64(constrain(dphi))) % _U32
+        )
+
+    def get_frequency(self) -> float:
+        """Corrected semantics: delta_theta as signed radians/sample.
+
+        (The reference's integer-division version always returns 0.0 —
+        nco/mod.rs:67-74; we return the documented intent.)
+        """
+        dt = float(self.delta_theta) / float(_U32) * _TWO_PI
+        return dt - _TWO_PI if dt > np.pi else dt
+
+    def get_phase(self) -> float:
+        return float(self.theta) / float(_U32) * _TWO_PI
+
+    def set_internal_pll_bandwidth(self, bandwidth: float) -> None:
+        if bandwidth < 0.0:
+            raise ValueError("bandwidth out of range [0, inf)")
+        self.alpha = bandwidth
+        self.beta = float(np.sqrt(bandwidth))
+
+    def step(self) -> None:
+        self.theta = np.uint32((np.uint64(self.theta)
+                                + np.uint64(self.delta_theta)) % _U32)
+
+    def pll_step(self, delta_phi: float) -> None:
+        self.adjust_frequency(delta_phi * self.alpha)
+        self.adjust_phase(delta_phi * self.beta)
+
+    # block generation ------------------------------------------------------
+    def sincos_block(self, n: int):
+        """n (sin, cos) pairs, stepping the phase accumulator n times."""
+        s, c = nco_sincos(self.theta, self.delta_theta, n, self._lut, self.mode)
+        self.theta = np.uint32(
+            (np.uint64(self.theta) + np.uint64(n) * np.uint64(self.delta_theta))
+            % _U32
+        )
+        return s, c
+
+    def sincos(self):
+        s, c = nco_sincos(self.theta, self.delta_theta, 1, self._lut, self.mode)
+        return float(s[0]), float(c[0])
+
+    def sin(self) -> float:
+        return self.sincos()[0]
+
+    def cos(self) -> float:
+        return self.sincos()[1]
+
+    def complex_exponential_block(self, n: int) -> jnp.ndarray:
+        out = nco_complex_exponential(self.theta, self.delta_theta, n,
+                                      self._lut, self.mode)
+        self.theta = np.uint32(
+            (np.uint64(self.theta) + np.uint64(n) * np.uint64(self.delta_theta))
+            % _U32
+        )
+        return out
+
+    def complex_exponential(self) -> complex:
+        return complex(np.asarray(
+            nco_complex_exponential(self.theta, self.delta_theta, 1,
+                                    self._lut, self.mode))[0])
+
+    def mix_up_block(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x)
+        y, theta = mix_up_block(x, self.theta, self.delta_theta,
+                                self._lut, self.mode)
+        self.theta = np.uint32(theta)
+        return y
+
+    def mix_down_block(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x)
+        y, theta = mix_down_block(x, self.theta, self.delta_theta,
+                                  self._lut, self.mode)
+        self.theta = np.uint32(theta)
+        return y
+
+    def mix_up(self, sample):
+        return complex(np.asarray(self.complex_exponential()) * sample)
+
+    def mix_down(self, sample):
+        return complex(np.conj(self.complex_exponential()) * sample)
+
+    def __repr__(self) -> str:
+        return (
+            f"NCO [Theta={int(self.theta)}] [dTheta={int(self.delta_theta)}] "
+            f"[Alpha={self.alpha}] [Beta={self.beta}]"
+        )

@@ -1,0 +1,4 @@
+"""Streaming state containers: ChainState pytrees, block framing, ring buffers."""
+
+from .state import ChainState  # noqa: F401
+from .ring import CircularBuffer, BufferError  # noqa: F401

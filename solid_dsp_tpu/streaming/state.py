@@ -1,0 +1,86 @@
+"""ChainState — the explicit streaming-state pytree.
+
+The reference holds streaming state in mutable objects (Window contents,
+NCO (theta, delta_theta) nco/mod.rs:27-33, AGC (gain, energy, lock, squelch)
+auto_gain_control/mod.rs:96-108, decimator counters fir/decim.rs:8).  Here all
+of it lives in one explicit pytree so that it is simultaneously:
+
+* the ``lax.scan`` carry for block streaming,
+* the halo payload exchanged between neighbor devices (``parallel.halo``),
+* the checkpoint format (``save`` / ``load``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Mapping
+
+import jax
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+class ChainState(Mapping):
+    """An immutable string-keyed pytree of per-component states.
+
+    Keys are component names (e.g. ``"fir0"``, ``"nco"``, ``"agc"``); values
+    are arbitrary pytrees (tap tails, phase words, gain scalars, ...).
+    """
+
+    def __init__(self, **components: Any):
+        self._d = dict(components)
+
+    # Mapping interface -------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self._d[key]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._d)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __getattr__(self, key: str) -> Any:
+        try:
+            return self.__dict__["_d"][key]
+        except KeyError:
+            raise AttributeError(key) from None
+
+    def replace(self, **updates: Any) -> "ChainState":
+        d = dict(self._d)
+        d.update(updates)
+        return ChainState(**d)
+
+    def __repr__(self) -> str:  # debug repr, in the spirit of the
+        # reference's fmt::Display impls (e.g. nco/mod.rs:195-203)
+        parts = ", ".join(
+            f"{k}={jax.tree_util.tree_map(lambda a: getattr(a, 'shape', a), v)}"
+            for k, v in self._d.items()
+        )
+        return f"ChainState({parts})"
+
+    # pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        keys = sorted(self._d)
+        return tuple(self._d[k] for k in keys), tuple(keys)
+
+    @classmethod
+    def tree_unflatten(cls, keys, values):
+        return cls(**dict(zip(keys, values)))
+
+    # checkpoint ----------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Serialize every leaf to an .npz checkpoint."""
+        leaves, treedef = jax.tree_util.tree_flatten(self)
+        np.savez(
+            path,
+            __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+            **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+        )
+
+    @classmethod
+    def load(cls, path: str, like: "ChainState") -> "ChainState":
+        """Restore a checkpoint using ``like`` for the tree structure."""
+        data = np.load(path)
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
+        treedef = jax.tree_util.tree_structure(like)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
