@@ -245,8 +245,13 @@ class AGC:
         samples = np.asarray(samples)
         if samples.size == 0:
             raise ValueError("need more than 0 samples to operate")
-        x2 = float(np.mean(np.real(samples * np.conj(samples))))
-        level = np.sqrt(x2) + 1e-16
+        # naive sequential accumulation for bit-parity with the reference's
+        # loop (auto_gain_control/mod.rs:578-583); init is setup-time only
+        e2 = np.real(samples * np.conj(samples)).astype(np.float64)
+        x2 = 0.0
+        for v in e2:
+            x2 += float(v)
+        level = np.sqrt(x2 / samples.size) + 1e-16
         return self.set_signal_level(level)
 
     # --- squelch ----------------------------------------------------------

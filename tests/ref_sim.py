@@ -55,10 +55,10 @@ class RefInterpFIR:
         eff[: len(c)] = c
         self.interp = interp
         self.sub_len = sub_len
-        # branch f: reversed strided coefs
-        self.branches = [
-            eff[f::interp][::-1].copy() for f in range(interp)
-        ]
+        # branch f: strided coefs eff[f + k*interp]; the reference stores the
+        # reversed copy and MACs it against the newest-first window
+        # (pfb.rs:34-42, 85-91): sum_k eff[f+(L-1-k)P] x[n-k]
+        self.branches = [eff[f::interp].copy() for f in range(interp)]
         self.window = np.zeros(sub_len, dtype=np.complex128)
 
     def execute_block(self, xs):
@@ -66,7 +66,7 @@ class RefInterpFIR:
         for x in xs:
             self.window = np.concatenate([[x], self.window[:-1]])
             for br in self.branches:
-                out.append(np.sum(br[::-1] * self.window))
+                out.append(np.sum(br * self.window[::-1]))
         return np.array(out)
 
 

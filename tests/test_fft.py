@@ -1,0 +1,143 @@
+"""FFT engine tests: planner parity + numerical correctness for all methods.
+
+The reference's FFT has zero tests (SURVEY §4); conventions are pinned here
+against the unnormalized NumPy DFT (forward e^{-j...}; inverse unnormalized).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.ops import fft as F
+
+
+def _dft(x, sign=-1):
+    n = len(x)
+    k = np.arange(n)
+    W = np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
+    return W @ x
+
+
+# ------------------------------------------------------------------ planner
+@pytest.mark.parametrize(
+    "n,method",
+    [
+        (1, F.FFTMethod.DFT), (4, F.FFTMethod.DFT), (8, F.FFTMethod.DFT),
+        (11, F.FFTMethod.DFT), (13, F.FFTMethod.DFT), (16, F.FFTMethod.DFT),
+        (17, F.FFTMethod.DFT),
+        (32, F.FFTMethod.MIXEDRADIX), (64, F.FFTMethod.MIXEDRADIX),
+        (4096, F.FFTMethod.MIXEDRADIX),
+        (12, F.FFTMethod.MIXEDRADIX), (60, F.FFTMethod.MIXEDRADIX),
+        (100, F.FFTMethod.MIXEDRADIX),
+        (257, F.FFTMethod.RADER),  # prime, 256 = 2^8
+        (29, F.FFTMethod.RADER2),  # prime, 28 not pow2
+        (101, F.FFTMethod.RADER2),
+        (0, F.FFTMethod.UNKNOWN),
+    ],
+)
+def test_estimate_method_parity(n, method):
+    # parity with ref fft/mod.rs:123-143
+    assert F.estimate_method(n) == method
+
+
+def test_plan_tree_printable():
+    p = F.FFTPlan(48)
+    s = repr(p)
+    assert "MIXEDRADIX" in s and "PFFT" in s
+
+
+# ------------------------------------------------------------------ numerics
+@pytest.mark.parametrize("n", [2, 3, 4, 5, 6, 7, 8, 11, 13, 16, 17])
+def test_dft_codelet_sizes(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(F.FFTPlan(n).execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got, _dft(x), atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [12, 32, 48, 60, 64, 100, 128, 120, 4096])
+def test_mixed_radix_sizes(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(F.FFTPlan(n).execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [257])
+def test_rader_prime(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(F.FFTPlan(n).execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [19, 23, 29, 101, 211])
+def test_rader2_prime(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(F.FFTPlan(n).execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [16, 48, 257, 29])
+def test_reverse_unnormalized(n):
+    # reference convention: inverse is NOT 1/N normalized
+    rng = np.random.default_rng(n + 1)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    fwd = F.FFTPlan(n, F.FFTDirection.FORWARD).execute(jnp.asarray(x))
+    back = F.FFTPlan(n, F.FFTDirection.REVERSE).execute(fwd)
+    np.testing.assert_allclose(np.asarray(back), x * n, atol=1e-7)
+
+
+def test_fft_ifft_functions():
+    rng = np.random.default_rng(99)
+    x = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+    np.testing.assert_allclose(np.asarray(F.fft(x)), np.fft.fft(x), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(F.ifft(x)), np.fft.ifft(x) * 64, atol=1e-10
+    )
+
+
+def test_fft_batched():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 48)) + 1j * rng.standard_normal((4, 48))
+    got = np.asarray(F.FFTPlan(48).execute(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), atol=1e-8)
+
+
+def test_fft_object_and_flags():
+    x = np.random.default_rng(1).standard_normal(30) + 0j
+    f = F.FFT(30, F.FFTDirection.FORWARD, "estimate")
+    np.testing.assert_allclose(np.asarray(f.execute(x)), np.fft.fft(x), atol=1e-8)
+    m = F.FFT(30, F.FFTDirection.FORWARD, "measure")  # autotunes backend
+    np.testing.assert_allclose(np.asarray(m.execute(x)), np.fft.fft(x), atol=1e-8)
+
+
+# ------------------------------------------------------------------ spectral
+def test_windowed_fft_4096_hamming():
+    # driver config 2: windowed 4096-pt FFT on a chirp
+    n = 4096
+    t = np.arange(n) / n
+    chirp = np.exp(1j * np.pi * 800 * t * t)
+    spec = np.asarray(F.windowed_fft(chirp, "hamming"))
+    from solid_dsp_tpu.design.windows import hamming
+
+    expect = np.fft.fft(chirp * hamming(n))
+    np.testing.assert_allclose(spec, expect, atol=1e-8)
+
+
+def test_windowed_fft_blackman_harris():
+    n = 1024
+    x = np.random.default_rng(3).standard_normal(n) + 0j
+    spec = np.asarray(F.windowed_fft(x, "blackman_harris"))
+    from solid_dsp_tpu.design.windows import blackman_harris
+
+    np.testing.assert_allclose(
+        spec, np.fft.fft(x * blackman_harris(n)), atol=1e-8
+    )
+
+
+def test_spectrogram_shape():
+    x = np.random.default_rng(4).standard_normal(4096) + 0j
+    S = F.spectrogram(x, frame=512, hop=256)
+    assert S.shape == (15, 512)

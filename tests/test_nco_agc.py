@@ -1,0 +1,219 @@
+"""NCO + AGC golden and randomized parity tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from solid_dsp_tpu.ops import agc as agc_mod
+from solid_dsp_tpu.ops import nco as nco_mod
+from ref_sim import RefAGC, RefNCO
+
+
+# ------------------------------------------------------------------- NCO
+def test_constrain_parity():
+    ref = RefNCO()
+    for rad in [0.1, 0.5, 3.14159, -0.1, -7.5, 123.456, 0.0]:
+        assert nco_mod.constrain(rad) == ref.constrain(rad), rad
+
+
+def test_nco_lut_block_vs_reference():
+    ref = RefNCO()
+    ref.set_frequency(0.1)
+    sref, cref = [], []
+    for _ in range(1000):
+        sref.append(ref.sin())
+        cref.append(ref.cos())
+        ref.step()
+
+    n = nco_mod.NCO(mode="lut")
+    n.set_frequency(0.1)
+    s, c = n.sincos_block(1000)
+    np.testing.assert_array_equal(np.asarray(s), np.array(sref))
+    np.testing.assert_array_equal(np.asarray(c), np.array(cref))
+
+
+def test_nco_phase_wraparound_u32():
+    ref = RefNCO()
+    ref.set_frequency(2.5)  # large step, wraps quickly
+    ref.set_phase(1.0)
+    vals = []
+    for _ in range(300):
+        vals.append(ref.sin())
+        ref.step()
+    n = nco_mod.NCO(mode="lut")
+    n.set_frequency(2.5)
+    n.set_phase(1.0)
+    s, _ = n.sincos_block(300)
+    np.testing.assert_array_equal(np.asarray(s), np.array(vals))
+
+
+def test_nco_exact_mode_close_to_true_sine():
+    n = nco_mod.NCO(mode="exact")
+    n.set_frequency(0.1)
+    s, c = n.sincos_block(512)
+    k = np.arange(512)
+    # u32-quantized frequency: delta = constrain(0.1)/2^32*2pi
+    delta = int(nco_mod.constrain(0.1)) / 2**32 * 2 * np.pi
+    np.testing.assert_allclose(np.asarray(s), np.sin(k * delta), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c), np.cos(k * delta), atol=1e-9)
+
+
+def test_mix_up_down_roundtrip():
+    n1 = nco_mod.NCO(mode="exact")
+    n1.set_frequency(0.3)
+    x = (np.random.default_rng(0).standard_normal(256)
+         + 1j * np.random.default_rng(1).standard_normal(256))
+    up = n1.mix_up_block(jnp.asarray(x))
+    n2 = nco_mod.NCO(mode="exact")
+    n2.set_frequency(0.3)
+    down = n2.mix_down_block(up)
+    np.testing.assert_allclose(np.asarray(down), x, atol=1e-9)
+
+
+def test_nco_mix_phase_continuity_across_blocks():
+    n1 = nco_mod.NCO(mode="lut")
+    n1.set_frequency(0.05)
+    x = np.ones(100, dtype=np.complex128)
+    a = np.asarray(n1.mix_up_block(jnp.asarray(x[:37])))
+    b = np.asarray(n1.mix_up_block(jnp.asarray(x[37:])))
+    n2 = nco_mod.NCO(mode="lut")
+    n2.set_frequency(0.05)
+    whole = np.asarray(n2.mix_up_block(jnp.asarray(x)))
+    np.testing.assert_array_equal(np.concatenate([a, b]), whole)
+
+
+def test_nco_repr_and_pll_accessors():
+    n = nco_mod.NCO()
+    n.set_internal_pll_bandwidth(0.04)
+    assert n.alpha == 0.04
+    assert abs(n.beta - 0.2) < 1e-15
+    assert "NCO" in repr(n)
+
+
+# ------------------------------------------------------------------- AGC
+def _tone(n=500, amp=0.05):
+    k = np.arange(-n // 2, n // 2)
+    return amp * np.cos(k.astype(np.float64)) + 1j * amp * np.sin(
+        k.astype(np.float64)
+    )
+
+
+def test_agc_convergence_golden():
+    # ref auto_gain_control/mod.rs:19-41: |out| -> 1 +/- 0.02, rssi ~ -26
+    x = _tone()
+    a = agc_mod.AGC()
+    a.squelch_enable()
+    a.squelch_set_threshold(-30.0)
+    a.set_bandwidth(0.02)
+    y = np.asarray(a.execute_block(jnp.asarray(x)))
+    mag = abs(y[-1])
+    assert 0.98 < mag < 1.02
+    assert -26.0 < a.get_rssi() < -25.5
+
+
+def test_agc_randomized_vs_reference():
+    rng = np.random.default_rng(9)
+    x = 0.1 * (rng.standard_normal(400) + 1j * rng.standard_normal(400))
+    ref = RefAGC()
+    ref.mode = RefAGC.ENABLED
+    ref.threshold = -30.0
+    ref.alpha = 0.02
+    got_ref = ref.execute_block(x)
+
+    a = agc_mod.AGC()
+    a.squelch_enable()
+    a.squelch_set_threshold(-30.0)
+    a.set_bandwidth(0.02)
+    got = np.concatenate([
+        np.asarray(a.execute_block(jnp.asarray(x[:123]))),
+        np.asarray(a.execute_block(jnp.asarray(x[123:]))),
+    ])
+    np.testing.assert_allclose(got, got_ref, atol=1e-12)
+    assert a.squelch_get_mode() == ref.mode
+
+
+def test_agc_lock_freezes_gain():
+    x = _tone(200)
+    a = agc_mod.AGC()
+    a.set_bandwidth(0.01)
+    a.execute_block(jnp.asarray(x))
+    g = a.get_gain()
+    a.lock()
+    a.execute_block(jnp.asarray(x))
+    assert a.get_gain() == g
+    a.unlock()
+    a.execute_block(jnp.asarray(x))
+    assert a.get_gain() != g
+
+
+def test_agc_first_sample_passthrough():
+    # ref doctest: first output equals the input (gain starts at 1)
+    x = _tone(10)
+    a = agc_mod.AGC()
+    a.squelch_enable()
+    a.squelch_set_threshold(-30.0)
+    a.set_bandwidth(0.01)
+    y = np.asarray(a.execute_block(jnp.asarray(x)))
+    assert y[0] == x[0]
+    assert y[1] != x[1]
+
+
+def test_agc_init_signal_level_golden():
+    # ref auto_gain_control/mod.rs:545-566
+    x = _tone()
+    a = agc_mod.AGC()
+    level = a.init(x)
+    assert 0.04999 < level <= 0.05
+    assert abs(a.get_signal_level() - level) < 1e-12
+
+
+def test_agc_accessors():
+    a = agc_mod.AGC()
+    assert a.get_bandwidth() == 0.1
+    a.set_bandwidth(0.01)
+    assert a.get_bandwidth() == 0.01
+    assert a.get_signal_level() == 1.0
+    a.set_signal_level(10.0)
+    assert abs(a.get_signal_level() - 10.0) < 1e-12
+    a.set_rssi(-20.0)
+    assert abs(a.get_rssi() - (-20.0)) < 1e-12
+    a.set_gain(2.0)
+    assert a.get_gain() == 2.0
+    a.set_scale(2.0)
+    assert a.get_scale() == 2.0
+    assert a.get_rssi() != 0.0
+
+
+def test_agc_squelch_timeout_path():
+    # drive signal above threshold then silence: FSM must walk
+    # RISE -> SIGNALHI -> FALL -> SIGNALLO -> TIMEOUT -> ENABLED
+    rng = np.random.default_rng(10)
+    loud = 1.0 * np.exp(1j * rng.standard_normal(50))
+    quiet = 1e-8 * np.exp(1j * rng.standard_normal(300))
+    x = np.concatenate([loud, quiet])
+
+    ref = RefAGC()
+    ref.mode = RefAGC.ENABLED
+    ref.threshold = -30.0
+    ref.alpha = 0.1
+    ref.timeout = 20
+    got_ref = ref.execute_block(x)
+
+    a = agc_mod.AGC()
+    a.squelch_enable()
+    a.squelch_set_threshold(-30.0)
+    a.squelch_set_timeout(20)
+    got = np.asarray(a.execute_block(jnp.asarray(x)))
+    np.testing.assert_allclose(got, got_ref, atol=1e-9)
+    assert a.squelch_get_mode() == ref.mode
+
+
+def test_agc_reset():
+    x = _tone(100)
+    a = agc_mod.AGC()
+    a.squelch_enable()
+    a.set_bandwidth(0.01)
+    a.execute_block(jnp.asarray(x))
+    assert a.get_gain() > 1.0
+    a.reset()
+    assert a.get_gain() == 1.0
+    assert a.squelch_get_mode() == agc_mod.SquelchMode.ENABLED
