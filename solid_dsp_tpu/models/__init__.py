@@ -1,0 +1,12 @@
+"""Model families: modulators/demodulators, receive chains, channelizers.
+
+The reference declared-but-never-implemented a modulation layer
+(src/modulation/mod.rs is an empty stub, SURVEY §2 #33); the driver's target
+chain (BASELINE.json config 4) requires FM + QPSK + AM demodulation.  This
+package provides them as pure block transforms plus the flagship composed
+``RxChain``.
+"""
+
+from . import am, fm, qpsk  # noqa: F401
+from .rx_chain import RxChain, RxChainConfig  # noqa: F401
+from .channelizer import PolyphaseChannelizer  # noqa: F401

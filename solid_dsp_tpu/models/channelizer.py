@@ -1,0 +1,94 @@
+"""Polyphase channelizer: M-channel critically-sampled analysis filter bank.
+
+The wideband scale-out target (BASELINE.json config 5: 256-channel PFB
+sharded across a pod slice).  Built on the same PFB decomposition as the
+reference's fir/pfb.rs, extended with the DFT across branches:
+
+    z[t, r] = sum_k h[k M + r] x[(t - k) M - r]
+    Y[t, m] = sum_r z[t, r] e^{+2 pi i m r / M}   (one batched IDFT per step)
+
+Channel m is the band centered at +m/M of the input rate, decimated by M.
+The whole block is ONE gather + ONE einsum (MXU) + ONE batched FFT; the
+channel axis is the natural shard axis for multi-chip (parallel.sharded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..design import firdes
+
+__all__ = ["channelizer_taps", "channelizer_init", "channelizer_apply",
+           "PolyphaseChannelizer"]
+
+
+def channelizer_taps(num_channels: int, taps_per_branch: int = 8,
+                     attenuation: float = 80.0) -> np.ndarray:
+    """Kaiser prototype lowpass for an M-channel bank (cutoff 1/(2M))."""
+    n = num_channels * taps_per_branch
+    h = firdes.firdes_kaiser(n, 0.5 / num_channels, attenuation, 0.0)
+    return h * num_channels / np.sum(h)
+
+
+def channelizer_init(num_channels: int, taps_per_branch: int,
+                     dtype=jnp.complex64, batch_shape: tuple = ()):
+    """Raw-sample tail of length K*M - 1."""
+    M, K = num_channels, taps_per_branch
+    return jnp.zeros((*batch_shape, K * M - 1), dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("num_channels",))
+def channelizer_apply(taps, tail, x, num_channels: int):
+    """One channelizer block.
+
+    x: (..., L) with L a multiple of M.  Returns (Y, new_tail) where
+    Y: (..., T, M) — T = L // M output steps of M channel samples.
+    """
+    M = num_channels
+    K = taps.shape[-1] // M
+    L = x.shape[-1]
+    if L % M:
+        raise ValueError("block length must be a multiple of the channel count")
+    T = L // M
+    H = taps[: K * M].reshape(K, M)  # H[k, r] = h[k*M + r]
+
+    x_ext = jnp.concatenate([tail, x], axis=-1)
+    base = K * M - 1
+    t = jnp.arange(T)[:, None, None]
+    k = jnp.arange(K)[None, :, None]
+    r = jnp.arange(M)[None, None, :]
+    idx = base + (t - k) * M - r  # (T, K, M), all >= 0 by construction
+    V = x_ext[..., idx]  # (..., T, K, M)
+    z = jnp.einsum("...tkr,kr->...tr", V, H.astype(x.dtype))
+    # a +c/M tone contributes e^{-2 pi i c r / M} across branches, so the
+    # channel-m extractor is the INVERSE DFT kernel e^{+2 pi i m r / M}
+    Y = jnp.fft.ifft(z, axis=-1) * M
+    return Y, x_ext[..., -(K * M - 1):]
+
+
+class PolyphaseChannelizer:
+    """Stateful M-channel analysis channelizer."""
+
+    def __init__(self, num_channels: int, taps_per_branch: int = 8,
+                 attenuation: float = 80.0, dtype=jnp.complex64):
+        self.M = int(num_channels)
+        self.K = int(taps_per_branch)
+        self.taps = jnp.asarray(
+            channelizer_taps(self.M, self.K, attenuation), dtype=dtype
+        )
+        self._tail = channelizer_init(self.M, self.K, dtype)
+
+    def execute_block(self, x):
+        x = jnp.asarray(x, dtype=self._tail.dtype)
+        Y, self._tail = channelizer_apply(self.taps, self._tail, x, self.M)
+        return Y
+
+    def reset(self):
+        self._tail = jnp.zeros_like(self._tail)
+
+    def __repr__(self):
+        return f"PolyphaseChannelizer [M={self.M}] [K={self.K}]"

@@ -1,0 +1,139 @@
+"""RxChain — the flagship composed receive chain.
+
+NCO downconvert -> decimating FIR -> AGC -> demod (FM / QPSK / AM), the
+driver's config-4 chain and the idiom of the reference's demo binary
+(src/main.rs:25-46: NCO tone -> PLL IIR filter).
+
+Everything is one pure jittable block transform
+``rx_chain_apply(params, state, x) -> (out, state)`` whose state pytree
+(NCO phase word, FIR tail + decimator phase, AGC carry, demod carry) is the
+checkpoint format and the multi-chip halo payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..design import firdes
+from ..ops import agc as agc_ops
+from ..ops import fir as fir_ops
+from ..ops import nco as nco_ops
+from ..streaming.state import ChainState
+from . import fm as fm_mod
+from . import qpsk as qpsk_mod
+
+
+@dataclass
+class RxChainConfig:
+    """Static chain configuration (compiled into the jitted program)."""
+
+    carrier_freq: float = 0.2          # rad/sample NCO downconversion
+    decimation: int = 4
+    fir_taps: int = 64
+    fir_cutoff: float = 0.1            # normalized (0, 0.5)
+    fir_attenuation: float = 60.0      # dB
+    agc_bandwidth: float = 0.01
+    agc_mode: str = "block"            # "exact" (scan) | "block" (fast)
+    demod: str = "fm"                  # "fm" | "qpsk" | "am" | "none"
+    fm_kf: float = 0.1
+    nco_mode: str = "exact"            # "lut" (ref parity) | "exact"
+    dtype: object = jnp.complex64
+
+    def design_taps(self) -> np.ndarray:
+        taps = firdes.firdes_kaiser(
+            self.fir_taps, self.fir_cutoff, self.fir_attenuation, 0.0
+        )
+        return taps / np.sum(taps)  # unity DC gain
+
+
+def rx_chain_init(cfg: RxChainConfig) -> ChainState:
+    rdtype = jnp.zeros(0, dtype=cfg.dtype).real.dtype
+    return ChainState(
+        nco_theta=jnp.uint32(0),
+        fir_tail=fir_ops.fir_init(cfg.fir_taps, dtype=cfg.dtype),
+        fir_phase=jnp.int32(0),
+        agc=agc_ops.agc_init(rdtype),
+        fm_prev=fm_mod.fm_demod_init(cfg.dtype),
+    )
+
+
+def make_rx_chain(cfg: RxChainConfig):
+    """Build (init_state, apply) where apply is jit-compiled.
+
+    apply(state, x_block) -> (demod_out, new_state); block length must be a
+    multiple of the decimation factor.
+    """
+    taps = jnp.asarray(cfg.design_taps(), dtype=cfg.dtype)
+    dtheta = nco_ops.constrain(cfg.carrier_freq)
+    lut = nco_ops.make_sine_lut(
+        jnp.zeros(0, dtype=cfg.dtype).real.dtype
+    )
+
+    @jax.jit
+    def apply(state: ChainState, x: jnp.ndarray):
+        # 1. downconvert (closed-form phases, no sequential dependency)
+        mixed, theta_end = nco_ops.mix_down_block(
+            x, state.nco_theta, dtheta, lut, cfg.nco_mode
+        )
+        # 2. decimating FIR (polyphase matmul)
+        y, fir_tail, fir_phase = fir_ops.fir_decim_apply(
+            taps, state.fir_tail, state.fir_phase, mixed,
+            jnp.asarray(1.0, dtype=cfg.dtype), cfg.decimation,
+        )
+        # 3. AGC
+        if cfg.agc_mode == "exact":
+            y, agc_state = agc_ops.agc_apply(
+                state.agc, y, cfg.agc_bandwidth, 1.0, -1e30, 100
+            )
+        else:
+            y, agc_state = agc_ops.agc_apply_block_mode(
+                state.agc, y, cfg.agc_bandwidth
+            )
+        # 4. demod
+        fm_prev = state.fm_prev
+        if cfg.demod == "fm":
+            out, fm_prev = fm_mod.fm_demodulate(fm_prev, y, cfg.fm_kf)
+        elif cfg.demod == "qpsk":
+            out, _, _ = qpsk_mod.qpsk_carrier_block(y)
+        elif cfg.demod == "am":
+            out = jnp.abs(y)
+        else:
+            out = y
+        new_state = ChainState(
+            nco_theta=theta_end,
+            fir_tail=fir_tail,
+            fir_phase=fir_phase,
+            agc=agc_state,
+            fm_prev=fm_prev,
+        )
+        return out, new_state
+
+    return partial(rx_chain_init, cfg), apply
+
+
+class RxChain:
+    """Stateful streaming wrapper around the jitted chain."""
+
+    def __init__(self, cfg: RxChainConfig | None = None, **overrides):
+        self.cfg = cfg or RxChainConfig(**overrides)
+        init, self._apply = make_rx_chain(self.cfg)
+        self.state = init()
+
+    def execute_block(self, x):
+        out, self.state = self._apply(self.state, jnp.asarray(x, self.cfg.dtype))
+        return out
+
+    def reset(self):
+        self.state = rx_chain_init(self.cfg)
+
+    def __repr__(self):
+        return (
+            f"RxChain [fc={self.cfg.carrier_freq}] [M={self.cfg.decimation}] "
+            f"[taps={self.cfg.fir_taps}] [demod={self.cfg.demod}] "
+            f"state={self.state!r}"
+        )
