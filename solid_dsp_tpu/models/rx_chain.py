@@ -52,7 +52,9 @@ class RxChainConfig:
 
 
 def rx_chain_init(cfg: RxChainConfig) -> ChainState:
-    rdtype = jnp.zeros(0, dtype=cfg.dtype).real.dtype
+    # numpy, not jnp: a zero-sized device array is an eager TPU op that the
+    # axon backend rejects (UNIMPLEMENTED), and all we want is the dtype.
+    rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
     return ChainState(
         nco_theta=jnp.uint32(0),
         fir_tail=fir_ops.fir_init(cfg.fir_taps, dtype=cfg.dtype),
@@ -68,11 +70,13 @@ def make_rx_chain(cfg: RxChainConfig):
     apply(state, x_block) -> (demod_out, new_state); block length must be a
     multiple of the decimation factor.
     """
-    taps = jnp.asarray(cfg.design_taps(), dtype=cfg.dtype)
+    # NOTE: closure constants must stay HOST-side (numpy): jit embeds them as
+    # MLIR constants, and embedding a committed device array forces a
+    # device->host fetch that some backends (axon tunnel) cannot do.
+    rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
+    taps = np.asarray(cfg.design_taps(), dtype=cfg.dtype)
     dtheta = nco_ops.constrain(cfg.carrier_freq)
-    lut = nco_ops.make_sine_lut(
-        jnp.zeros(0, dtype=cfg.dtype).real.dtype
-    )
+    lut = nco_ops.make_sine_lut(rdtype)
 
     @jax.jit
     def apply(state: ChainState, x: jnp.ndarray):

@@ -33,7 +33,7 @@ def autocorr_init(window_size: int, delay: int, dtype=jnp.complex64,
     """State: x history of length W-1+D (enough for z and the moving sum)
     plus |x|^2 history of length W-1 for the energy sum."""
     hist = max(window_size - 1 + delay, 0)
-    rdtype = jnp.zeros(0, dtype=dtype).real.dtype
+    rdtype = np.zeros(0, dtype=dtype).real.dtype
     return {
         "x_tail": jnp.zeros((*batch_shape, hist), dtype=dtype),
         "e_tail": jnp.zeros((*batch_shape, max(window_size - 1, 0)),

@@ -59,10 +59,56 @@ def fir_init(ntaps: int, dtype=jnp.complex64, batch_shape: tuple = ()) -> jnp.nd
     return jnp.zeros((*batch_shape, max(ntaps - 1, 0)), dtype=dtype)
 
 
+def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """Strided sliding correlation on the MXU via XLA convolution.
+
+    ``taps`` of shape (n,) or (n, O); returns
+    ``y[..., t(, o)] = sum_i taps[i(, o)] * x[..., t*stride + i]``.
+
+    This replaces the im2col-gather formulation: XLA's conv never
+    materializes the (T, n) window matrix, so HBM traffic stays O(L)
+    instead of O(L * n).  Complex data/taps decompose into a 2-channel real
+    conv (out_re = xr*kr - xi*ki, out_im = xr*ki + xi*kr), which XLA maps to
+    one MXU contraction.
+    """
+    vec = taps.ndim == 1
+    taps2 = taps[:, None] if vec else taps
+    n, O = taps2.shape
+    batch_shape = x.shape[:-1]
+    L = x.shape[-1]
+    xb = x.reshape((-1, L))
+    T = (L - n) // stride + 1
+    prec = jax.lax.Precision.HIGHEST
+    if jnp.issubdtype(x.dtype, jnp.complexfloating) or jnp.issubdtype(
+        taps2.dtype, jnp.complexfloating
+    ):
+        cd = jnp.result_type(x.dtype, taps2.dtype, jnp.complex64)
+        xb = xb.astype(cd)
+        k = taps2.astype(cd)
+        xr = jnp.stack([xb.real, xb.imag], axis=-1)  # (B, L, 2)
+        kr, ki = k.real, k.imag
+        # W[w, i, o]: out channels [re_0..re_{O-1}, im_0..im_{O-1}]
+        W = jnp.concatenate(
+            [jnp.stack([kr, -ki], axis=1), jnp.stack([ki, kr], axis=1)],
+            axis=-1,
+        )  # (n, 2, 2O)
+        y2 = jax.lax.conv_general_dilated(
+            xr, W.astype(xr.dtype), window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=prec,
+        )
+        y = jax.lax.complex(y2[..., :O], y2[..., O:]).astype(cd)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xb[:, :, None], taps2.astype(x.dtype)[:, None, :],
+            window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=prec,
+        )
+    y = y.reshape(*batch_shape, T, O)
+    return y[..., 0] if vec else y
+
+
 def _fir_block_matmul(taps: jnp.ndarray, x_ext: jnp.ndarray) -> jnp.ndarray:
-    n = taps.shape[-1]
-    windows = frame_windows(x_ext, n)  # (..., T, n)
-    return jnp.matmul(windows, taps.astype(windows.dtype), precision="highest")
+    return conv1d_mxu(x_ext, taps)
 
 
 def _fir_block_fft(taps: jnp.ndarray, x_ext: jnp.ndarray) -> jnp.ndarray:
@@ -131,10 +177,12 @@ def fir_decim_apply(taps, tail, phase, x, scale, decimation: int):
     # first output position within the block
     first = (M - 1 - phase) % M
     T = L // M
-    starts = first + M * jnp.arange(T)
-    idx = starts[:, None] + jnp.arange(n)[None, :]
-    windows = jnp.take(x_ext, idx, axis=-1)
-    y = jnp.matmul(windows, taps.astype(windows.dtype), precision="highest") * scale
+    # slice off the phase offset, then one strided MXU conv — the window
+    # matrix is never materialized (HBM traffic O(L), not O(L * n)).
+    x_sub = jax.lax.dynamic_slice_in_dim(
+        x_ext, first, (T - 1) * M + n, axis=x_ext.ndim - 1
+    )
+    y = conv1d_mxu(x_sub, taps, stride=M) * scale
     new_tail = split_tail(x_ext, n - 1)
     new_phase = (phase + L) % M
     return y, new_tail, new_phase
@@ -161,8 +209,7 @@ def pfb_apply_all(branch_matrix, tail, x):
     """
     sub_len = branch_matrix.shape[0]
     x_ext = extend_with_tail(tail, x)
-    windows = frame_windows(x_ext, sub_len)  # (..., T, sub_len)
-    out = jnp.matmul(windows, branch_matrix.astype(windows.dtype), precision="highest")
+    out = conv1d_mxu(x_ext, branch_matrix)  # (..., T, branches)
     return out, split_tail(x_ext, sub_len - 1)
 
 

@@ -59,10 +59,15 @@ def constrain(theta: float) -> np.uint32:
     return np.uint32(np.trunc(frac * np.float64(0xFFFFFFFF)))
 
 
-def make_sine_lut(dtype=jnp.float64) -> jnp.ndarray:
-    """1024-entry sine table: LUT[i] = sin(2 pi i / 1024) (ref :36-50)."""
+def make_sine_lut(dtype=jnp.float64) -> np.ndarray:
+    """1024-entry sine table: LUT[i] = sin(2 pi i / 1024) (ref :36-50).
+
+    Returned as HOST (numpy) data: the LUT is a design-time constant that
+    jit embeds directly; creating it on-device would force a device->host
+    fetch at trace time (which the axon TPU tunnel cannot do reliably).
+    """
     i = np.arange(1024, dtype=np.float64)
-    return jnp.asarray(np.sin(_TWO_PI * i / 1024.0), dtype=dtype)
+    return np.sin(_TWO_PI * i / 1024.0).astype(dtype)
 
 
 def nco_phases(theta0, delta_theta, n: int) -> jnp.ndarray:

@@ -1,0 +1,150 @@
+"""Multi-device sharding tests on a fake 8-device CPU mesh.
+
+SURVEY.md §4: the reference has no multi-node story to imitate; these tests
+validate the TPU build's own sharding contract — sharded outputs must equal
+the single-chip block outputs (halo exchange is semantically invisible).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu import parallel
+from solid_dsp_tpu.models.channelizer import PolyphaseChannelizer
+from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+from solid_dsp_tpu.ops import fir as fir_ops
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 fake devices")
+
+
+def _tone(n, f, amp=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    k = np.arange(n)
+    x = amp * np.exp(2j * np.pi * f * k) + 0.01 * (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    )
+    return x.astype(np.complex128)
+
+
+@needs8
+@pytest.mark.parametrize("channel,time", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_fir_matches_single_chip(channel, time):
+    mesh = parallel.make_mesh(channel=channel, time=time)
+    ntaps = 33
+    taps = jnp.asarray(np.hamming(ntaps) / ntaps, dtype=jnp.complex128)
+    C, L = channel * 2, 1024
+    x = np.stack([_tone(L, 0.01 * (c + 1), seed=c) for c in range(C)])
+
+    apply_fn = parallel.sharded_fir(taps, mesh)
+    tail = fir_ops.fir_init(ntaps, dtype=jnp.complex128, batch_shape=(C,))
+    y_shard, tail_shard = apply_fn(tail, jnp.asarray(x))
+
+    # single-chip truth, channel by channel, two sequential blocks to also
+    # check the carried tail
+    for c in range(C):
+        y_ref, _ = fir_ops.fir_apply(taps, tail[c], jnp.asarray(x[c]),
+                                     method="matmul")
+        np.testing.assert_allclose(np.asarray(y_shard[c]),
+                                   np.asarray(y_ref), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tail_shard),
+                               x[:, -(ntaps - 1):], rtol=0, atol=0)
+
+    # second block consumes the carried tail correctly
+    x2 = np.stack([_tone(L, 0.01 * (c + 1), seed=100 + c) for c in range(C)])
+    y2_shard, _ = apply_fn(tail_shard, jnp.asarray(x2))
+    for c in range(C):
+        _, t1 = fir_ops.fir_apply(taps, tail[c], jnp.asarray(x[c]),
+                                  method="matmul")
+        y2_ref, _ = fir_ops.fir_apply(taps, t1, jnp.asarray(x2[c]),
+                                      method="matmul")
+        np.testing.assert_allclose(np.asarray(y2_shard[c]),
+                                   np.asarray(y2_ref), rtol=1e-9, atol=1e-12)
+
+
+@needs8
+def test_sharded_rx_chain_matches_single_chip():
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod="fm",
+                        nco_mode="exact")
+    C, L = 4, 2048
+    x = np.stack([_tone(L, 0.2 / (2 * np.pi) + 0.001, amp=0.1, seed=c)
+                  for c in range(C)])
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    st = init_s(C)
+    out_shard, st2 = apply_s(st, jnp.asarray(x))
+
+    # single-chip truth per channel
+    init1, apply1 = make_rx_chain(cfg)
+    for c in range(C):
+        s1 = init1()
+        out_ref, s1b = apply1(s1, jnp.asarray(x[c]))
+        np.testing.assert_allclose(np.asarray(out_shard[c]),
+                                   np.asarray(out_ref), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st2.agc["gain"][c]),
+                                   np.asarray(s1b.agc["gain"]), rtol=1e-9)
+    assert int(st2.nco_theta) == int(s1b.nco_theta)
+
+    # streaming continuation
+    x2 = np.stack([_tone(L, 0.2 / (2 * np.pi) + 0.001, amp=0.1, seed=50 + c)
+                   for c in range(C)])
+    out2_shard, _ = apply_s(st2, jnp.asarray(x2))
+    for c in range(C):
+        s1 = init1()
+        _, s1b = apply1(s1, jnp.asarray(x[c]))
+        out2_ref, _ = apply1(s1b, jnp.asarray(x2[c]))
+        np.testing.assert_allclose(np.asarray(out2_shard[c]),
+                                   np.asarray(out2_ref), rtol=1e-7, atol=1e-9)
+
+
+@needs8
+@pytest.mark.parametrize("channel,time", [(2, 4), (4, 2)])
+def test_sharded_channelizer_matches_single_chip(channel, time):
+    mesh = parallel.make_mesh(channel=channel, time=time)
+    M, K = 16, 8
+    L = M * 64
+    x = _tone(L, 3.0 / M, seed=7)
+
+    init, apply_fn = parallel.make_sharded_channelizer(
+        M, K, mesh, dtype=jnp.complex128
+    )
+    tail = init()
+    Y_shard, tail2 = apply_fn(tail, jnp.asarray(x))
+
+    ch = PolyphaseChannelizer(M, K, dtype=jnp.complex128)
+    Y_ref = ch.execute_block(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(Y_shard), np.asarray(Y_ref),
+                               rtol=1e-8, atol=1e-10)
+
+    # second block continues the stream
+    x2 = _tone(L, 3.0 / M, seed=8)
+    Y2_shard, _ = apply_fn(tail2, jnp.asarray(x2))
+    Y2_ref = ch.execute_block(jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(Y2_shard), np.asarray(Y2_ref),
+                               rtol=1e-8, atol=1e-10)
+
+
+@needs8
+def test_halo_primitives():
+    mesh = parallel.make_mesh(channel=1, time=8)
+    from jax.sharding import PartitionSpec as P
+
+    def f(x):
+        h = parallel.left_halo(x, "time")
+        last = parallel.from_last_shard(x, "time")
+        return h, last
+
+    g = jax.shard_map(f, mesh=mesh, in_specs=P("time"),
+                      out_specs=(P("time"), P("time")))
+    x = jnp.arange(16.0)
+    h, last = g(x)
+    # shard i (len 2) receives shard i-1's block; shard 0 gets zeros
+    np.testing.assert_array_equal(np.asarray(h)[:2], [0.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(h)[2:], np.arange(14.0))
+    # every shard sees the last shard's block
+    np.testing.assert_array_equal(
+        np.asarray(last), np.tile([14.0, 15.0], 8)
+    )
