@@ -1,0 +1,347 @@
+// solid_runtime — native runtime for solid_dsp_tpu.
+//
+// TPU-native equivalent of the reference's runtime-side pieces
+// (juliantos/solid-dsp src/circular_buffer/mod.rs:55-628 — the O(1) ring
+// buffer that backs streaming IO), extended with what a production SDR
+// framework needs around the JAX compute path:
+//
+//   * a lock-free single-producer/single-consumer ring buffer
+//     (reference CircularBuffer parity: push / append / pop / release /
+//     linearized read, error codes for over/underflow),
+//   * IQ sample-format conversion (ci8 / ci16 / cf32 / cf64 -> cf32),
+//   * a threaded file pump: a reader thread prefetches+converts blocks from
+//     an IQ recording into the ring while the Python/JAX consumer computes —
+//     the double-buffered host-side half of the block pipeline.
+//
+// Built as a plain C ABI shared library; Python binds via ctypes
+// (no pybind11 in this image).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <new>
+#include <thread>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// SPSC ring buffer (byte oriented; element framing is the caller's business)
+// ---------------------------------------------------------------------------
+
+struct Ring {
+  uint8_t* buf = nullptr;
+  size_t capacity = 0;            // power of two
+  size_t mask = 0;
+  std::atomic<uint64_t> head{0};  // write position (producer)
+  std::atomic<uint64_t> tail{0};  // read position (consumer)
+
+  explicit Ring(size_t cap_request) {
+    capacity = 1;
+    while (capacity < cap_request) capacity <<= 1;
+    mask = capacity - 1;
+    buf = static_cast<uint8_t*>(::malloc(capacity));
+  }
+  ~Ring() { ::free(buf); }
+
+  size_t size() const {
+    return static_cast<size_t>(head.load(std::memory_order_acquire) -
+                               tail.load(std::memory_order_acquire));
+  }
+  size_t space() const { return capacity - size(); }
+
+  // Append up to n bytes; returns bytes written (0..n).
+  size_t push(const uint8_t* src, size_t n) {
+    size_t avail = space();
+    if (n > avail) n = avail;
+    uint64_t h = head.load(std::memory_order_relaxed);
+    size_t off = static_cast<size_t>(h) & mask;
+    size_t first = capacity - off;
+    if (first > n) first = n;
+    std::memcpy(buf + off, src, first);
+    if (n > first) std::memcpy(buf, src + first, n - first);
+    head.store(h + n, std::memory_order_release);
+    return n;
+  }
+
+  // Pop up to n bytes into dst; returns bytes read.
+  size_t pop(uint8_t* dst, size_t n) {
+    size_t avail = size();
+    if (n > avail) n = avail;
+    uint64_t t = tail.load(std::memory_order_relaxed);
+    size_t off = static_cast<size_t>(t) & mask;
+    size_t first = capacity - off;
+    if (first > n) first = n;
+    std::memcpy(dst, buf + off, first);
+    if (n > first) std::memcpy(dst + first, buf, n - first);
+    tail.store(t + n, std::memory_order_release);
+    return n;
+  }
+
+  // Copy up to n bytes without consuming (linearized view — reference
+  // CircularBuffer::linearize semantics without the in-place shuffle).
+  size_t peek(uint8_t* dst, size_t n) const {
+    size_t avail = size();
+    if (n > avail) n = avail;
+    uint64_t t = tail.load(std::memory_order_acquire);
+    size_t off = static_cast<size_t>(t) & mask;
+    size_t first = capacity - off;
+    if (first > n) first = n;
+    std::memcpy(dst, buf + off, first);
+    if (n > first) std::memcpy(dst + first, buf, n - first);
+    return n;
+  }
+
+  // Drop n bytes (reference CircularBuffer::release).
+  size_t release(size_t n) {
+    size_t avail = size();
+    if (n > avail) n = avail;
+    tail.fetch_add(n, std::memory_order_release);
+    return n;
+  }
+
+  void reset() {
+    tail.store(head.load(std::memory_order_acquire),
+               std::memory_order_release);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// IQ format conversion -> interleaved float32 (re, im)
+// ---------------------------------------------------------------------------
+
+enum IQFormat : int { CF32 = 0, CI16 = 1, CI8 = 2, CF64 = 3 };
+
+size_t iq_sample_bytes(int fmt) {
+  switch (fmt) {
+    case CF32: return 8;
+    case CI16: return 4;
+    case CI8: return 2;
+    case CF64: return 16;
+  }
+  return 0;
+}
+
+// Convert n_samples raw samples to cf32; returns bytes produced.
+size_t iq_to_cf32(const uint8_t* raw, size_t n_samples, int fmt, float* out) {
+  switch (fmt) {
+    case CF32:
+      std::memcpy(out, raw, n_samples * 8);
+      break;
+    case CI16: {
+      const int16_t* p = reinterpret_cast<const int16_t*>(raw);
+      constexpr float k = 1.0f / 32767.0f;
+      for (size_t i = 0; i < 2 * n_samples; ++i) out[i] = p[i] * k;
+      break;
+    }
+    case CI8: {
+      const int8_t* p = reinterpret_cast<const int8_t*>(raw);
+      constexpr float k = 1.0f / 127.0f;
+      for (size_t i = 0; i < 2 * n_samples; ++i) out[i] = p[i] * k;
+      break;
+    }
+    case CF64: {
+      const double* p = reinterpret_cast<const double*>(raw);
+      for (size_t i = 0; i < 2 * n_samples; ++i)
+        out[i] = static_cast<float>(p[i]);
+      break;
+    }
+    default:
+      return 0;
+  }
+  return n_samples * 8;
+}
+
+// Convert cf32 -> raw fmt; returns bytes produced.
+size_t cf32_to_iq(const float* in, size_t n_samples, int fmt, uint8_t* raw) {
+  switch (fmt) {
+    case CF32:
+      std::memcpy(raw, in, n_samples * 8);
+      return n_samples * 8;
+    case CI16: {
+      int16_t* p = reinterpret_cast<int16_t*>(raw);
+      for (size_t i = 0; i < 2 * n_samples; ++i) {
+        float v = in[i] * 32767.0f;
+        if (v > 32767.0f) v = 32767.0f;
+        if (v < -32768.0f) v = -32768.0f;
+        p[i] = static_cast<int16_t>(::lrintf(v));
+      }
+      return n_samples * 4;
+    }
+    case CI8: {
+      int8_t* p = reinterpret_cast<int8_t*>(raw);
+      for (size_t i = 0; i < 2 * n_samples; ++i) {
+        float v = in[i] * 127.0f;
+        if (v > 127.0f) v = 127.0f;
+        if (v < -128.0f) v = -128.0f;
+        p[i] = static_cast<int8_t>(::lrintf(v));
+      }
+      return n_samples * 2;
+    }
+    case CF64: {
+      double* p = reinterpret_cast<double*>(raw);
+      for (size_t i = 0; i < 2 * n_samples; ++i)
+        p[i] = static_cast<double>(in[i]);
+      return n_samples * 16;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// File pump: reader thread -> ring of cf32 samples
+// ---------------------------------------------------------------------------
+
+struct Pump {
+  FILE* f = nullptr;
+  int fmt = CF32;
+  Ring ring;
+  std::thread reader;
+  std::atomic<bool> eof{false};
+  std::atomic<bool> stop{false};
+  std::atomic<long> io_error{0};
+
+  Pump(FILE* file, int format, size_t ring_bytes)
+      : f(file), fmt(format), ring(ring_bytes) {
+    reader = std::thread([this] { run(); });
+  }
+
+  ~Pump() {
+    stop.store(true);
+    if (reader.joinable()) reader.join();
+    if (f) ::fclose(f);
+  }
+
+  void run() {
+    const size_t CHUNK = 1 << 16;  // samples per read
+    size_t sb = iq_sample_bytes(fmt);
+    uint8_t* raw = static_cast<uint8_t*>(::malloc(CHUNK * sb));
+    float* conv = static_cast<float*>(::malloc(CHUNK * 8));
+    while (!stop.load(std::memory_order_relaxed)) {
+      size_t got = ::fread(raw, sb, CHUNK, f);
+      if (got == 0) {
+        if (::ferror(f)) io_error.store(-1);
+        break;
+      }
+      size_t nbytes = iq_to_cf32(raw, got, fmt, conv);
+      const uint8_t* src = reinterpret_cast<const uint8_t*>(conv);
+      size_t pushed = 0;
+      while (pushed < nbytes && !stop.load(std::memory_order_relaxed)) {
+        size_t k = ring.push(src + pushed, nbytes - pushed);
+        pushed += k;
+        if (k == 0) std::this_thread::yield();
+      }
+    }
+    eof.store(true, std::memory_order_release);
+    ::free(raw);
+    ::free(conv);
+  }
+
+  // Blocking read of exactly n bytes unless EOF truncates; returns bytes.
+  long next(uint8_t* dst, size_t n) {
+    size_t got = 0;
+    while (got < n) {
+      size_t k = ring.pop(dst + got, n - got);
+      got += k;
+      if (k == 0) {
+        if (eof.load(std::memory_order_acquire) && ring.size() == 0) break;
+        std::this_thread::yield();
+      }
+    }
+    if (io_error.load() != 0 && got == 0) return -1;
+    return static_cast<long>(got);
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* sdsp_ring_create(size_t capacity_bytes) {
+  return new (std::nothrow) Ring(capacity_bytes);
+}
+void sdsp_ring_destroy(void* r) { delete static_cast<Ring*>(r); }
+size_t sdsp_ring_capacity(void* r) { return static_cast<Ring*>(r)->capacity; }
+size_t sdsp_ring_size(void* r) { return static_cast<Ring*>(r)->size(); }
+size_t sdsp_ring_space(void* r) { return static_cast<Ring*>(r)->space(); }
+size_t sdsp_ring_push(void* r, const void* src, size_t n) {
+  return static_cast<Ring*>(r)->push(static_cast<const uint8_t*>(src), n);
+}
+size_t sdsp_ring_pop(void* r, void* dst, size_t n) {
+  return static_cast<Ring*>(r)->pop(static_cast<uint8_t*>(dst), n);
+}
+size_t sdsp_ring_peek(void* r, void* dst, size_t n) {
+  return static_cast<Ring*>(r)->peek(static_cast<uint8_t*>(dst), n);
+}
+size_t sdsp_ring_release(void* r, size_t n) {
+  return static_cast<Ring*>(r)->release(n);
+}
+void sdsp_ring_reset(void* r) { static_cast<Ring*>(r)->reset(); }
+
+int sdsp_iq_sample_bytes(int fmt) {
+  return static_cast<int>(iq_sample_bytes(fmt));
+}
+
+// One-shot file conversion read: read up to n_samples from offset_samples,
+// converting to cf32 into out. Returns samples read, or -1 on error.
+long sdsp_iq_read(const char* path, int fmt, long offset_samples,
+                  long n_samples, float* out) {
+  size_t sb = iq_sample_bytes(fmt);
+  if (sb == 0) return -1;
+  FILE* f = ::fopen(path, "rb");
+  if (!f) return -1;
+  if (offset_samples > 0 &&
+      ::fseek(f, static_cast<long>(offset_samples * sb), SEEK_SET) != 0) {
+    ::fclose(f);
+    return -1;
+  }
+  uint8_t* raw = static_cast<uint8_t*>(::malloc(n_samples * sb));
+  size_t got = ::fread(raw, sb, static_cast<size_t>(n_samples), f);
+  ::fclose(f);
+  iq_to_cf32(raw, got, fmt, out);
+  ::free(raw);
+  return static_cast<long>(got);
+}
+
+// Write n_samples cf32 samples as fmt (append=0 truncates). Returns samples
+// written or -1.
+long sdsp_iq_write(const char* path, int fmt, const float* data,
+                   long n_samples, int append) {
+  size_t sb = iq_sample_bytes(fmt);
+  if (sb == 0) return -1;
+  FILE* f = ::fopen(path, append ? "ab" : "wb");
+  if (!f) return -1;
+  uint8_t* raw = static_cast<uint8_t*>(::malloc(n_samples * sb));
+  size_t nb = cf32_to_iq(data, static_cast<size_t>(n_samples), fmt, raw);
+  size_t wrote = ::fwrite(raw, 1, nb, f);
+  ::free(raw);
+  ::fclose(f);
+  if (wrote != nb) return -1;
+  return n_samples;
+}
+
+void* sdsp_pump_create(const char* path, int fmt, size_t ring_samples) {
+  FILE* f = ::fopen(path, "rb");
+  if (!f) return nullptr;
+  return new (std::nothrow) Pump(f, fmt, ring_samples * 8);
+}
+void sdsp_pump_destroy(void* p) { delete static_cast<Pump*>(p); }
+// Blocking: fill out with n_samples cf32 samples; returns samples delivered
+// (< n_samples only at EOF), or -1 on IO error.
+long sdsp_pump_next(void* p, float* out, long n_samples) {
+  long b = static_cast<Pump*>(p)->next(reinterpret_cast<uint8_t*>(out),
+                                       static_cast<size_t>(n_samples) * 8);
+  return b < 0 ? -1 : b / 8;
+}
+int sdsp_pump_eof(void* p) {
+  Pump* pp = static_cast<Pump*>(p);
+  return pp->eof.load() && pp->ring.size() == 0;
+}
+
+}  // extern "C"

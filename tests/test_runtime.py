@@ -1,0 +1,156 @@
+"""Native runtime tests: ring buffer parity, IQ IO round-trips, pump.
+
+Reference parity targets: circular_buffer/mod.rs doctests (error codes on
+full/empty — :424-432, :501-511, :535-546; push/pop/append/release
+semantics).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.runtime import (
+    BufferError_,
+    CircularBuffer,
+    StreamPump,
+    read_iq,
+    write_iq,
+)
+
+
+class TestCircularBuffer:
+    def test_push_pop_order(self):
+        cb = CircularBuffer(8, dtype=np.float64)
+        for v in [1.0, 2.0, 3.0]:
+            cb.push(v)
+        assert len(cb) == 3
+        assert cb.pop() == 1.0
+        assert cb.pop() == 2.0
+        assert len(cb) == 1
+
+    def test_full_error(self):
+        cb = CircularBuffer(2, dtype=np.float32)
+        cb.push(1.0)
+        cb.push(2.0)
+        with pytest.raises(BufferError_):
+            cb.push(3.0)
+
+    def test_empty_error(self):
+        cb = CircularBuffer(2, dtype=np.float32)
+        with pytest.raises(BufferError_):
+            cb.pop()
+
+    def test_append_overflow_error(self):
+        cb = CircularBuffer(4, dtype=np.float32)
+        cb.append([1, 2, 3])
+        with pytest.raises(BufferError_):
+            cb.append([4, 5])
+
+    def test_read_release(self):
+        cb = CircularBuffer(8, dtype=np.complex64)
+        data = np.arange(5).astype(np.complex64)
+        cb.append(data)
+        view = cb.read(3)
+        np.testing.assert_array_equal(view, data[:3])
+        assert len(cb) == 5  # non-consuming
+        cb.release(2)
+        assert len(cb) == 3
+        np.testing.assert_array_equal(cb.read(), data[2:])
+        with pytest.raises(BufferError_):
+            cb.release(10)
+
+    def test_wraparound(self):
+        cb = CircularBuffer(4, dtype=np.int32)
+        for round_ in range(10):
+            cb.append([round_, round_ + 1])
+            got = cb.pop_block(2)
+            np.testing.assert_array_equal(got, [round_, round_ + 1])
+
+    def test_reset(self):
+        cb = CircularBuffer(4, dtype=np.float32)
+        cb.append([1, 2, 3])
+        cb.reset()
+        assert cb.is_empty()
+        assert cb.space() == 4
+
+
+class TestIQFiles:
+    @pytest.mark.parametrize("fmt,tol", [
+        ("cf32", 0.0), ("cf64", 1e-7), ("ci16", 3.2e-5), ("ci8", 8e-3),
+    ])
+    def test_roundtrip(self, tmp_path, fmt, tol):
+        rng = np.random.default_rng(0)
+        x = (0.5 * (rng.standard_normal(1000) + 1j * rng.standard_normal(1000))
+             ).astype(np.complex64)
+        x = np.clip(x.real, -0.99, 0.99) + 1j * np.clip(x.imag, -0.99, 0.99)
+        x = x.astype(np.complex64)
+        p = str(tmp_path / f"test.{fmt}")
+        assert write_iq(p, x, fmt) == 1000
+        y = read_iq(p, fmt)
+        assert y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=max(tol, 1e-9))
+
+    def test_offset_count(self, tmp_path):
+        x = np.arange(100).astype(np.complex64)
+        p = str(tmp_path / "t.cf32")
+        write_iq(p, x)
+        y = read_iq(p, offset=10, count=20)
+        np.testing.assert_array_equal(y, x[10:30])
+
+    def test_append(self, tmp_path):
+        p = str(tmp_path / "t.ci16")
+        write_iq(p, np.ones(10, np.complex64) * 0.25, "ci16")
+        write_iq(p, np.ones(5, np.complex64) * 0.5, "ci16", append=True)
+        y = read_iq(p, "ci16")
+        assert y.shape == (15,)
+        np.testing.assert_allclose(y[:10].real, 0.25, atol=1e-4)
+        np.testing.assert_allclose(y[10:].real, 0.5, atol=1e-4)
+
+    def test_bad_format(self, tmp_path):
+        with pytest.raises(ValueError, match="unknown IQ format"):
+            write_iq(str(tmp_path / "x"), np.ones(4, np.complex64), "bogus")
+
+
+class TestStreamPump:
+    def test_stream_blocks(self, tmp_path):
+        n = 100_000
+        x = (np.exp(2j * np.pi * 0.01 * np.arange(n)) * 0.5).astype(
+            np.complex64)
+        p = str(tmp_path / "stream.ci16")
+        write_iq(p, x, "ci16")
+
+        got = []
+        with StreamPump(p, fmt="ci16", block=16384) as pump:
+            for blk in pump:
+                got.append(blk)
+        y = np.concatenate(got)
+        assert y.shape == (n,)
+        np.testing.assert_allclose(y, x, atol=2e-4)
+
+    def test_pump_feeds_chain(self, tmp_path):
+        """End-to-end: native pump -> JAX FIR chain."""
+        import jax.numpy as jnp
+
+        from solid_dsp_tpu.ops.fir import FIRFilter
+
+        n = 32768
+        x = (np.exp(2j * np.pi * 0.05 * np.arange(n)) * 0.5).astype(
+            np.complex64)
+        p = str(tmp_path / "s.cf32")
+        write_iq(p, x)
+
+        f_stream = FIRFilter(np.ones(16) / 16, dtype=jnp.complex64)
+        outs = []
+        with StreamPump(p, block=8192) as pump:
+            for blk in pump:
+                outs.append(np.asarray(f_stream.execute_block(blk)))
+        y_stream = np.concatenate(outs)
+
+        f_ref = FIRFilter(np.ones(16) / 16, dtype=jnp.complex64)
+        y_ref = np.asarray(f_ref.execute_block(x))
+        np.testing.assert_allclose(y_stream, y_ref, atol=1e-5)
+
+    def test_missing_file(self):
+        with pytest.raises(OSError):
+            StreamPump("/nonexistent/file.iq")
