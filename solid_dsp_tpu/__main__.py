@@ -1,0 +1,154 @@
+"""Command-line interface: ``python -m solid_dsp_tpu <command>``.
+
+The reference ships one demo binary (src/main.rs:25-46: 102,400-sample NCO
+tone through a PLL active-lag IIR filter); ``demo`` reproduces exactly that
+chain.  The other subcommands expose the framework as a usable SDR tool:
+
+* ``demo``     — reference main.rs parity run (prints head of the output)
+* ``rx``       — demodulate an IQ recording through the flagship RxChain
+* ``spectrum`` — windowed-FFT spectral analysis of a recording (config 2)
+* ``bench``    — the headline throughput benchmark (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_demo(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .design import iirdes
+    from .ops.iir import IIRFilter, IIRFilterType
+    from .ops.nco import NCO
+
+    n = args.samples
+    nco = NCO()
+    nco.set_frequency(0.1)
+    tone = np.empty(n, dtype=np.complex128)
+    s, c = nco.sincos_block(n)
+    tone.real, tone.imag = np.asarray(c), np.asarray(s)
+
+    num, den = iirdes.pll_active_lag(0.02, 1.0 / np.sqrt(2.0), 1000.0)
+    filt = IIRFilter(num, den, iirtype=IIRFilterType.SECOND_ORDER,
+                     dtype=jnp.complex128)
+    t0 = time.perf_counter()
+    out = filt.execute_block(jnp.asarray(tone))
+    dt = time.perf_counter() - t0
+    out = np.asarray(out)
+    print(f"filtered {n} samples in {dt * 1e3:.2f} ms")
+    for i in range(min(5, len(out))):
+        print(f"  out[{i}] = {out[i]:.12f}")
+    return 0
+
+
+def _cmd_rx(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.rx_chain import RxChain
+    from .runtime import StreamPump, write_iq
+
+    chain = RxChain(
+        carrier_freq=args.carrier, decimation=args.decimation,
+        fir_taps=args.taps, demod=args.demod, nco_mode="exact",
+        agc_mode="block", dtype=jnp.complex64,
+    )
+    outs = []
+    t0 = time.perf_counter()
+    nsamp = 0
+    with StreamPump(args.input, fmt=args.format, block=args.block) as pump:
+        for blk in pump:
+            if len(blk) % args.decimation:
+                blk = blk[: len(blk) - len(blk) % args.decimation]
+            if not len(blk):
+                break
+            outs.append(np.asarray(chain.execute_block(blk)))
+            nsamp += len(blk)
+    dt = time.perf_counter() - t0
+    y = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+    print(f"processed {nsamp} samples in {dt:.3f}s "
+          f"({nsamp / max(dt, 1e-9) / 1e6:.1f} Msps)", file=sys.stderr)
+    if args.output:
+        if args.demod in ("fm", "am"):
+            write_iq(args.output, y.astype(np.complex64), "cf32")
+        else:
+            write_iq(args.output, y, "cf32")
+        print(f"wrote {len(y)} output samples -> {args.output}",
+              file=sys.stderr)
+    return 0
+
+
+def _cmd_spectrum(args) -> int:
+    import numpy as np
+
+    from .ops.fft import windowed_fft
+    from .runtime import read_iq
+
+    x = read_iq(args.input, args.format, count=args.nfft)
+    if len(x) < args.nfft:
+        print(f"recording shorter than nfft ({len(x)} < {args.nfft})",
+              file=sys.stderr)
+        return 1
+    X = np.asarray(windowed_fft(x, window=args.window, nfft=args.nfft))
+    psd = 20.0 * np.log10(np.abs(np.fft.fftshift(X)) + 1e-20)
+    peak = float(psd.max())
+    k = int(psd.argmax())
+    freq = (k - args.nfft // 2) / args.nfft
+    print(json.dumps({
+        "nfft": args.nfft, "window": args.window,
+        "peak_db": round(peak, 2), "peak_freq": round(freq, 6),
+        "noise_floor_db": round(float(np.median(psd)), 2),
+    }))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="solid_dsp_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="reference main.rs demo chain")
+    d.add_argument("--samples", type=int, default=102_400)
+    d.set_defaults(fn=_cmd_demo)
+
+    r = sub.add_parser("rx", help="demodulate an IQ recording")
+    r.add_argument("input")
+    r.add_argument("-o", "--output", default=None)
+    r.add_argument("--format", default="cf32",
+                   choices=["cf32", "ci16", "ci8", "cf64"])
+    r.add_argument("--carrier", type=float, default=0.2)
+    r.add_argument("--decimation", type=int, default=4)
+    r.add_argument("--taps", type=int, default=64)
+    r.add_argument("--demod", default="fm", choices=["fm", "am", "qpsk",
+                                                     "none"])
+    r.add_argument("--block", type=int, default=1 << 20)
+    r.set_defaults(fn=_cmd_rx)
+
+    s = sub.add_parser("spectrum", help="windowed-FFT analysis")
+    s.add_argument("input")
+    s.add_argument("--format", default="cf32",
+                   choices=["cf32", "ci16", "ci8", "cf64"])
+    s.add_argument("--nfft", type=int, default=4096)
+    s.add_argument("--window", default="hamming")
+    s.set_defaults(fn=_cmd_spectrum)
+
+    b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -139,12 +139,11 @@ def iir_apply(b, a_tail, w_state, x, method: str = "parallel"):
     if nb == 1:
         y = b[0] * w_seq
     else:
+        from .fir import conv1d_mxu
+
         tail = jnp.flip(w_state[..., : nb - 1], axis=-1).astype(w_seq.dtype)
         w_ext = jnp.concatenate([tail, w_seq], axis=-1)
-        idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(nb)[None, :]
-        windows = w_ext[idx]
-        y = jnp.matmul(windows, jnp.flip(b, axis=-1).astype(w_seq.dtype),
-                       precision="highest")
+        y = conv1d_mxu(w_ext, jnp.flip(b, axis=-1).astype(w_seq.dtype))
     return y, w_state_new
 
 

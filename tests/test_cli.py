@@ -1,0 +1,50 @@
+"""CLI tests: the demo subcommand is the reference main.rs parity run."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from solid_dsp_tpu.__main__ import main
+from solid_dsp_tpu.models.fm import fm_modulate
+from solid_dsp_tpu.runtime import read_iq, write_iq
+
+
+def test_demo_reference_parity(capsys):
+    # 1024 samples is enough to check the golden head values
+    assert main(["demo", "--samples", "1024"]) == 0
+    out = capsys.readouterr().out
+    # reference doctest golden: IIR step response sample 0
+    # (src/filter/iir/mod.rs:267 — 0.05816769596076701)
+    assert "0.058167695961" in out
+
+
+def test_rx_roundtrip(tmp_path, capsys):
+    n = 1 << 15
+    msg = np.sin(2 * np.pi * 0.002 * np.arange(n)).astype(np.float32)
+    iq, _ = fm_modulate(jnp.asarray(msg), 0.1)
+    iq = np.asarray(iq) * 0.5 * np.exp(
+        2j * np.pi * (0.2 / (2 * np.pi)) * np.arange(n))
+    src = str(tmp_path / "in.ci16")
+    dst = str(tmp_path / "out.cf32")
+    write_iq(src, iq.astype(np.complex64), "ci16")
+
+    assert main(["rx", src, "-o", dst, "--format", "ci16",
+                 "--block", "8192"]) == 0
+    y = read_iq(dst)
+    assert y.shape == (n // 4,)
+    # demodulated output correlates with the (decimated) message
+    m4 = msg[::4]
+    c = np.corrcoef(y.real[512:], m4[512:len(y)])[0, 1]
+    assert c > 0.8
+
+
+def test_spectrum(tmp_path, capsys):
+    n = 8192
+    x = 0.5 * np.exp(2j * np.pi * 0.1 * np.arange(n))
+    src = str(tmp_path / "t.cf32")
+    write_iq(src, x.astype(np.complex64))
+    assert main(["spectrum", src, "--nfft", "4096"]) == 0
+    import json
+
+    rec = json.loads(capsys.readouterr().out)
+    assert abs(rec["peak_freq"] - 0.1) < 1e-3
+    assert rec["peak_db"] > rec["noise_floor_db"] + 40
