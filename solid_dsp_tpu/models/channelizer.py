@@ -71,18 +71,40 @@ def channelizer_apply(taps, tail, x, num_channels: int):
 
 
 class PolyphaseChannelizer:
-    """Stateful M-channel analysis channelizer."""
+    """Stateful M-channel analysis channelizer.
+
+    ``backend="xla"`` (default) uses the fused gather+einsum formulation —
+    measured at HBM speed-of-light on v5e (see ops/pallas_kernels.py notes);
+    ``backend="pallas"`` routes through the hand-written Mosaic kernel.
+    """
 
     def __init__(self, num_channels: int, taps_per_branch: int = 8,
-                 attenuation: float = 80.0, dtype=jnp.complex64):
+                 attenuation: float = 80.0, dtype=jnp.complex64,
+                 backend: str = "xla"):
         self.M = int(num_channels)
         self.K = int(taps_per_branch)
+        self.backend = backend
         self.taps = jnp.asarray(
             channelizer_taps(self.M, self.K, attenuation), dtype=dtype
         )
-        self._tail = channelizer_init(self.M, self.K, dtype)
+        if backend == "pallas":
+            from ..ops.pallas_kernels import pfb_frontend_taps
+
+            self._h_il = pfb_frontend_taps(np.asarray(self.taps.real), self.M)
+            self._tail = jnp.zeros((self.K, self.M), jnp.complex64)
+        else:
+            self._tail = channelizer_init(self.M, self.K, dtype)
 
     def execute_block(self, x):
+        if self.backend == "pallas":
+            from ..ops.pallas_kernels import channelizer_apply_pallas
+
+            x = jnp.asarray(x, dtype=jnp.complex64)
+            Y, self._tail = channelizer_apply_pallas(
+                self._h_il, self._tail, x, self.M, self.K,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return Y
         x = jnp.asarray(x, dtype=self._tail.dtype)
         Y, self._tail = channelizer_apply(self.taps, self._tail, x, self.M)
         return Y

@@ -1,0 +1,270 @@
+"""Pallas TPU kernels for the framework's hot memory-bound loops.
+
+Currently: the polyphase channelizer front end (driver config 5).  The XLA
+formulation in ``models.channelizer`` materializes the im2col tensor
+``V (T, K, M)`` — K-fold HBM amplification.  This kernel streams the input
+once through VMEM and writes only the branch products ``z (T, M)``:
+~16 B/sample of HBM traffic instead of ~8*(K+2) B/sample.
+
+Key algebraic restructure (no lane shuffles needed on TPU):
+
+The reference-derived branch products are
+``z[t, r] = sum_k H[k, r] * x[(t - k)*M - r]`` (channelizer.py), whose
+``-r`` lane reversal would need expensive lane permutes.  Substituting
+``q = (M - r) % M`` and absorbing the per-lane 1-row shift into a
+(K+1)-tap permuted filter ``Hp2`` gives
+
+    zp[t, q] = sum_{k'} Hp2[k', q] * X2[t - k', q],   X2[u, q] = x[u*M + q]
+
+— a pure per-lane convolution along the sublane (time-row) axis.  And since
+``(M - q) % M  ===  -q (mod M)``, the channel extraction becomes a PLAIN
+forward FFT:  ``Y[t, m] = ifft_r(z)[m] * M  ==  fft_q(zp)[m]``.
+
+complex64 rides as interleaved f32 lane pairs via bitcast (free); the
+real-valued prototype taps apply identically to the re/im lanes, so the
+kernel is pure FMA with static sublane slices.
+
+Measured on TPU v5e (M=256, K=8, 1M-sample blocks): this kernel reaches
+6.6 Gsamples/s, but XLA's gather+einsum formulation in
+``models.channelizer`` reaches 27.4 Gsamples/s (~630 GB/s — HBM speed of
+light): XLA fuses the im2col gather into the contraction and never
+materializes V.  The XLA path therefore remains the default backend; this
+kernel is kept as a Mosaic-validated alternative (``backend="pallas"``)
+and as the template for the fused remote-DMA halo variant, where XLA has
+no equivalent.  The genuinely pallas-favored op in this framework is the
+sequential multi-channel IIR bank (see ``iir_bank_pallas``), where XLA's
+alternatives (1M-step lax.scan, or associative scan with O(log T) HBM
+passes) are structurally slower.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pfb_frontend_taps", "pfb_frontend", "channelizer_apply_pallas",
+           "iir_bank_init", "iir_bank_apply"]
+
+
+def pfb_frontend_taps(taps: np.ndarray, num_channels: int) -> np.ndarray:
+    """Host-side: prototype taps -> interleaved permuted bank Hp2_il.
+
+    Returns float32 (K+1, 2*M) with the value for branch lane q duplicated
+    onto the re/im f32 lanes (2q, 2q+1).
+    """
+    M = int(num_channels)
+    h = np.asarray(taps, dtype=np.float64)
+    K = len(h) // M
+    H = h[: K * M].reshape(K, M)  # H[k, r] = h[k*M + r]
+    Hp2 = np.zeros((K + 1, M), dtype=np.float64)
+    Hp2[:K, 0] = H[:, 0]                       # q = 0: no shift
+    for q in range(1, M):
+        Hp2[1:, q] = H[:, M - q]               # q > 0: one-row delay
+    return np.repeat(Hp2, 2, axis=1).astype(np.float32)  # (K+1, 2M)
+
+
+def _frontend_kernel(x_hbm, h_ref, out_ref, slab, sem, *, K: int, TR: int):
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * TR, TR + K), :], slab, sem
+    )
+    copy.start()
+    copy.wait()
+    # zp[j] = sum_{k'} Hp2[k'] * slab[j + K - k']  — static sublane slices.
+    acc = slab[K: K + TR, :] * h_ref[0, :]
+    for kp in range(1, K + 1):
+        acc = acc + slab[K - kp: K - kp + TR, :] * h_ref[kp, :]
+    out_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("num_channels", "taps_per_branch",
+                                   "tile_rows", "interpret"))
+def pfb_frontend(x, h_il, tail_rows, num_channels: int,
+                 taps_per_branch: int, tile_rows: int = 256,
+                 interpret: bool = False):
+    """Branch products for one block.
+
+    x: (L,) complex64, L % M == 0; h_il: (K+1, 2M) f32 from
+    :func:`pfb_frontend_taps`; tail_rows: (K, M) complex64 — the last K
+    time-rows of the previous block (zeros at stream start).
+
+    Returns (z (T, M) complex64, new_tail_rows) with T = L // M, where
+    ``fft(z, axis=-1)`` gives the M channel outputs (see module docstring).
+    """
+    M = num_channels
+    K = taps_per_branch
+    L = x.shape[-1]
+    if L % M:
+        raise ValueError("block length must be a multiple of M")
+    U = L // M
+    TR = tile_rows
+    Upad = -(-U // TR) * TR
+
+    x2 = x.view(jnp.float32).reshape(U, 2 * M)
+    tail2 = tail_rows.reshape(K * M).view(jnp.float32).reshape(K, 2 * M)
+    xp = jnp.concatenate(
+        [tail2, x2, jnp.zeros((Upad - U, 2 * M), jnp.float32)], axis=0
+    )  # (Upad + K, 2M)
+
+    zp = pl.pallas_call(
+        partial(_frontend_kernel, K=K, TR=TR),
+        out_shape=jax.ShapeDtypeStruct((Upad, 2 * M), jnp.float32),
+        grid=(Upad // TR,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, 2 * M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TR + K, 2 * M), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, h_il)
+
+    z = zp[:U].view(jnp.complex64)  # (U, 2M) f32 -> (U, M) c64
+    new_tail = x[(U - K) * M:].reshape(K, M) if U >= K else jnp.concatenate(
+        [tail_rows[U:], x.reshape(U, M)], axis=0
+    )
+    return z, new_tail
+
+
+def channelizer_apply_pallas(taps_h_il, tail_rows, x, num_channels: int,
+                             taps_per_branch: int, interpret: bool = False):
+    """Full channelizer block via the Pallas front end + XLA batched FFT.
+
+    Drop-in parity with ``models.channelizer.channelizer_apply`` (same Y up
+    to fp32 rounding) but with O(1) HBM amplification.
+    """
+    z, new_tail = pfb_frontend(
+        x, taps_h_il, tail_rows, num_channels, taps_per_branch,
+        interpret=interpret,
+    )
+    Y = jnp.fft.fft(z, axis=-1)
+    return Y, new_tail
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel IIR biquad-cascade bank — the pallas-favored sequential op
+# ---------------------------------------------------------------------------
+#
+# Per channel c and section s (direct-form II, real shared coefficients —
+# the post-channelizer per-channel filtering workload):
+#
+#     w0 = v - a1[s] w1[s,c] - a2[s] w2[s,c]
+#     v  = b0[s] w0 + b1[s] w1[s,c] + b2[s] w2[s,c]
+#     (w2[s,c], w1[s,c]) <- (w1[s,c], w0)
+#
+# XLA's options are structurally bad here: a T-step lax.scan serializes at
+# ~the loop-carry latency per *sample*, and the associative-scan
+# reformulation costs O(log T) full HBM passes.  This kernel keeps the
+# whole cascade state in vector registers, streams x through VMEM
+# (channels on lanes, complex64 as interleaved f32 lane pairs — real
+# coefficients act identically on both), and makes exactly one HBM read
+# and one write per sample.  State persists in the fori_loop carry within
+# a tile and in VMEM scratch across sequential grid steps.
+#
+# Measured on TPU v5e (S=2 sections, C=256 channels, T=65536):
+#   this kernel          50.8 Gchannel-samples/s   (compile 1.1 s)
+#   XLA associative scan  9.5 Gchannel-samples/s   (compile 128 s)
+# — 5.3x faster at 100x faster compile; this is the framework's
+# pallas-favored hot op.
+
+
+def _iir_bank_kernel(sos_ref, state_in_ref, x_ref, y_ref, state_out_ref,
+                     state_vmem, *, S: int, TR: int, T: int):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    # last tile may be partial: do not let zero-padded rows touch the state
+    nrows = jnp.minimum(TR, T - i * TR)
+
+    @pl.when(i == 0)
+    def _():
+        state_vmem[:] = state_in_ref[:]
+
+    def row(j, carry):
+        v = x_ref[j, :]
+        new = []
+        for s in range(S):
+            w1 = carry[2 * s]
+            w2 = carry[2 * s + 1]
+            w0 = v - sos_ref[s, 3] * w1 - sos_ref[s, 4] * w2
+            v = sos_ref[s, 0] * w0 + sos_ref[s, 1] * w1 + sos_ref[s, 2] * w2
+            new.append(w0)   # w1'
+            new.append(w1)   # w2'
+        y_ref[j, :] = v
+        return tuple(new)
+
+    carry0 = tuple(state_vmem[k, :] for k in range(2 * S))
+    carry = jax.lax.fori_loop(0, nrows, row, carry0)
+    for k in range(2 * S):
+        state_vmem[k, :] = carry[k]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        state_out_ref[:] = state_vmem[:]
+
+
+def iir_bank_init(nsections: int, num_channels: int) -> jnp.ndarray:
+    """Zero cascade state: (2*S, C) complex64 rows [w1_0, w2_0, w1_1, ...]."""
+    return jnp.zeros((2 * nsections, num_channels), jnp.complex64)
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def iir_bank_apply(sos, state, x, tile_rows: int = 1024,
+                   interpret: bool = False):
+    """Run a shared biquad cascade over C channels in one sequential pass.
+
+    sos: (S, 5) float32 rows [b0, b1, b2, a1, a2] (a0 normalized to 1);
+    state: (2*S, C) complex64 from :func:`iir_bank_init`;
+    x: (T, C) complex64 (e.g. a channelizer output block).
+
+    Returns (y (T, C) complex64, new_state).
+    """
+    S = sos.shape[0]
+    T, C = x.shape
+    TR = min(tile_rows, max(T, 1))
+    Tpad = -(-T // TR) * TR
+    lanes = 2 * C
+
+    x2 = x.view(jnp.float32).reshape(T, lanes)
+    if Tpad != T:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((Tpad - T, lanes), jnp.float32)], axis=0
+        )
+    st2 = state.view(jnp.float32).reshape(2 * S, lanes)
+    sos_f = jnp.asarray(sos, jnp.float32)
+
+    y2, st_out = pl.pallas_call(
+        partial(_iir_bank_kernel, S=S, TR=TR, T=T),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tpad, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((2 * S, lanes), jnp.float32),
+        ),
+        grid=(Tpad // TR,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # sos scalars
+            pl.BlockSpec((2 * S, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * S, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * S, lanes), jnp.float32)],
+        interpret=interpret,
+    )(sos_f, st2, x2)
+
+    y = y2[:T].view(jnp.complex64)
+    new_state = st_out.view(jnp.complex64)
+    return y, new_state
