@@ -66,3 +66,20 @@ def test_reset():
     ac.execute_block(jnp.asarray(_tone(50)))
     ac.reset()
     assert ac.get_energy() == 0.0
+
+
+def test_window_delay_line_parity():
+    """streaming.Window: newest-first shift register with delay slots
+    (ref window/mod.rs:8-71 + auto_correlator's delayed reads)."""
+    import numpy as np
+
+    from solid_dsp_tpu.streaming import Window
+
+    w = Window(3, delay=2)
+    for i in range(1, 7):
+        w.push(float(i))
+    np.testing.assert_array_equal(w.to_vec(), [6, 5, 4])
+    np.testing.assert_array_equal(w.to_vec_delayed(), [4, 3, 2])
+    assert w[0] == 6.0 and w.delayed(0) == 4.0
+    w.reset()
+    assert not w.to_vec().any()
