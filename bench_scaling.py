@@ -1,0 +1,86 @@
+"""Scaling ladder benchmark: sharded rx chain over an N-device mesh.
+
+BASELINE.md asks for a 1-chip / 1-host / N-host ladder with >= 0.9
+weak-scaling efficiency.  This harness runs the shard_map'd chain on
+whatever devices exist (real TPUs on a pod slice; fake CPU devices under
+``XLA_FLAGS=--xla_force_host_platform_device_count=N`` for plumbing
+validation) and reports per-mesh throughput + efficiency vs 1 device.
+
+On the single-chip driver environment this exercises the full collective
+path (halos, psums) on one device; on a real slice the same script measures
+true weak scaling — halos ride the ICI, channels span hosts over DCN.
+
+Usage: python bench_scaling.py [--channels-per-shard 2] [--samples 1048576]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_mesh(channel: int, time_: int, cps: int, samples_per_shard: int):
+    from solid_dsp_tpu import parallel
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="block", demod="fm", nco_mode="exact",
+                        dtype=jnp.complex64)
+    mesh = parallel.make_mesh(channel=channel, time=time_)
+    C = cps * channel
+    L = samples_per_shard * time_
+    init, apply = parallel.make_sharded_rx_chain(cfg, mesh)
+    state = init(C)
+    k = np.arange(L, dtype=np.float64)
+    row = (0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
+           ).astype(np.complex64)
+    x = jnp.asarray(np.broadcast_to(row, (C, L)).copy())
+
+    out, state = apply(state, x)
+    jax.block_until_ready((out, state))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, state = apply(state, x)
+    jax.block_until_ready((out, state))
+    dt = (time.perf_counter() - t0) / iters
+    total = C * L
+    return {"mesh": f"{channel}x{time_}", "devices": channel * time_,
+            "channels": C, "samples_per_block": total,
+            "msps_total": round(total / dt / 1e6, 1),
+            "msps_per_device": round(total / dt / 1e6 / (channel * time_), 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels-per-shard", type=int, default=2)
+    ap.add_argument("--samples", type=int, default=1 << 20,
+                    help="stream samples per time shard")
+    args = ap.parse_args()
+
+    n = len(jax.devices())
+    ladder = [(1, 1)]
+    if n >= 2:
+        ladder.append((1, 2))
+    if n >= 4:
+        ladder.append((2, 2))
+    if n >= 8:
+        ladder.append((2, 4))
+
+    results = []
+    for ch, tm in ladder:
+        results.append(run_mesh(ch, tm, args.channels_per_shard,
+                                args.samples))
+    base = results[0]["msps_per_device"]
+    for r in results:
+        r["weak_scaling_eff"] = round(r["msps_per_device"] / base, 3)
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,10 +144,16 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
         y, agc_state = _agc_block_sharded(state.agc, y, cfg.agc_bandwidth,
                                           "time")
 
-        # 4. FM discriminator — 1-sample halo.
-        prev_halo = left_halo(y[..., -1], "time")
-        fm_prev_l = jnp.where(t_idx == 0, state.fm_prev, prev_halo)
-        out, _ = fm_mod.fm_demodulate(fm_prev_l, y, cfg.fm_kf)
+        # 4. demod.  FM needs a 1-sample halo for the discriminator memory;
+        #    AM envelope and passthrough are memoryless.
+        if cfg.demod == "fm":
+            prev_halo = left_halo(y[..., -1], "time")
+            fm_prev_l = jnp.where(t_idx == 0, state.fm_prev, prev_halo)
+            out, _ = fm_mod.fm_demodulate(fm_prev_l, y, cfg.fm_kf)
+        elif cfg.demod == "am":
+            out = jnp.abs(y)
+        else:
+            out = y
         new_fm_prev = from_last_shard(y[..., -1], "time")
 
         new_state = ChainState(

@@ -148,3 +148,22 @@ def test_halo_primitives():
     np.testing.assert_array_equal(
         np.asarray(last), np.tile([14.0, 15.0], 8)
     )
+
+
+@needs8
+@pytest.mark.parametrize("demod", ["am", "none"])
+def test_sharded_rx_chain_other_demods(demod):
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod=demod,
+                        nco_mode="exact")
+    C, L = 2, 1024
+    x = np.stack([_tone(L, 0.035, amp=0.1, seed=c) for c in range(C)])
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    out_shard, _ = apply_s(init_s(C), jnp.asarray(x))
+
+    init1, apply1 = make_rx_chain(cfg)
+    for c in range(C):
+        out_ref, _ = apply1(init1(), jnp.asarray(x[c]))
+        np.testing.assert_allclose(np.asarray(out_shard[c]),
+                                   np.asarray(out_ref), rtol=1e-7, atol=1e-9)
