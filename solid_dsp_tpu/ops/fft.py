@@ -116,8 +116,11 @@ class FFTPlan:
         self.sign = -1.0 if direction == FFTDirection.FORWARD else 1.0
         d = self.sign
 
+        # NOTE: all plan tables are HOST (numpy) arrays: jit embeds them as
+        # constants, and committed device arrays in closures force a
+        # device->host fetch at trace time (fails on the axon tunnel).
         if self.method == FFTMethod.DFT:
-            self._W = jnp.asarray(_dft_matrix(self.nfft, d))
+            self._W = _dft_matrix(self.nfft, d)
         elif self.method == FFTMethod.MIXEDRADIX:
             q = _estimate_mixed_radix_q(self.nfft)
             if q == 0:
@@ -127,9 +130,8 @@ class FFTPlan:
             self.p_plan = FFTPlan(self.p, direction)
             self.q_plan = FFTPlan(q, direction)
             jj, ii = np.meshgrid(np.arange(self.p), np.arange(q), indexing="ij")
-            self._twiddle = jnp.asarray(
-                np.exp(d * 2j * np.pi * (ii * jj) / self.nfft)
-            )  # (p, q): twiddle[i*j] of ref mixed_radix :112-114
+            # (p, q): twiddle[i*j] of ref mixed_radix :112-114
+            self._twiddle = np.exp(d * 2j * np.pi * (ii * jj) / self.nfft)
         elif self.method in (FFTMethod.RADER, FFTMethod.RADER2):
             n = self.nfft
             g = resources.primitive_root_prime(n)
@@ -140,11 +142,11 @@ class FFTPlan:
                 tdb = np.exp(d * 2j * np.pi * seq / n)
                 self.fft_plan = FFTPlan(conv_n, FFTDirection.FORWARD)
                 self.ifft_plan = FFTPlan(conv_n, FFTDirection.REVERSE)
-                self._dft = self.fft_plan.execute(jnp.asarray(tdb))
+                self._dft = np.fft.fft(tdb)  # host-side DFT of the root seq
                 self.conv_n = conv_n
                 # gather index: td[i] = x[seq[n-2-i]]
-                self._perm_in = jnp.asarray(seq[::-1].copy())
-                self._scatter = jnp.asarray(seq.copy())
+                self._perm_in = seq[::-1].copy()
+                self._scatter = seq.copy()
             else:
                 m = int(2 * n - 5).bit_length()
                 conv_n = 1 << m
@@ -154,9 +156,9 @@ class FFTPlan:
                 )
                 self.fft_plan = FFTPlan(conv_n, FFTDirection.FORWARD)
                 self.ifft_plan = FFTPlan(conv_n, FFTDirection.REVERSE)
-                self._dft = self.fft_plan.execute(jnp.asarray(tdb))
+                self._dft = np.fft.fft(tdb)  # host-side DFT of padded root seq
                 # x_prime[0] = x[seq[n-2]]; x_prime[i + conv_n - n + 1] = x[seq[n-2-i]]
-                self._scatter = jnp.asarray(seq.copy())
+                self._scatter = seq.copy()
         elif self.method == FFTMethod.UNKNOWN:
             raise ValueError("nfft must be > 0")
 
