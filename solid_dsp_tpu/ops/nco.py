@@ -99,9 +99,44 @@ def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
     return s, c
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _nco_cexp_fast(theta0, delta_theta, n: int) -> jnp.ndarray:
+    """Factorized oscillator block: e^{j(theta0 + k d)} for k = 0..n-1.
+
+    k = Vu + v  =>  e^{j theta_k} = (e^{j(theta0 + u V d)}) * (e^{j v d})
+    — a rank-1 outer product of two short exponential vectors, so the
+    transcendental count drops from n to ~n/V + V (~128x fewer for the
+    4M-sample bench blocks).  u32 phase words keep exact wraparound; the
+    fp32 product error is ~1 ulp (>> 60 dB SNR).
+    """
+    V = 128 if n % 128 == 0 and n >= 128 else 1
+    if V == 1:
+        theta = nco_phases(theta0, delta_theta, n)
+        ph = theta.astype(jnp.float32) * (_TWO_PI / float(_U32))
+        return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    U = n // V
+    d = jnp.uint32(delta_theta)
+    coarse = (jnp.uint32(theta0)
+              + jnp.arange(U, dtype=jnp.uint32) * (jnp.uint32(V) * d))
+    fine = jnp.arange(V, dtype=jnp.uint32) * d
+    k = _TWO_PI / float(_U32)
+    pc = coarse.astype(jnp.float32) * k
+    pf = fine.astype(jnp.float32) * k
+    ec = jax.lax.complex(jnp.cos(pc), jnp.sin(pc))
+    ef = jax.lax.complex(jnp.cos(pf), jnp.sin(pf))
+    return (ec[:, None] * ef[None, :]).reshape(n)
+
+
 def nco_complex_exponential(theta0, delta_theta, n: int, lut=None,
                             mode: str = "lut") -> jnp.ndarray:
-    """Block of e^{+j theta_k} = cos + j sin (ref complex_exponential :119)."""
+    """Block of e^{+j theta_k} = cos + j sin (ref complex_exponential :119).
+
+    Modes: "lut" (bit-parity with the reference's 1024-entry table),
+    "exact" (per-sample sin/cos), "fast" (factorized outer product — same
+    math as exact to ~1 ulp at ~1/128 the transcendental cost).
+    """
+    if mode == "fast":
+        return _nco_cexp_fast(theta0, delta_theta, n)
     s, c = nco_sincos(theta0, delta_theta, n, lut, mode)
     return jax.lax.complex(c, s) if s.dtype != jnp.float64 else c + 1j * s
 
