@@ -149,7 +149,8 @@ def agc_apply_block_mode(state, x, alpha):
     """
     gain = state["gain"]
     energy = state["energy"]
-    out = x * gain.astype(x.dtype)
+    # gain has the batch shape of x's leading dims; broadcast over time
+    out = x * gain.astype(x.dtype)[..., None] if gain.ndim else x * gain.astype(x.dtype)
     ee = jnp.mean(jnp.real(out * jnp.conj(out)), axis=-1)
     T = x.shape[-1]
     beta = 1.0 - (1.0 - alpha) ** T
