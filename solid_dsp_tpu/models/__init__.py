@@ -10,3 +10,4 @@ package provides them as pure block transforms plus the flagship composed
 from . import am, fm, qpsk  # noqa: F401
 from .rx_chain import RxChain, RxChainConfig  # noqa: F401
 from .channelizer import PolyphaseChannelizer  # noqa: F401
+from .channel_bank import ChannelBank  # noqa: F401
