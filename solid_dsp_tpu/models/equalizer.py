@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..streaming.framing import extend_with_tail, frame_windows, split_tail
+from ..ops.fir import conv1d_mxu
+from ..streaming.framing import extend_with_tail, split_tail
 
 __all__ = ["eq_init", "eq_apply", "lms_step", "make_equalizer_trainer",
            "LMSEqualizer"]
@@ -38,8 +39,7 @@ def eq_init(ntaps: int, dtype=jnp.complex64):
 def eq_apply(taps, tail, x):
     """Filter a block: y[t] = sum_i taps[i] x_ext[t+i]; returns (y, tail)."""
     x_ext = extend_with_tail(tail, x)
-    W = frame_windows(x_ext, taps.shape[-1])
-    y = jnp.matmul(W, taps.astype(W.dtype), precision="highest")
+    y = conv1d_mxu(x_ext, taps)
     return y, split_tail(x_ext, taps.shape[-1] - 1)
 
 
@@ -49,21 +49,23 @@ def lms_step(taps, tail, x, desired, mu=0.05):
 
     Returns (y, new_taps, new_tail); e = d - y, w += mu * mean_t(e[t] W[t]^*).
     """
+    n = taps.shape[-1]
     x_ext = extend_with_tail(tail, x)
-    W = frame_windows(x_ext, taps.shape[-1])  # (T, n)
-    y = jnp.matmul(W, taps.astype(W.dtype), precision="highest")
+    y = conv1d_mxu(x_ext, taps)
     e = desired.astype(y.dtype) - y
-    grad = jnp.matmul(e, jnp.conj(W), precision="highest") / x.shape[-1]
+    # grad[i] = mean_t e[t] conj(x_ext[t+i]) — a sliding correlation of the
+    # error against the input: same conv kernel, no (T, n) materialization
+    grad = conv1d_mxu(jnp.conj(x_ext), e)[..., :n] / x.shape[-1]
     new_taps = taps + mu * grad.astype(taps.dtype)
-    return y, new_taps, split_tail(x_ext, taps.shape[-1] - 1)
+    return y, new_taps, split_tail(x_ext, n - 1)
 
 
 def make_equalizer_trainer(ntaps: int, optimizer=None, dtype=jnp.complex64):
     """Gradient-descent equalizer training: returns (init, train_step).
 
-    ``train_step(params, opt_state, tail, x, d) ->
-    (y, params, opt_state, tail)`` — one jitted optimizer step on the block
-    loss  L = mean |y - d|^2  (optax handles complex leaves natively).
+    ``train_step(taps, opt_state, tail, x, d) ->
+    (y, taps, opt_state, tail, loss)`` — one jitted optimizer step on the
+    block loss  L = mean |y - d|^2  (optax handles complex leaves natively).
     """
     import optax
 
@@ -78,8 +80,7 @@ def make_equalizer_trainer(ntaps: int, optimizer=None, dtype=jnp.complex64):
         x_ext = extend_with_tail(tail, x)
 
         def loss_fn(w):
-            W = frame_windows(x_ext, ntaps)
-            y = jnp.matmul(W, w.astype(W.dtype), precision="highest")
+            y = conv1d_mxu(x_ext, w)
             r = y - d.astype(y.dtype)
             return jnp.mean(jnp.real(r * jnp.conj(r))), y
 

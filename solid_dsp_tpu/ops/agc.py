@@ -139,6 +139,22 @@ def agc_apply(state, x, alpha, scale, squelch_threshold, squelch_timeout):
     return jnp.moveaxis(y_t, 0, -1), new_state
 
 
+def block_gain_update(state, ee, alpha, T):
+    """Shared block-mode gain/energy update rule.
+
+    ``ee`` is the (batched) mean |out|^2 over the T-sample block; single-chip
+    and sharded block AGC both funnel through this so their semantics cannot
+    drift (the sharded variant supplies a globally pmean-ed ``ee``).
+    """
+    gain = state["gain"]
+    beta = 1.0 - (1.0 - alpha) ** T
+    energy = (1.0 - beta) * state["energy"] + beta * ee
+    gain = jnp.where(energy > 1e-6,
+                     gain * jnp.exp(-0.5 * jnp.log(energy)), gain)
+    gain = jnp.minimum(gain, 1e6)
+    return {**state, "gain": gain, "energy": energy}
+
+
 @jax.jit
 def agc_apply_block_mode(state, x, alpha):
     """Fast block-mode AGC: one gain update per block (TPU-native variant).
@@ -148,17 +164,10 @@ def agc_apply_block_mode(state, x, alpha):
     No squelch/lock handling — compose with agc_apply when those matter.
     """
     gain = state["gain"]
-    energy = state["energy"]
     # gain has the batch shape of x's leading dims; broadcast over time
     out = x * gain.astype(x.dtype)[..., None] if gain.ndim else x * gain.astype(x.dtype)
     ee = jnp.mean(jnp.real(out * jnp.conj(out)), axis=-1)
-    T = x.shape[-1]
-    beta = 1.0 - (1.0 - alpha) ** T
-    energy = (1.0 - beta) * energy + beta * ee
-    gain = jnp.where(energy > 1e-6,
-                     gain * jnp.exp(-0.5 * jnp.log(energy)), gain)
-    gain = jnp.minimum(gain, 1e6)
-    return out, {**state, "gain": gain, "energy": energy}
+    return out, block_gain_update(state, ee, alpha, x.shape[-1])
 
 
 class AGC:

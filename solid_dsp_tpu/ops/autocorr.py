@@ -49,6 +49,8 @@ def autocorr_apply(state, x, window_size: int, delay: int):
     L = x.shape[-1]
     n0 = state["x_tail"].shape[-1]  # offset of x[0] within x_ext
 
+    from .fir import conv1d_mxu
+
     terms = W - D  # number of valid correlation terms
     if terms <= 0:
         y = jnp.zeros(x.shape, dtype=x.dtype)
@@ -57,15 +59,15 @@ def autocorr_apply(state, x, window_size: int, delay: int):
         # index below is in range (min global index touched is exactly D)
         z = x_ext[..., D:] * jnp.conj(x_ext[..., : x_ext.shape[-1] - D]) if D > 0 \
             else x_ext * jnp.conj(x_ext)
-        # y[n] = sum_{k=0}^{terms-1} z[n0 + n - D - k]
-        idx = (n0 - D) + jnp.arange(L)[:, None] - jnp.arange(terms)[None, :]
-        y = jnp.sum(z[..., idx], axis=-1)
+        # y[n] = sum_{k=0}^{terms-1} z[n0 - D + n - k]: a `terms`-long moving
+        # sum — one ones-kernel conv (O(L) HBM traffic, no (L, terms) im2col)
+        ones = jnp.ones(terms, z.real.dtype)
+        y = conv1d_mxu(z[..., D:], ones)
 
     e2_ext = jnp.concatenate(
         [state["e_tail"], jnp.real(x * jnp.conj(x))], axis=-1
     )
-    eidx = jnp.arange(L)[:, None] + jnp.arange(W)[None, :]
-    energy = jnp.sum(e2_ext[..., eidx], axis=-1)
+    energy = conv1d_mxu(e2_ext, jnp.ones(W, e2_ext.dtype))
 
     hist = state["x_tail"].shape[-1]
     new_state = {

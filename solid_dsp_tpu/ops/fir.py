@@ -318,6 +318,21 @@ class DecimatingFIRFilter(FIRFilter):
     def get_decimation(self) -> int:
         return self.decimation
 
+    def execute(self, sample):
+        """Per-sample API (ref decim.rs:221-228): push one sample, emit the
+        filtered value on every ``decimation``-th push, else an empty block.
+        """
+        x = jnp.asarray([sample])
+        if not jnp.issubdtype(self._tail.dtype, x.dtype):
+            self._tail = self._tail.astype(
+                jnp.result_type(self._tail.dtype, x.dtype)
+            )
+        y, self._tail = fir_apply(self._taps, self._tail, x, self.scale)
+        emit = (int(self._phase) + 1) % self.decimation == 0
+        self._phase = jnp.asarray((int(self._phase) + 1) % self.decimation,
+                                  dtype=jnp.int32)
+        return y if emit else y[:0]
+
     def execute_block(self, samples):
         samples = jnp.asarray(samples)
         if not jnp.issubdtype(self._tail.dtype, samples.dtype):
@@ -358,6 +373,7 @@ class PolyPhaseFilterBank:
         self.scale = scale  # stored but (like the reference) not applied
         self.sub_len = int(self._B.shape[0])
         self._tail = jnp.zeros(self.sub_len - 1, dtype=self._B.dtype)
+        self._win = None
 
     def __len__(self) -> int:
         return self.branches
@@ -378,6 +394,35 @@ class PolyPhaseFilterBank:
 
     def reset(self) -> None:
         self._tail = jnp.zeros(self.sub_len - 1, dtype=self._B.dtype)
+        self._win = None
+
+    def push(self, sample) -> None:
+        """Per-sample push into the shared window (ref pfb.rs:81-83)."""
+        s = jnp.asarray([sample])
+        if not jnp.issubdtype(self._tail.dtype, s.dtype):
+            self._tail = self._tail.astype(
+                jnp.result_type(self._tail.dtype, s.dtype)
+            )
+        win = jnp.concatenate([self._tail, s])
+        self._tail = win[1:] if self.sub_len > 1 else self._tail
+        self._win = win
+
+    def execute(self, index: int):
+        """One branch's output for the current window (ref pfb.rs:85-91)."""
+        if not 0 <= index < self.branches:
+            raise ValueError("filter index out of range")
+        if getattr(self, "_win", None) is None:
+            self._win = jnp.concatenate(
+                [self._tail, jnp.zeros(1, self._tail.dtype)]
+            ) if self.sub_len > 1 else jnp.zeros(1, self._B.dtype)
+        return jnp.sum(self._B[:, index].astype(self._win.dtype) * self._win)
+
+    def execute_all(self):
+        """Every branch's output for the current window — one MXU matvec."""
+        if getattr(self, "_win", None) is None:
+            self.execute(0)
+        return jnp.matmul(self._win, self._B.astype(self._win.dtype),
+                          precision="highest")
 
     def push_block(self, samples):
         out, self._tail = pfb_apply_all(

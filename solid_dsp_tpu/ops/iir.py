@@ -115,7 +115,6 @@ def _w_recurrence_parallel(a_tail: jnp.ndarray, w_state: jnp.ndarray, x: jnp.nda
 
     _, s = jax.lax.associative_scan(combine, (As, vs))
     w_seq = s[:, 0]
-    w_state = s[-1][: k] if k else s[-1]
     # state vector is [w[n], w[n-1], ...] = s[-1] directly (companion form)
     return w_seq, s[-1]
 

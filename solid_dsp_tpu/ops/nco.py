@@ -172,7 +172,10 @@ def pll_step(theta, delta_theta, delta_phi, alpha, beta):
         frac = rad / _TWO_PI
         frac = frac - jnp.trunc(frac)
         frac = jnp.where(frac < 0.0, frac + 1.0, frac)
-        return jnp.trunc(frac * 4294967295.0).astype(jnp.int64).astype(jnp.uint32)
+        # convert float -> uint32 directly: routing through int64 silently
+        # truncates to int32 when x64 is disabled, saturating the phase
+        # word at 0x7FFFFFFF for any fractional part > 0.5
+        return jnp.trunc(frac * 4294967295.0).astype(jnp.uint32)
 
     ddt = _constrain_traced(delta_phi * alpha)
     dth = _constrain_traced(delta_phi * beta)

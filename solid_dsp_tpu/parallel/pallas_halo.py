@@ -93,7 +93,7 @@ def _fused_kernel(x_ref, tail_ref, h_ref, out_ref, halo_buf, send_sem,
 def make_fused_channelizer_frontend(mesh: Mesh, num_channels: int,
                                     taps_per_branch: int,
                                     attenuation: float = 80.0,
-                                    interpret: bool = True,
+                                    interpret: bool | None = None,
                                     axis: str = "time"):
     """Build ``apply(tail_rows, x) -> (z, new_tail_rows)`` over the mesh.
 
@@ -106,6 +106,9 @@ def make_fused_channelizer_frontend(mesh: Mesh, num_channels: int,
 
     M = int(num_channels)
     K = int(taps_per_branch)
+    if interpret is None:
+        # compiled Mosaic on real TPUs; interpret only off-TPU (tests)
+        interpret = jax.default_backend() != "tpu"
     h_il = pfb_frontend_taps(channelizer_taps(M, K, attenuation), M)
     n_dev = mesh.shape[axis]
 

@@ -187,20 +187,15 @@ def _agc_block_sharded(state, x, alpha, axis_name):
     """Block-mode AGC whose energy estimate is pmean-ed over ``axis_name``.
 
     Equal-size time shards ⇒ pmean of local means == full-block mean, so this
-    reproduces single-chip ``agc_apply_block_mode`` exactly.
+    reproduces single-chip ``agc_apply_block_mode`` exactly (both funnel
+    through ``agc.block_gain_update``).
     """
     gain = state["gain"]
-    energy = state["energy"]
     out = x * gain[..., None].astype(x.dtype)
     ee_local = jnp.mean(jnp.real(out * jnp.conj(out)), axis=-1)
     ee = jax.lax.pmean(ee_local, axis_name)
     T = x.shape[-1] * jax.lax.axis_size(axis_name)
-    beta = 1.0 - (1.0 - alpha) ** T
-    energy = (1.0 - beta) * energy + beta * ee
-    gain = jnp.where(energy > 1e-6,
-                     gain * jnp.exp(-0.5 * jnp.log(energy)), gain)
-    gain = jnp.minimum(gain, 1e6)
-    return out, {**state, "gain": gain, "energy": energy}
+    return out, agc_ops.block_gain_update(state, ee, alpha, T)
 
 
 # ---------------------------------------------------------------------------

@@ -69,8 +69,8 @@ def test_reset():
 
 
 def test_window_delay_line_parity():
-    """streaming.Window: newest-first shift register with delay slots
-    (ref window/mod.rs:8-71 + auto_correlator's delayed reads)."""
+    """streaming.Window: exact reference semantics (window/mod.rs) — push
+    never writes the delay slots, to_vec reads the DELAYED offset."""
     import numpy as np
 
     from solid_dsp_tpu.streaming import Window
@@ -78,8 +78,14 @@ def test_window_delay_line_parity():
     w = Window(3, delay=2)
     for i in range(1, 7):
         w.push(float(i))
-    np.testing.assert_array_equal(w.to_vec(), [6, 5, 4])
-    np.testing.assert_array_equal(w.to_vec_delayed(), [4, 3, 2])
-    assert w[0] == 6.0 and w.delayed(0) == 4.0
-    w.reset()
-    assert not w.to_vec().any()
+    # buffer = [6, 5, 4, 0, 0]: delay slots never written
+    assert w[0] == 6.0 and w[1] == 5.0 and w[2] == 4.0
+    assert w[3] == 0.0 and w[4] == 0.0
+    # to_vec = delayed view: [buf[2], buf[3], buf[4]] = [4, 0, 0]
+    np.testing.assert_array_equal(w.to_vec(), [4, 0, 0])
+    # zero delay: plain newest-first window
+    w2 = Window(3)
+    w2.write([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_array_equal(w2.to_vec(), [4, 3, 2])
+    w2.reset()
+    assert not w2.to_vec().any()
