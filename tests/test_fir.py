@@ -149,3 +149,24 @@ def test_rational_resampler():
     f = fir.InterpolatingFIRFilter(taps, 3, dtype=jnp.float64)
     up = np.asarray(f.execute_block(jnp.asarray(x)))
     np.testing.assert_allclose(y, up[::2], atol=1e-10)
+
+
+def test_pfb_per_sample_api():
+    """Reference pfb.rs surface: push + execute(index) per sample, matching
+    the batched push_block branch values."""
+    import numpy as np
+
+    coefs = np.arange(1.0, 13.0)  # 12 taps, 4 branches, sub_len 3
+    pfb = fir.PolyPhaseFilterBank(coefs, 4)
+    pfb2 = fir.PolyPhaseFilterBank(coefs, 4)
+    x = np.asarray([0.5, -1.0, 2.0, 0.25, -0.75], dtype=np.float64)
+
+    block = np.asarray(pfb2.push_block(jnp.asarray(x)))  # (T, branches)
+    for t, s in enumerate(x):
+        pfb.push(s)
+        per = np.asarray([complex(pfb.execute(i)).real for i in range(4)])
+        np.testing.assert_allclose(per, block[t], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pfb.execute_all()), block[t],
+                                   atol=1e-12)
+    with pytest.raises(ValueError):
+        pfb.execute(4)
