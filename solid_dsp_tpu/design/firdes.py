@@ -28,6 +28,7 @@ __all__ = [
     "firdes_kaiser",
     "firdes_notch",
     "firdes_doppler",
+    "firdes_rrcos",
     "filter_autocorrelation",
     "filter_crosscorrelation",
     "filter_isi",
@@ -281,3 +282,34 @@ def filter_energy(h, cutoff_frequency: float, fft_size: int) -> float:
     e_total = float(np.sum(e2))
     e_stop = float(np.sum(e2[f > cutoff_frequency]))
     return e_stop / e_total
+
+
+def firdes_rrcos(samples_per_symbol: int, delay_symbols: int,
+                 rolloff: float = 0.35) -> np.ndarray:
+    """Root-raised-cosine pulse: ntaps = 2*sps*delay + 1, unit symbol energy.
+
+    Standard closed form with the t=0 and t=±Ts/(4*beta) singularities
+    handled analytically.  New capability (the reference has only an rcos
+    window taper, windows/rcostaper.rs) — needed for matched filtering in
+    the QPSK symbol-timing path.
+    """
+    sps = int(samples_per_symbol)
+    beta = float(rolloff)
+    if not 0.0 < beta <= 1.0:
+        raise ValueError("rolloff must be in (0, 1]")
+    n = 2 * sps * int(delay_symbols) + 1
+    t = (np.arange(n) - (n - 1) / 2.0) / sps  # in symbol periods
+    h = np.zeros(n)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-12:
+            h[i] = 1.0 - beta + 4.0 * beta / np.pi
+        elif abs(abs(ti) - 1.0 / (4.0 * beta)) < 1e-9:
+            h[i] = (beta / np.sqrt(2.0)) * (
+                (1 + 2 / np.pi) * np.sin(np.pi / (4 * beta))
+                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * beta)))
+        else:
+            num = (np.sin(np.pi * ti * (1 - beta))
+                   + 4 * beta * ti * np.cos(np.pi * ti * (1 + beta)))
+            den = np.pi * ti * (1 - (4 * beta * ti) ** 2)
+            h[i] = num / den
+    return h / np.sqrt(np.sum(h ** 2))

@@ -438,6 +438,14 @@ class InterpolatingFIRFilter:
 
     Parity: ref src/filter/fir/interp.rs:27-100 (taps padded to
     ceil(N/P)*P, one input -> P branch outputs).
+
+    NOTE (reference quirk, reproduced): the branch sub-filters apply their
+    coefficients time-REVERSED (the reference stores each PFB branch with
+    Direction::REVERSE, pfb.rs:34-42), so the output is NOT the ideal
+    zero-stuffed convolution when the padded prototype is asymmetric — the
+    pulse acquires a branch-dependent fractional shift.  For an ideal
+    interpolator build the zero-stuffed stream explicitly and filter with
+    ``conv1d_mxu`` (see models/timing.py tests).
     """
 
     def __init__(self, coefficients, interpolation: int, dtype=None):
