@@ -61,7 +61,9 @@ def _cmd_rx(args) -> int:
     outs = []
     t0 = time.perf_counter()
     nsamp = 0
-    with StreamPump(args.input, fmt=args.format, block=args.block) as pump:
+    # '-' composes with SDR tools: rtl_sdr - | python -m solid_dsp_tpu rx -
+    path = "/dev/stdin" if args.input == "-" else args.input
+    with StreamPump(path, fmt=args.format, block=args.block) as pump:
         for blk in pump:
             if len(blk) % args.decimation:
                 blk = blk[: len(blk) - len(blk) % args.decimation]

@@ -29,6 +29,7 @@ __all__ = [
     "firdes_notch",
     "firdes_doppler",
     "firdes_rrcos",
+    "firdes_hilbert",
     "filter_autocorrelation",
     "filter_crosscorrelation",
     "filter_isi",
@@ -313,3 +314,21 @@ def firdes_rrcos(samples_per_symbol: int, delay_symbols: int,
             den = np.pi * ti * (1 - (4 * beta * ti) ** 2)
             h[i] = num / den
     return h / np.sqrt(np.sum(h ** 2))
+
+
+def firdes_hilbert(ntaps: int) -> np.ndarray:
+    """Windowed FIR Hilbert transformer (odd ntaps; group delay (N-1)/2).
+
+    h[k] = 2/(pi k) for odd offsets from center, 0 otherwise, Hamming
+    windowed.  New capability — enables analytic signals / SSB (the
+    reference has no Hilbert machinery).
+    """
+    n = int(ntaps)
+    if n % 2 == 0:
+        raise ValueError("ntaps must be odd")
+    c = (n - 1) // 2
+    k = np.arange(n) - c
+    h = np.zeros(n)
+    odd = (k % 2) != 0
+    h[odd] = 2.0 / (np.pi * k[odd])
+    return h * np.hamming(n)

@@ -23,6 +23,10 @@ __all__ = [
     "am_demodulate_coherent",
     "dc_blocker_init",
     "dc_blocker_apply",
+    "hilbert_init",
+    "analytic_block",
+    "ssb_modulate",
+    "ssb_demodulate",
 ]
 
 
@@ -73,4 +77,54 @@ def am_demodulate_envelope(state, x: jnp.ndarray, alpha: float = 0.01):
 @jax.jit
 def am_demodulate_coherent(x: jnp.ndarray):
     """Coherent DSB demod at baseband: take the in-phase rail."""
+    return jnp.real(x)
+
+
+# ---------------------------------------------------------------------------
+# SSB (single sideband) via FIR Hilbert analytic signal
+# ---------------------------------------------------------------------------
+
+def hilbert_init(ntaps: int = 63, dtype=jnp.float32):
+    """(taps, tail) for the streaming analytic-signal transformer."""
+    import numpy as np
+
+    from ..design.firdes import firdes_hilbert
+
+    taps = np.asarray(firdes_hilbert(ntaps), dtype=dtype)
+    tail = jnp.zeros(ntaps - 1, dtype=dtype)
+    return taps, tail
+
+
+def analytic_block(taps, tail, x):
+    """Streaming analytic signal: returns (a, new_tail) where
+    a[n] = x[n - (N-1)/2] + j * H{x}[n] — the real rail is delayed to match
+    the Hilbert FIR's group delay."""
+    from ..ops.fir import conv1d_mxu
+    from ..streaming.framing import extend_with_tail, split_tail
+
+    n = taps.shape[-1]
+    c = (n - 1) // 2
+    x_ext = extend_with_tail(tail, x)
+    # conv1d_mxu is a correlation; the Hilbert kernel is antisymmetric, so
+    # correlation applies -h — negate to get the true convolution H{x}
+    q = conv1d_mxu(x_ext, -jnp.asarray(taps))          # imaginary rail
+    i = x_ext[..., c: c + x.shape[-1]]                  # matched delay
+    return jax.lax.complex(i, q), split_tail(x_ext, n - 1)
+
+
+def ssb_modulate(taps, tail, msg, sideband: str = "upper"):
+    """SSB at complex baseband: upper = analytic(msg) (positive freqs only),
+    lower = conj of the analytic spectrum (negative freqs only).
+    Returns (iq, new_tail)."""
+    a, tail = analytic_block(taps, tail, msg)
+    if sideband == "lower":
+        a = jnp.conj(a)
+    elif sideband != "upper":
+        raise ValueError("sideband must be 'upper' or 'lower'")
+    return a, tail
+
+
+@jax.jit
+def ssb_demodulate(x):
+    """Coherent SSB demod at baseband: the real rail carries the message."""
     return jnp.real(x)

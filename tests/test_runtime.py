@@ -154,3 +154,29 @@ class TestStreamPump:
     def test_missing_file(self):
         with pytest.raises(OSError):
             StreamPump("/nonexistent/file.iq")
+
+
+class TestStdinStreaming:
+    def test_pump_reads_from_pipe(self, tmp_path):
+        """StreamPump on a FIFO (the CLI's '-' /dev/stdin path)."""
+        import subprocess
+        import threading
+
+        fifo = str(tmp_path / "fifo")
+        os.mkfifo(fifo)
+        x = (0.25 * np.exp(2j * np.pi * 0.01 * np.arange(50_000))).astype(
+            np.complex64)
+
+        def feeder():
+            with open(fifo, "wb") as f:
+                f.write(x.tobytes())
+
+        t = threading.Thread(target=feeder)
+        t.start()
+        got = []
+        with StreamPump(fifo, fmt="cf32", block=8192) as pump:
+            for blk in pump:
+                got.append(blk)
+        t.join()
+        y = np.concatenate(got)
+        np.testing.assert_array_equal(y, x)
