@@ -328,7 +328,9 @@ def firdes_hilbert(ntaps: int) -> np.ndarray:
         raise ValueError("ntaps must be odd")
     c = (n - 1) // 2
     k = np.arange(n) - c
+    from .windows import hamming
+
     h = np.zeros(n)
     odd = (k % 2) != 0
     h[odd] = 2.0 / (np.pi * k[odd])
-    return h * np.hamming(n)
+    return h * hamming(n)

@@ -54,7 +54,9 @@ def fractional_delay_taps(tau, ntaps: int = 17):
     center = (ntaps - 1) / 2.0
     i = jnp.arange(ntaps)
     t = i - center - tau
-    w = 0.54 + 0.46 * jnp.cos(jnp.pi * (i - center) / center)  # hamming
+    from ..design.windows import hamming
+
+    w = jnp.asarray(hamming(ntaps))  # package-wide window family
     return jnp.sinc(t) * w
 
 
@@ -63,7 +65,8 @@ def symbol_sync_block(x: jnp.ndarray, sps: int, ntaps: int = 17):
     """Block symbol synchronizer: returns (symbols, tau_hat).
 
     ``x``: matched-filtered stream at ``sps`` samples/symbol.  The output
-    contains len(x)//sps - ceil(ntaps/sps) symbols (filter edges dropped).
+    contains (len(x) - ntaps)//sps - t0 - 1 symbols where
+    t0 = ((ntaps-1)//2 + sps)//sps + 1 (head margin + filter edges dropped).
     """
     tau = oerder_meyr_offset(x, sps)  # symbol instants at n = t*sps + tau
     frac = tau - jnp.floor(tau)

@@ -321,17 +321,26 @@ class DecimatingFIRFilter(FIRFilter):
     def execute(self, sample):
         """Per-sample API (ref decim.rs:221-228): push one sample, emit the
         filtered value on every ``decimation``-th push, else an empty block.
+
+        Like the reference, the dot product only runs on the emitting push;
+        the other M-1 pushes just advance the carried tail.
         """
         x = jnp.asarray([sample])
         if not jnp.issubdtype(self._tail.dtype, x.dtype):
             self._tail = self._tail.astype(
                 jnp.result_type(self._tail.dtype, x.dtype)
             )
-        y, self._tail = fir_apply(self._taps, self._tail, x, self.scale)
-        emit = (int(self._phase) + 1) % self.decimation == 0
-        self._phase = jnp.asarray((int(self._phase) + 1) % self.decimation,
+        phase = int(self._phase)
+        emit = (phase + 1) % self.decimation == 0
+        if emit:
+            y, self._tail = fir_apply(self._taps, self._tail, x, self.scale,
+                                      method="matmul")
+        else:
+            self._tail = jnp.concatenate([self._tail, x], axis=-1)[..., 1:]
+            y = x[:0]
+        self._phase = jnp.asarray((phase + 1) % self.decimation,
                                   dtype=jnp.int32)
-        return y if emit else y[:0]
+        return y
 
     def execute_block(self, samples):
         samples = jnp.asarray(samples)
@@ -411,25 +420,31 @@ class PolyPhaseFilterBank:
         """One branch's output for the current window (ref pfb.rs:85-91)."""
         if not 0 <= index < self.branches:
             raise ValueError("filter index out of range")
-        if getattr(self, "_win", None) is None:
-            self._win = jnp.concatenate(
-                [self._tail, jnp.zeros(1, self._tail.dtype)]
-            ) if self.sub_len > 1 else jnp.zeros(1, self._B.dtype)
+        if self._win is None:  # nothing pushed yet: zeroed window (ref init)
+            self._win = jnp.zeros(self.sub_len, self._B.dtype)
         return jnp.sum(self._B[:, index].astype(self._win.dtype) * self._win)
 
     def execute_all(self):
         """Every branch's output for the current window — one MXU matvec."""
-        if getattr(self, "_win", None) is None:
-            self.execute(0)
+        if self._win is None:
+            self._win = jnp.zeros(self.sub_len, self._B.dtype)
         return jnp.matmul(self._win, self._B.astype(self._win.dtype),
                           precision="highest")
 
     def push_block(self, samples):
-        out, self._tail = pfb_apply_all(
-            self._B, self._tail.astype(jnp.result_type(self._tail.dtype,
-                                                        jnp.asarray(samples).dtype)),
-            jnp.asarray(samples),
+        samples = jnp.asarray(samples)
+        x_pre = jnp.concatenate(
+            [self._tail.astype(jnp.result_type(self._tail.dtype,
+                                               samples.dtype)), samples],
+            axis=-1,
         )
+        out, self._tail = pfb_apply_all(
+            self._B, x_pre[..., : self.sub_len - 1] if self.sub_len > 1
+            else x_pre[..., :0],
+            samples,
+        )
+        # keep the per-sample window view consistent with the block push
+        self._win = x_pre[..., -self.sub_len:]
         return out  # (T, branches)
 
 
