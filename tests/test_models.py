@@ -209,3 +209,36 @@ def test_ssb_lower_sideband():
     pos = np.sum(np.abs(X[1:half]) ** 2)
     neg = np.sum(np.abs(X[half + 1:]) ** 2)
     assert neg / max(pos, 1e-30) > 1e3
+
+
+def test_fsk_roundtrip_both_demods():
+    """CPFSK mod -> discriminator and matched-bank demods recover symbols."""
+    from solid_dsp_tpu.models import fsk
+    from solid_dsp_tpu.models.fm import fm_demod_init
+
+    rng = np.random.default_rng(0)
+    m_ary, sps, sep = 4, 16, 1.0 / 16
+    syms = rng.integers(0, m_ary, 500)
+    iq, _ = fsk.fsk_modulate(jnp.asarray(syms), sps, m_ary, sep)
+    iq = jnp.asarray(np.asarray(iq), jnp.complex64)
+
+    got_m = np.asarray(fsk.fsk_demod_matched(iq, sps, m_ary, sep))
+    assert (got_m == syms).mean() > 0.999
+
+    got_d, _ = fsk.fsk_demod_discriminator(
+        fm_demod_init(jnp.complex64), iq, sps, m_ary, sep)
+    # discriminator smears one sample across symbol boundaries: allow the
+    # first symbol to differ
+    assert (np.asarray(got_d)[1:] == syms[1:]).mean() > 0.99
+
+
+def test_fsk_phase_continuity_across_blocks():
+    from solid_dsp_tpu.models import fsk
+
+    rng = np.random.default_rng(1)
+    syms = rng.integers(0, 2, 200)
+    a, ph = fsk.fsk_modulate(jnp.asarray(syms[:100]), 8, 2, 0.125)
+    b, _ = fsk.fsk_modulate(jnp.asarray(syms[100:]), 8, 2, 0.125, ph)
+    whole, _ = fsk.fsk_modulate(jnp.asarray(syms), 8, 2, 0.125)
+    got = np.concatenate([np.asarray(a), np.asarray(b)])
+    np.testing.assert_allclose(got, np.asarray(whole), atol=1e-6)

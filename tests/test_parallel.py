@@ -167,3 +167,52 @@ def test_sharded_rx_chain_other_demods(demod):
         out_ref, _ = apply1(init1(), jnp.asarray(x[c]))
         np.testing.assert_allclose(np.asarray(out_shard[c]),
                                    np.asarray(out_ref), rtol=1e-7, atol=1e-9)
+
+
+@needs8
+def test_sharded_equalizer_train_step_matches_single_device():
+    """DP+SP training step: sharded loss/grads == single-device values."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from solid_dsp_tpu.ops import fir as fir_ops
+
+    mesh = parallel.make_mesh(channel=2, time=4)
+    ntaps, C, L = 9, 4, 512
+    opt = optax.sgd(0.1)
+    taps0 = jnp.zeros(ntaps, jnp.complex64).at[ntaps // 2].set(1.0)
+
+    def train_step(taps, opt_state, tail, xb, db):
+        x_ext = jnp.concatenate([tail, xb], axis=-1)
+
+        def loss_fn(w):
+            r = fir_ops.conv1d_mxu(x_ext, w) - db
+            return jnp.mean(jnp.real(r * jnp.conj(r)))
+
+        loss, g = jax.value_and_grad(loss_fn)(taps)
+        updates, opt_state = opt.update(jnp.conj(g), opt_state, taps)
+        return optax.apply_updates(taps, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    xb = (rng.standard_normal((C, L)) + 1j * rng.standard_normal((C, L))
+          ).astype(np.complex64)
+    db = np.roll(xb, ntaps // 2, axis=-1)
+    tail = np.zeros((C, ntaps - 1), np.complex64)
+
+    # single device
+    t1, _, loss1 = jax.jit(train_step)(taps0, opt.init(taps0),
+                                       jnp.asarray(tail), jnp.asarray(xb),
+                                       jnp.asarray(db))
+
+    # sharded over ('channel','time')
+    rep = NamedSharding(mesh, P())
+    sh2 = NamedSharding(mesh, P("channel", "time"))
+    shc = NamedSharding(mesh, P("channel"))
+    f = jax.jit(train_step, in_shardings=(rep, rep, shc, sh2, sh2),
+                out_shardings=(rep, rep, rep))
+    t2, _, loss2 = f(taps0, opt.init(taps0),
+                     jax.device_put(tail, shc), jax.device_put(xb, sh2),
+                     jax.device_put(db, sh2))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
