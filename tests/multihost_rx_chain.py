@@ -1,0 +1,92 @@
+"""Multi-host worker: run the sharded RxChain across 2 processes.
+
+Each process owns 4 fake CPU devices; the global mesh is
+('channel' = 2 hosts) x ('time' = 4 devices) — channels span hosts (DCN
+analog: collectives ride gRPC between processes), time shards exchange
+halos within a host, exactly the axis layout prescribed in parallel/mesh.py.
+
+Each process verifies its ADDRESSABLE shards of the global output against a
+redundantly-computed single-device reference and prints PASS/FAIL.
+
+Launched by tests/test_multihost.py; also runnable by hand:
+    python tests/multihost_rx_chain.py <process_id> <port>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    pid = int(sys.argv[1])
+    port = sys.argv[2] if len(sys.argv) > 2 else "29712"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from solid_dsp_tpu import parallel
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    cfg = RxChainConfig(dtype=jnp.complex64, nco_mode="exact",
+                        agc_mode="block", demod="fm")
+    mesh = parallel.make_mesh(channel=2, time=4)  # channel axis spans hosts
+    C, L = 4, 2048
+    rng = np.random.default_rng(0)
+    k = np.arange(L)
+    x_host = np.stack([
+        (0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
+         + 0.01 * (rng.standard_normal(L) + 1j * rng.standard_normal(L)))
+        for _ in range(C)
+    ]).astype(np.complex64)
+
+    init, apply = parallel.make_sharded_rx_chain(cfg, mesh)
+    state = init(C)
+    sh2 = NamedSharding(mesh, P("channel", "time"))
+    x = jax.make_array_from_callback(
+        (C, L), sh2, lambda idx: x_host[idx]
+    )
+    # replicate the state pytree across the global mesh
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    out, new_state = apply(state, x)
+    jax.block_until_ready(out)
+
+    # redundant single-device reference (identical on every process)
+    init1, apply1 = make_rx_chain(cfg)
+    ref = np.stack([
+        np.asarray(apply1(init1(), jnp.asarray(x_host[c]))[0])
+        for c in range(C)
+    ])
+
+    ok = True
+    n_checked = 0
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        want = ref[shard.index]
+        if not np.allclose(got, want, rtol=1e-5, atol=1e-6):
+            ok = False
+        n_checked += 1
+    # the carried NCO phase word must also agree globally
+    theta = int(np.asarray(new_state.nco_theta.addressable_shards[0].data))
+    ref_theta = int(np.asarray(apply1(init1(), jnp.asarray(x_host[0]))[1]
+                               .nco_theta))
+    if theta != ref_theta:
+        ok = False
+
+    print(f"[p{pid}] {'PASS' if ok else 'FAIL'} "
+          f"({n_checked} addressable shards checked)", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
