@@ -64,13 +64,15 @@ def fsk_demod_discriminator(state, x, sps: int, m_ary: int,
 def fsk_demod_matched(x, sps: int, m_ary: int, separation: float):
     """Non-coherent tone-correlator bank: argmax_m |sum_n x e^{-j2pi f_m n}|.
 
-    One (T, sps) reshape and one (sps, M) matmul on the MXU.
+    One strided multi-output correlation — conv1d_mxu with an (sps, M)
+    tone bank and stride sps (the same MXU path as every other filter).
     """
+    from ..ops.fir import conv1d_mxu
+
     T = x.shape[-1] // sps
-    X = x[..., : T * sps].reshape(*x.shape[:-1], T, sps)
     n = np.arange(sps)
     tones = fsk_tones(m_ary, separation)
-    C = np.exp(-2j * np.pi * np.outer(n, tones))  # (sps, M), host const
-    scores = jnp.abs(jnp.matmul(X, jnp.asarray(C, X.dtype),
-                                precision="highest"))
+    bank = np.exp(-2j * np.pi * np.outer(n, tones))  # (sps, M), host const
+    scores = jnp.abs(conv1d_mxu(x[..., : T * sps], jnp.asarray(bank, x.dtype),
+                                stride=sps))
     return jnp.argmax(scores, axis=-1)

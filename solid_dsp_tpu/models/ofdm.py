@@ -69,12 +69,17 @@ def ofdm_demodulate(x, nfft: int, cp: int, n_active: int):
 
 
 def schmidl_cox_preamble(nfft: int, cp: int, seed: int = 7) -> np.ndarray:
-    """Preamble with two identical time halves: QPSK on EVEN carriers only."""
+    """Preamble with two identical time halves: QPSK on EVEN carriers only.
+
+    Unit average power (ifft of N_even unit carriers has power
+    N_even / nfft^2, so the scale is nfft / sqrt(N_even)) — the preamble
+    must not be transmitted below the payload or sync fails first.
+    """
     rng = np.random.default_rng(seed)
     X = np.zeros(nfft, np.complex128)
     even = np.arange(2, nfft, 2)
     X[even] = np.exp(1j * 0.5 * np.pi * rng.integers(0, 4, len(even)))
-    x = np.fft.ifft(X) * np.sqrt(2.0 * nfft / len(even))
+    x = np.fft.ifft(X) * (nfft / np.sqrt(len(even)))
     return np.concatenate([x[nfft - cp:], x]).astype(np.complex64)
 
 
@@ -91,7 +96,11 @@ def schmidl_cox_metric(x, nfft: int):
     P = conv1d_mxu(prod, ones)
     e2 = jnp.abs(x[..., half:]) ** 2
     R = conv1d_mxu(e2, ones)
-    M = jnp.abs(P) ** 2 / jnp.maximum(R * R, 1e-12)
+    # gate on meaningful energy: dead air has R -> 0 and the normalized
+    # ratio blows up on numerical noise there
+    floor = 0.25 * jnp.mean(R, axis=-1, keepdims=True)
+    M = jnp.where(R > floor,
+                  jnp.abs(P) ** 2 / jnp.maximum(R * R, 1e-12), 0.0)
     return M, P
 
 
@@ -105,9 +114,15 @@ def schmidl_cox_sync(x, nfft: int, cp: int):
     above-90%-of-peak region centers the estimate.
     """
     M, P = schmidl_cox_metric(x, nfft)
-    peak = jnp.max(M, axis=-1, keepdims=True)
-    above = M > 0.9 * peak
+    # Take the plateau midpoint in a +-nfft window around the global argmax
+    # only — a far-away high-metric region (another frame's preamble) must
+    # not drag the mean.  NOTE: plain S&C scores any constant-envelope
+    # narrowband segment near 1 (the metric is self-normalized); in CW-heavy
+    # environments gate the input on the |P| energy ridge first.
+    d_star = jnp.argmax(M, axis=-1)
+    peak = jnp.take_along_axis(M, d_star[..., None], axis=-1)
     idxs = jnp.arange(M.shape[-1])
+    above = (M > 0.9 * peak) & (jnp.abs(idxs - d_star[..., None]) <= nfft)
     mid = (jnp.sum(jnp.where(above, idxs, 0), axis=-1)
            / jnp.maximum(jnp.sum(above, axis=-1), 1))
     start = mid.astype(jnp.int32)

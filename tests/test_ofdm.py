@@ -47,10 +47,16 @@ def test_cp_absorbs_multipath():
 @pytest.mark.parametrize("offset,cfo", [(0, 0.0), (137, 0.0),
                                         (137, 0.0015), (23, -0.002)])
 def test_schmidl_cox_sync_and_cfo(offset, cfo):
-    """Preamble found within CP/2 samples; CFO estimated to ~1e-4."""
+    """Full receiver driven by the ESTIMATED sync: find preamble, correct
+    the estimated CFO, back off CP/2 into the prefix, pilot-equalize (the
+    residual timing offset becomes a per-carrier phase ramp the one-tap EQ
+    absorbs), slice."""
     pre = ofdm.schmidl_cox_preamble(NFFT, CP)
     idx, syms = _payload(6, seed=2)
-    x = np.asarray(ofdm.ofdm_modulate(jnp.asarray(syms, jnp.complex64),
+    pilot = np.asarray(qpsk.qpsk_modulate_symbols(
+        jnp.asarray(np.zeros(NACT, np.int64))))
+    tx_syms = np.concatenate([pilot[None], syms], axis=0)
+    x = np.asarray(ofdm.ofdm_modulate(jnp.asarray(tx_syms, jnp.complex64),
                                       NFFT, CP, NACT))
     stream = np.concatenate([
         0.01 * (np.random.default_rng(3).standard_normal(offset)
@@ -66,14 +72,31 @@ def test_schmidl_cox_sync_and_cfo(offset, cfo):
     assert abs(int(start) - true_body) <= CP // 2
     assert abs(float(cfo_hat) - cfo) < 2e-4
 
-    # correct CFO, demodulate from the synchronized position
+    # receiver path driven entirely by the estimates
     derot = stream * np.exp(-2j * np.pi * float(cfo_hat)
                             * np.arange(len(stream)))
-    payload = derot[true_body + NFFT:]
-    Y = ofdm.ofdm_demodulate(jnp.asarray(payload[: 6 * (NFFT + CP)]),
+    frame0 = int(start) + NFFT - CP // 2  # CP/2 back-off into the prefix
+    payload = derot[frame0:]
+    Y = ofdm.ofdm_demodulate(jnp.asarray(payload[: 7 * (NFFT + CP)]),
                              NFFT, CP, NACT)
-    got = np.asarray(qpsk.qpsk_slice(Y))
+    H = ofdm.estimate_channel(Y[0], jnp.asarray(pilot, jnp.complex64))
+    got = np.asarray(qpsk.qpsk_slice(ofdm.equalize(Y[1:], H)))
     assert (got == idx).mean() > 0.99
+
+
+def test_schmidl_cox_two_frames_locks_one():
+    """Two frames in one buffer: the estimate centers on ONE preamble
+    (argmax-windowed plateau) instead of averaging the two."""
+    pre = ofdm.schmidl_cox_preamble(NFFT, CP)
+    _, syms = _payload(4, seed=5)
+    x = np.asarray(ofdm.ofdm_modulate(jnp.asarray(syms, jnp.complex64),
+                                      NFFT, CP, NACT))
+    frame = np.concatenate([pre, x])
+    stream = np.concatenate([frame, frame,
+                             np.zeros(64, np.complex64)]).astype(np.complex64)
+    start, _ = ofdm.schmidl_cox_sync(jnp.asarray(stream), NFFT, CP)
+    bodies = [CP, len(frame) + CP]
+    assert min(abs(int(start) - b) for b in bodies) <= CP // 2
 
 
 def test_active_carriers_validation():
