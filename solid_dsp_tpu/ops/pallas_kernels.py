@@ -178,7 +178,8 @@ def channelizer_apply_pallas(taps_h_il, tail_rows, x, num_channels: int,
 
 
 def _iir_bank_kernel(sos_ref, state_in_ref, x_ref, y_ref, state_out_ref,
-                     state_vmem, *, S: int, TR: int, T: int):
+                     state_vmem, *, S: int, TR: int, T: int,
+                     per_channel: bool):
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
     # last tile may be partial: do not let zero-padded rows touch the state
@@ -188,14 +189,18 @@ def _iir_bank_kernel(sos_ref, state_in_ref, x_ref, y_ref, state_out_ref,
     def _():
         state_vmem[:] = state_in_ref[:]
 
+    def coef(s, k):
+        # shared: scalar from SMEM; per-channel: a lane row from VMEM
+        return sos_ref[s * 5 + k, :] if per_channel else sos_ref[s, k]
+
     def row(j, carry):
         v = x_ref[j, :]
         new = []
         for s in range(S):
             w1 = carry[2 * s]
             w2 = carry[2 * s + 1]
-            w0 = v - sos_ref[s, 3] * w1 - sos_ref[s, 4] * w2
-            v = sos_ref[s, 0] * w0 + sos_ref[s, 1] * w1 + sos_ref[s, 2] * w2
+            w0 = v - coef(s, 3) * w1 - coef(s, 4) * w2
+            v = coef(s, 0) * w0 + coef(s, 1) * w1 + coef(s, 2) * w2
             new.append(w0)   # w1'
             new.append(w1)   # w2'
         y_ref[j, :] = v
@@ -219,9 +224,11 @@ def iir_bank_init(nsections: int, num_channels: int) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("tile_rows", "interpret"))
 def iir_bank_apply(sos, state, x, tile_rows: int = 1024,
                    interpret: bool = False):
-    """Run a shared biquad cascade over C channels in one sequential pass.
+    """Run a biquad cascade over C channels in one sequential pass.
 
-    sos: (S, 5) float32 rows [b0, b1, b2, a1, a2] (a0 normalized to 1);
+    sos: (S, 5) float32 rows [b0, b1, b2, a1, a2] (a0 normalized to 1) for
+    a cascade SHARED by every channel, or (S, 5, C) float32 for PER-CHANNEL
+    coefficients (e.g. distinct selectivity per channelizer output);
     state: (2*S, C) complex64 from :func:`iir_bank_init`;
     x: (T, C) complex64 (e.g. a channelizer output block).
 
@@ -229,6 +236,7 @@ def iir_bank_apply(sos, state, x, tile_rows: int = 1024,
     """
     S = sos.shape[0]
     T, C = x.shape
+    per_channel = sos.ndim == 3
     TR = min(tile_rows, max(T, 1))
     Tpad = -(-T // TR) * TR
     lanes = 2 * C
@@ -239,17 +247,27 @@ def iir_bank_apply(sos, state, x, tile_rows: int = 1024,
             [x2, jnp.zeros((Tpad - T, lanes), jnp.float32)], axis=0
         )
     st2 = state.view(jnp.float32).reshape(2 * S, lanes)
-    sos_f = jnp.asarray(sos, jnp.float32)
+    if per_channel:
+        # (S, 5, C) -> (S*5, 2C) with each coefficient duplicated onto the
+        # re/im lane pair (real coefficients act identically on both)
+        sos_f = jnp.repeat(
+            jnp.asarray(sos, jnp.float32).reshape(S * 5, C), 2, axis=-1
+        )
+        sos_spec = pl.BlockSpec((S * 5, lanes), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        sos_f = jnp.asarray(sos, jnp.float32)
+        sos_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     y2, st_out = pl.pallas_call(
-        partial(_iir_bank_kernel, S=S, TR=TR, T=T),
+        partial(_iir_bank_kernel, S=S, TR=TR, T=T, per_channel=per_channel),
         out_shape=(
             jax.ShapeDtypeStruct((Tpad, lanes), jnp.float32),
             jax.ShapeDtypeStruct((2 * S, lanes), jnp.float32),
         ),
         grid=(Tpad // TR,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # sos scalars
+            sos_spec,
             pl.BlockSpec((2 * S, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, lanes), lambda i: (i, 0),

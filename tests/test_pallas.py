@@ -174,3 +174,28 @@ def test_iir_bank_matches_iirfilter():
     y_ref = np.asarray(f.execute_block(jnp.asarray(x, jnp.complex128)))
     np.testing.assert_allclose(np.asarray(y)[:, 0],
                                y_ref.astype(np.complex64), atol=2e-5)
+
+
+def test_iir_bank_per_channel_coefficients():
+    """(S, 5, C) per-channel cascades match per-channel numpy references."""
+    from solid_dsp_tpu.ops.pallas_kernels import iir_bank_apply, iir_bank_init
+
+    rng = np.random.default_rng(6)
+    S, C, T = 2, 8, 200
+    # distinct stable biquads per channel: random cutoffs
+    from solid_dsp_tpu.models.channel_bank import design_channel_sos
+
+    sos_pc = np.stack(
+        [design_channel_sos(0.1 + 0.03 * c) for c in range(C)], axis=-1
+    )  # (S, 5, C)
+    x = (rng.standard_normal((T, C)) + 1j * rng.standard_normal((T, C))
+         ).astype(np.complex64)
+
+    st = iir_bank_init(S, C)
+    y, _ = iir_bank_apply(jnp.asarray(sos_pc), st, jnp.asarray(x),
+                          tile_rows=64, interpret=True)
+
+    for c in range(C):
+        y_ref = _np_sos_ref(sos_pc[:, :, c], x[:, c: c + 1])
+        np.testing.assert_allclose(np.asarray(y)[:, c], y_ref[:, 0].astype(
+            np.complex64), atol=3e-5, err_msg=f"channel {c}")
