@@ -54,6 +54,8 @@ class ChannelBank:
     def __init__(self, num_channels: int, taps_per_branch: int = 8,
                  sos: np.ndarray | None = None, agc_bandwidth: float = 0.0,
                  attenuation: float = 80.0, backend: str = "xla"):
+        # sos: (S, 5) shared across channels, or (S, 5, M) per-channel
+        # cascades (both handled by ops.pallas_kernels.iir_bank_apply)
         self.M = int(num_channels)
         self.channelizer = PolyphaseChannelizer(
             self.M, taps_per_branch, attenuation, dtype=jnp.complex64,
