@@ -352,6 +352,19 @@ class DecimatingIIRFilter:
         self._index = (self._index + n) % self.decimation
         return jnp.take(y, idx, axis=-1)
 
+    def execute(self, sample):
+        """Per-sample API: [] on non-emitting pushes (ref decim.rs:190-198)."""
+        return self.execute_block(jnp.asarray([sample]))
+
+    def get_decimation(self) -> int:
+        return self.decimation
+
+    def frequency_response(self, frequency: float) -> complex:
+        return self.filter.frequency_response(frequency)
+
+    def group_delay(self, frequency: float) -> float:
+        return self.filter.group_delay(frequency)
+
 
 class InterpolatingIIRFilter:
     """Zero-stuffing IIR interpolator.
@@ -375,3 +388,16 @@ class InterpolatingIIRFilter:
         )
         stuffed = stuffed.at[..., :: self.interpolation].set(samples)
         return self.filter.execute_block(stuffed)
+
+    def execute(self, sample):
+        """One input -> ``interpolation`` outputs (ref interp.rs:184-190)."""
+        return self.execute_block(jnp.asarray([sample]))
+
+    def get_interpolation(self) -> int:
+        return self.interpolation
+
+    def frequency_response(self, frequency: float) -> complex:
+        return self.filter.frequency_response(frequency)
+
+    def group_delay(self, frequency: float) -> float:
+        return self.filter.group_delay(frequency)
