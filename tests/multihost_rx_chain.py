@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     pid = int(sys.argv[1])
     port = sys.argv[2] if len(sys.argv) > 2 else "29712"
+    layout = sys.argv[3] if len(sys.argv) > 3 else "channel_across_hosts"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -39,7 +40,14 @@ def main() -> int:
 
     cfg = RxChainConfig(dtype=jnp.complex64, nco_mode="exact",
                         agc_mode="block", demod="fm")
-    mesh = parallel.make_mesh(channel=2, time=4)  # channel axis spans hosts
+    if layout == "channel_across_hosts":
+        # device rows = channel: each host holds one channel shard; halos
+        # (time axis) stay within a host
+        mesh = parallel.make_mesh(channel=2, time=4)
+    else:
+        # device columns = time: the 2 time shards sit on DIFFERENT hosts,
+        # so every overlap-save halo ppermute crosses processes (DCN path)
+        mesh = parallel.make_mesh(channel=4, time=2)
     C, L = 4, 2048
     rng = np.random.default_rng(0)
     k = np.arange(L)
@@ -85,7 +93,7 @@ def main() -> int:
     if theta != ref_theta:
         ok = False
 
-    print(f"[p{pid}] {'PASS' if ok else 'FAIL'} "
+    print(f"[p{pid}] {layout}: {'PASS' if ok else 'FAIL'} "
           f"({n_checked} addressable shards checked)", flush=True)
     return 0 if ok else 1
 

@@ -24,13 +24,15 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_sharded_rx_chain():
+@pytest.mark.parametrize("layout", ["channel_across_hosts",
+                                    "time_across_hosts"])
+def test_two_process_sharded_rx_chain(layout):
     worker = os.path.join(os.path.dirname(__file__), "multihost_rx_chain.py")
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
-        subprocess.Popen([sys.executable, worker, str(pid), port],
+        subprocess.Popen([sys.executable, worker, str(pid), port, layout],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env, cwd=os.path.dirname(
                              os.path.dirname(os.path.abspath(worker))))
