@@ -1,4 +1,9 @@
 """Filter analysis: group delay, frequency response."""
 
-from .group_delay import fir_group_delay, iir_group_delay  # noqa: F401
-from .freq_response import fir_frequency_response, iir_frequency_response  # noqa: F401
+from .group_delay import fir_group_delay, iir_group_delay, fir_group_delay_band  # noqa: F401
+from .freq_response import (  # noqa: F401
+    fir_frequency_response,
+    iir_frequency_response,
+    frequency_response_band,
+    iir_frequency_response_band,
+)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fir_group_delay", "iir_group_delay"]
+__all__ = ["fir_group_delay", "iir_group_delay", "fir_group_delay_band"]
 
 _TOLERANCE = 1e-11
 
@@ -62,3 +62,14 @@ def iir_group_delay(numerator, denominator, frequency: float) -> float:
     if np.hypot(t1.real, t1.imag) <= _TOLERANCE:
         raise ZeroDivisionError("denominator coefficients divide numerator by zero")
     return float((t0 / t1).real) - (a.size - 1)
+
+
+def fir_group_delay_band(coefficients, frequencies) -> np.ndarray:
+    """Vectorized FIR group delay over a frequency grid."""
+    c = np.asarray(coefficients, dtype=np.complex128)
+    f = np.atleast_1d(np.asarray(frequencies, dtype=np.float64))
+    i = np.arange(c.size, dtype=np.float64)
+    E = np.exp(2j * np.pi * np.outer(f, i))
+    t0 = E @ (c * i)
+    t1 = E @ c
+    return (t0 / t1).real
