@@ -38,7 +38,7 @@ class RxChainConfig:
     fir_cutoff: float = 0.1            # normalized (0, 0.5)
     fir_attenuation: float = 60.0      # dB
     agc_bandwidth: float = 0.01
-    agc_mode: str = "block"            # "exact" (scan) | "block" (fast)
+    agc_mode: str = "block"   # "exact" (scan) | "parallel" (exact, fast) | "block"
     demod: str = "fm"                  # "fm" | "qpsk" | "am" | "none"
     fm_kf: float = 0.1
     nco_mode: str = "exact"            # "lut" (ref parity) | "exact"
@@ -70,6 +70,8 @@ def make_rx_chain(cfg: RxChainConfig):
     apply(state, x_block) -> (demod_out, new_state); block length must be a
     multiple of the decimation factor.
     """
+    if cfg.agc_mode not in ("exact", "parallel", "block"):
+        raise ValueError(f"unknown agc_mode {cfg.agc_mode!r}")
     # NOTE: closure constants must stay HOST-side (numpy): jit embeds them as
     # MLIR constants, and embedding a committed device array forces a
     # device->host fetch that some backends (axon tunnel) cannot do.
@@ -94,10 +96,17 @@ def make_rx_chain(cfg: RxChainConfig):
             y, agc_state = agc_ops.agc_apply(
                 state.agc, y, cfg.agc_bandwidth, 1.0, -1e30, 100
             )
-        else:
+        elif cfg.agc_mode == "parallel":
+            # exact reference semantics, block-parallel Newton solve
+            y, agc_state = agc_ops.agc_apply_parallel(
+                state.agc, y, cfg.agc_bandwidth, 1.0, -1e30, 100
+            )
+        elif cfg.agc_mode == "block":
             y, agc_state = agc_ops.agc_apply_block_mode(
                 state.agc, y, cfg.agc_bandwidth
             )
+        else:
+            raise ValueError(f"unknown agc_mode {cfg.agc_mode!r}")
         # 4. demod
         fm_prev = state.fm_prev
         if cfg.demod == "fm":

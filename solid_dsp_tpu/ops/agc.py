@@ -31,7 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SquelchMode", "agc_init", "agc_apply", "agc_apply_block_mode", "AGC"]
+__all__ = [
+    "SquelchMode", "agc_init", "agc_apply", "agc_apply_parallel",
+    "agc_apply_block_mode", "AGC",
+]
 
 
 class SquelchMode:
@@ -90,14 +93,8 @@ def _squelch_update(mode, timer, rssi, threshold, timeout):
     return new_mode.astype(jnp.int32), timer
 
 
-@partial(jax.jit, static_argnames=())
-def agc_apply(state, x, alpha, scale, squelch_threshold, squelch_timeout):
-    """Exact per-sample AGC over a block via lax.scan.
-
-    state: carry dict from agc_init (scalars or batched over channels);
-    x: (..., T) with time as the LAST axis (scanned); leading axes vectorize.
-    Returns (y, new_state).
-    """
+def _agc_scan(state, x, alpha, scale, squelch_threshold, squelch_timeout):
+    """Sequential exact AGC (shared by agc_apply and the parallel fallback)."""
     x_t = jnp.moveaxis(x, -1, 0)  # (T, ...)
 
     def step(carry, x_n):
@@ -139,6 +136,206 @@ def agc_apply(state, x, alpha, scale, squelch_threshold, squelch_timeout):
     return jnp.moveaxis(y_t, 0, -1), new_state
 
 
+@partial(jax.jit, static_argnames=())
+def agc_apply(state, x, alpha, scale, squelch_threshold, squelch_timeout):
+    """Exact per-sample AGC over a block via lax.scan.
+
+    state: carry dict from agc_init (scalars or batched over channels);
+    x: (..., T) with time as the LAST axis (scanned); leading axes vectorize.
+    Returns (y, new_state).
+    """
+    return _agc_scan(state, x, alpha, scale, squelch_threshold, squelch_timeout)
+
+
+def _newton_combine(left, right):
+    """(A2, b2) o (A1, b1) = (A2 A1, A2 b1 + b2) for 2x2 linear recurrences."""
+    A1, b1 = left
+    A2, b2 = right
+    return (
+        jnp.matmul(A2, A1, precision="highest"),
+        jnp.einsum("...ij,...j->...i", A2, b1) + b2,
+    )
+
+
+@partial(jax.jit, static_argnames=("newton_iters", "coarse_stride"))
+def agc_apply_parallel(state, x, alpha, scale, squelch_threshold,
+                       squelch_timeout, newton_iters: int = 24,
+                       coarse_stride: int = 32):
+    """Exact-semantics AGC solved block-parallel (the TPU fast path).
+
+    The reference recurrence (auto_gain_control/mod.rs:214-246)
+
+        E_n = (1-a) E_{n-1} + a |x_n|^2 g_{n-1}^2
+        g_n = g_{n-1} * E_n^{-a/2}
+
+    is NONLINEAR (energy couples to gain through |x*g|^2), so unlike the NCO
+    phase it has no closed form.  But it is a smooth 2-state recurrence in
+    s = (E, ln g), so we solve it with a Newton/DEER iteration: linearize the
+    whole-trajectory fixed-point equation s_{n+1} = f(s_n, u_n) around a
+    coarse guess, solve each correction pass delta_n = A_n delta_{n-1} + r_n
+    with a 2x2 ``associative_scan`` (O(log T) depth, fully parallel), and
+    repeat ``newton_iters`` times.  The squelch FSM does NOT feed back into
+    the gain (mod.rs:240 runs after the gain update and only selects the
+    output), so it is applied afterwards — skipped entirely when squelch is
+    DISABLED, else as a cheap int-only scan.
+
+    Exactness: if the final Newton residual exceeds tolerance, or the
+    trajectory approaches either reference gate (E <= 1e-6 skip-update,
+    g >= 1e6 clamp), we ``lax.cond``-fall back to the sequential scan, so the
+    function always returns reference semantics.  Scalar (unbatched) state
+    only; vmap for channel batches.
+
+    Returns (y, new_state) like agc_apply.
+    """
+    rdt = state["energy"].dtype
+    T = x.shape[-1]
+    alpha = jnp.asarray(alpha, rdt)
+    scale_c = jnp.asarray(scale, dtype=x.dtype)
+    u = jnp.real(x * jnp.conj(x)).astype(rdt)
+    tiny = jnp.asarray(np.finfo(np.dtype(rdt)).tiny * 1e3, rdt)
+    eps = np.finfo(np.dtype(rdt)).eps
+    tol = jnp.asarray(np.sqrt(eps), rdt)
+    one_m = 1.0 - alpha
+
+    def locked_branch(_):
+        # gain frozen: y = x*g exactly; E_T is a plain weighted reduction
+        g0 = state["gain"]
+        y = x * g0.astype(x.dtype)
+        kk = jnp.arange(T - 1, -1, -1, dtype=rdt)
+        w = jnp.power(one_m, kk)
+        e_t = jnp.power(one_m, jnp.asarray(T, rdt)) * state["energy"] \
+            + alpha * g0 * g0 * jnp.dot(w, u)
+        return y, {**state, "energy": e_t}
+
+    def unlocked_branch(_):
+        G0 = jnp.log(jnp.maximum(state["gain"], tiny))
+        F0 = jnp.log(jnp.maximum(state["energy"], tiny))
+        ln_clamp = jnp.asarray(np.log(1e6), rdt)
+
+        # ---- coarse initializer: per-group fixed-point blend -------------
+        # Within a stride-S group the AGC relaxes toward its fixed point
+        # (E* = 1, g* = 1/sqrt(ubar)); blend entry state toward it at the
+        # per-sample contraction rate (1-alpha)^S.  Rough is fine — the
+        # clipped Newton iteration below repairs O(1) init errors.
+        S = coarse_stride
+        Tc = -(-T // S)
+        u_pad = jnp.pad(u, (0, Tc * S - T)).reshape(Tc, S)
+        ubar = jnp.mean(u_pad, axis=-1)
+        rho = jnp.power(one_m, jnp.asarray(S, rdt))
+        lnu = jnp.log(jnp.maximum(ubar, tiny))
+
+        def coarse_step(carry, lnu_i):
+            F, G = carry
+            g_fp = jnp.minimum(-0.5 * lnu_i, ln_clamp)
+            G = g_fp + rho * (G - g_fp)
+            f_t = lnu_i + 2.0 * G
+            F = f_t + rho * (F - f_t)
+            return (F, G), (F, G)
+
+        _, (Fc, Gc) = jax.lax.scan(coarse_step, (F0, G0), lnu)
+        Fhat = jnp.repeat(Fc, S)[:T]
+        Ghat = jnp.repeat(Gc, S)[:T]
+
+        # ---- clipped Newton/DEER in log-energy coordinates ---------------
+        # f(F,G) = (ln((1-a)e^F + a u e^{2G}),  G - a/2 * fF); the log-domain
+        # Jacobian entries are bounded in (0,2) so the linearized correction
+        # recurrence cannot overflow, and a trust-region clip of 2.0 keeps
+        # far-from-basin steps sane.
+        def f_eval(Fh, Gh):
+            F_in = jnp.concatenate([F0[None], Fh[:-1]])
+            G_in = jnp.concatenate([G0[None], Gh[:-1]])
+            t1 = one_m * jnp.exp(F_in)
+            t2 = alpha * u * jnp.exp(2.0 * G_in)
+            den = jnp.maximum(t1 + t2, tiny)
+            fF = jnp.log(den)
+            fG = G_in - 0.5 * alpha * fF
+            j11 = t1 / den
+            j12 = 2.0 * t2 / den
+            return G_in, fF, fG, j11, j12
+
+        tol_iter = jnp.asarray(100.0 * eps, rdt)
+
+        def newton_cond(carry):
+            _, _, res, it = carry
+            return (res > tol_iter) & (it < newton_iters)
+
+        def newton_body(carry):
+            Fh, Gh, _, it = carry
+            _, fF, fG, j11, j12 = f_eval(Fh, Gh)
+            A = jnp.empty((T, 2, 2), rdt)
+            A = A.at[:, 0, 0].set(j11)
+            A = A.at[:, 0, 1].set(j12)
+            A = A.at[:, 1, 0].set(-0.5 * alpha * j11)
+            A = A.at[:, 1, 1].set(1.0 - 0.5 * alpha * j12)
+            rF = fF - Fh
+            rG = fG - Gh
+            r = jnp.stack([rF, rG], axis=-1)
+            _, delta = jax.lax.associative_scan(_newton_combine, (A, r))
+            Fh = Fh + jnp.clip(delta[:, 0], -2.0, 2.0)
+            Gh = Gh + jnp.clip(delta[:, 1], -2.0, 2.0)
+            res = jnp.maximum(jnp.max(jnp.abs(rF)), jnp.max(jnp.abs(rG)))
+            return Fh, Gh, res, it + 1
+
+        Fhat, Ghat, _, _ = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (Fhat, Ghat, jnp.asarray(np.inf, rdt), jnp.asarray(0, jnp.int32)),
+        )
+
+        G_in, fF, fG, _, _ = f_eval(Fhat, Ghat)
+        res_f = jnp.max(jnp.abs(fF - Fhat))
+        res_g = jnp.max(jnp.abs(fG - Ghat))
+        ln_gate = jnp.asarray(np.log(1.01e-6), rdt)
+        bad = (
+            (res_f > tol) | (res_g > tol)
+            | jnp.isnan(res_f) | jnp.isnan(res_g)
+            | (jnp.min(fF) <= ln_gate)           # E<=1e-6 gate skips updates
+            | (jnp.max(Ghat) >= ln_clamp - 10 * eps)  # gain clamp at 1e6
+        )
+
+        # ---- squelch FSM (output-select only; gains already solved) ----
+        mode0, timer0 = state["mode"], state["timer"]
+
+        def fsm_run(_):
+            rssi = Ghat * jnp.asarray(-20.0 / np.log(10.0), rdt)
+
+            def fsm_step(carry, rssi_n):
+                m, t = carry
+                m_new, t_new = _squelch_update(
+                    m, t, rssi_n, squelch_threshold, squelch_timeout
+                )
+                return (m_new, t_new), m_new
+
+            (m_t, t_t), modes = jax.lax.scan(fsm_step, (mode0, timer0), rssi)
+            return modes, m_t, t_t
+
+        def fsm_skip(_):
+            return jnp.broadcast_to(mode0, (T,)), mode0, timer0
+
+        modes, mode_t, timer_t = jax.lax.cond(
+            mode0 == SquelchMode.DISABLED, fsm_skip, fsm_run, None
+        )
+
+        def newton_result(_):
+            out = x * jnp.exp(G_in).astype(x.dtype)
+            y = jnp.where(modes == SquelchMode.ENABLED, x, out * scale_c)
+            new_state = {
+                "gain": jnp.exp(Ghat[-1]).astype(rdt),
+                "energy": jnp.exp(fF[-1]).astype(rdt),
+                "lock": state["lock"],
+                "mode": mode_t,
+                "timer": timer_t,
+            }
+            return y, new_state
+
+        def scan_fallback(_):
+            return _agc_scan(state, x, alpha, scale,
+                             squelch_threshold, squelch_timeout)
+
+        return jax.lax.cond(bad, scan_fallback, newton_result, None)
+
+    return jax.lax.cond(state["lock"], locked_branch, unlocked_branch, None)
+
+
 def block_gain_update(state, ee, alpha, T):
     """Shared block-mode gain/energy update rule.
 
@@ -171,9 +368,16 @@ def agc_apply_block_mode(state, x, alpha):
 
 
 class AGC:
-    """Stateful AGC with the reference's API shape (ref auto_gain_control)."""
+    """Stateful AGC with the reference's API shape (ref auto_gain_control).
 
-    def __init__(self, dtype=None):
+    method: "scan" (sequential exact) or "parallel" (exact semantics via the
+    Newton solve with automatic scan fallback).
+    """
+
+    def __init__(self, dtype=None, method: str = "scan"):
+        if method not in ("scan", "parallel"):
+            raise ValueError(f"unknown AGC method {method!r}")
+        self._method = method
         self._dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                                 else jnp.float32)
         self.bandwidth = 0.1
@@ -294,7 +498,8 @@ class AGC:
     # --- execution ----------------------------------------------------------
     def execute_block(self, samples):
         samples = jnp.asarray(samples)
-        y, self._st = agc_apply(
+        fn = agc_apply_parallel if self._method == "parallel" else agc_apply
+        y, self._st = fn(
             self._st, samples, self.alpha, self.scale,
             self.squelch_threshold, self.squelch_timeout,
         )

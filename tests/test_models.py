@@ -276,3 +276,24 @@ def test_rx_chain_long_stream_soak():
         outs2.append(np.asarray(o))
     np.testing.assert_array_equal(streamed, np.concatenate(outs2))
     assert np.isfinite(streamed).all()
+
+
+def test_rx_chain_parallel_agc_matches_exact():
+    """agc_mode='parallel' is exact reference semantics, just solved fast."""
+    rng = np.random.default_rng(31)
+    x = (0.1 * (rng.standard_normal(8192) + 1j * rng.standard_normal(8192))
+         ).astype(np.complex128)
+    outs = {}
+    for mode in ("exact", "parallel"):
+        chain = RxChain(RxChainConfig(
+            carrier_freq=0.2, decimation=4, fir_taps=64, agc_bandwidth=0.01,
+            agc_mode=mode, demod="fm", dtype=jnp.complex128))
+        outs[mode] = np.asarray(chain.execute_block(x))
+    np.testing.assert_allclose(outs["parallel"], outs["exact"], atol=1e-10)
+
+
+def test_rx_chain_rejects_unknown_agc_mode():
+    import pytest
+
+    with pytest.raises(ValueError):
+        RxChain(RxChainConfig(agc_mode="nope"))

@@ -217,3 +217,121 @@ def test_agc_reset():
     a.reset()
     assert a.get_gain() == 1.0
     assert a.squelch_get_mode() == agc_mod.SquelchMode.ENABLED
+
+
+# ------------------------------------------------- parallel (Newton) AGC
+def _cmp_parallel(x, st, alpha, thr=-1e30, to=100, scale=1.0, atol=1e-11):
+    """agc_apply_parallel must reproduce the exact scan to ~machine epsilon."""
+    y1, s1 = agc_mod.agc_apply(st, x, alpha, scale, thr, to)
+    y2, s2 = agc_mod.agc_apply_parallel(st, x, alpha, scale, thr, to)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=atol)
+    np.testing.assert_allclose(
+        float(s1["gain"]), float(s2["gain"]), rtol=1e-10)
+    np.testing.assert_allclose(
+        float(s1["energy"]), float(s2["energy"]), rtol=1e-9)
+    assert int(s1["mode"]) == int(s2["mode"])
+    assert int(s1["timer"]) == int(s2["timer"])
+    return y1, y2
+
+
+def test_agc_parallel_matches_scan_random():
+    rng = np.random.default_rng(11)
+    st = agc_mod.agc_init(jnp.float64)
+    for amp, alpha, T in [(0.1, 0.02, 5000), (1.0, 0.1, 4096),
+                          (100.0, 0.1, 8192), (1e-3, 0.05, 20000)]:
+        x = jnp.asarray(amp * (rng.standard_normal(T)
+                               + 1j * rng.standard_normal(T)))
+        _cmp_parallel(x, st, alpha)
+
+
+def test_agc_parallel_newton_path_actually_runs():
+    # sanity: on a benign stream the Newton path (not the scan fallback)
+    # must produce the output — detectable because the fallback is
+    # bit-identical to the scan while Newton differs in the last ulps.
+    rng = np.random.default_rng(12)
+    st = agc_mod.agc_init(jnp.float64)
+    x = jnp.asarray(0.1 * (rng.standard_normal(4096)
+                           + 1j * rng.standard_normal(4096)))
+    y1, y2 = _cmp_parallel(x, st, 0.02)
+    assert float(jnp.max(jnp.abs(y1 - y2))) != 0.0
+
+
+def test_agc_parallel_far_initial_gain():
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(0.1 * (rng.standard_normal(8192)
+                           + 1j * rng.standard_normal(8192)))
+    st = dict(agc_mod.agc_init(jnp.float64))
+    st["gain"] = jnp.asarray(1000.0)
+    _cmp_parallel(x, st, 0.05)
+    st["gain"] = jnp.asarray(1e-4)
+    st["energy"] = jnp.asarray(100.0)
+    _cmp_parallel(x, st, 0.05)
+
+
+def test_agc_parallel_squelch_transitions():
+    # loud -> quiet walks the FSM through RISE/SIGNALHI/FALL/SIGNALLO/TIMEOUT
+    rng = np.random.default_rng(14)
+    loud = 1.0 * np.exp(1j * rng.standard_normal(50))
+    quiet = 1e-4 * np.exp(1j * rng.standard_normal(300))
+    x = jnp.asarray(np.concatenate([loud, quiet]))
+    st = dict(agc_mod.agc_init(jnp.float64))
+    st["mode"] = jnp.asarray(agc_mod.SquelchMode.ENABLED, jnp.int32)
+    _cmp_parallel(x, st, 0.1, thr=-30.0, to=20)
+
+
+def test_agc_parallel_locked():
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(0.3 * (rng.standard_normal(2048)
+                           + 1j * rng.standard_normal(2048)))
+    st = dict(agc_mod.agc_init(jnp.float64))
+    st["lock"] = jnp.asarray(True)
+    st["gain"] = jnp.asarray(3.0)
+    _cmp_parallel(x, st, 0.02)
+
+
+def test_agc_parallel_gate_fallback_bit_exact():
+    # all-zero input decays energy through the 1e-6 gate and the gain climbs
+    # to the 1e6 clamp: the parallel path must detect both and fall back to
+    # the sequential scan, whose output is bit-identical by construction.
+    st = agc_mod.agc_init(jnp.float64)
+    x = jnp.zeros(2000, jnp.complex128)
+    y1, s1 = agc_mod.agc_apply(st, x, 0.02, 1.0, -1e30, 100)
+    y2, s2 = agc_mod.agc_apply_parallel(st, x, 0.02, 1.0, -1e30, 100)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert float(s1["gain"]) == float(s2["gain"]) == 1e6
+    assert float(s1["energy"]) == float(s2["energy"])
+
+
+def test_agc_parallel_streaming_continuation():
+    # split-block execution must equal one-shot execution
+    rng = np.random.default_rng(16)
+    x = 0.1 * (rng.standard_normal(6000) + 1j * rng.standard_normal(6000))
+    st = agc_mod.agc_init(jnp.float64)
+    y_full, s_full = agc_mod.agc_apply_parallel(
+        st, jnp.asarray(x), 0.02, 1.0, -1e30, 100)
+    y_a, s_mid = agc_mod.agc_apply_parallel(
+        st, jnp.asarray(x[:2500]), 0.02, 1.0, -1e30, 100)
+    y_b, s_end = agc_mod.agc_apply_parallel(
+        s_mid, jnp.asarray(x[2500:]), 0.02, 1.0, -1e30, 100)
+    np.testing.assert_allclose(
+        np.asarray(y_full), np.concatenate([y_a, y_b]), atol=1e-11)
+    np.testing.assert_allclose(
+        float(s_full["gain"]), float(s_end["gain"]), rtol=1e-10)
+
+
+def test_agc_parallel_class_method_vs_reference():
+    rng = np.random.default_rng(17)
+    x = 0.1 * (rng.standard_normal(400) + 1j * rng.standard_normal(400))
+    ref = RefAGC()
+    ref.mode = RefAGC.ENABLED
+    ref.threshold = -30.0
+    ref.alpha = 0.02
+    got_ref = ref.execute_block(x)
+
+    a = agc_mod.AGC(method="parallel")
+    a.squelch_enable()
+    a.squelch_set_threshold(-30.0)
+    a.set_bandwidth(0.02)
+    got = np.asarray(a.execute_block(jnp.asarray(x)))
+    np.testing.assert_allclose(got, got_ref, atol=1e-10)
+    assert a.squelch_get_mode() == ref.mode
