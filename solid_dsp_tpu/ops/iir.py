@@ -74,6 +74,41 @@ def iir_init(order: int, dtype=jnp.complex64, batch_shape: tuple = ()) -> jnp.nd
     return jnp.zeros((*batch_shape, order), dtype=dtype)
 
 
+# Largest pole radius for which the 32-bit parallel (companion-matrix
+# associative scan) path is guaranteed >= 90 dB SNR vs the sequential scan
+# on million-sample blocks (measured; see tests/test_iir.py stability-
+# boundary tests).  Beyond it the cumulative matrix products lose precision
+# exactly where narrow filters live (e.g. iirdes::pll active_lag bw=0.02
+# has a pole AT |z|=1), so "auto" selects the scan there.  64-bit parallel
+# stays >= 210 dB even at radius 0.99999 and is always safe.
+PARALLEL_SAFE_RADIUS_32BIT = 0.99
+
+
+def max_pole_radius(a) -> float:
+    """Largest |root| of the denominator polynomial (host-side, f64)."""
+    a = np.asarray(a, dtype=np.float64)
+    if a.size <= 1:
+        return 0.0
+    roots = np.roots(a)
+    return float(np.max(np.abs(roots))) if roots.size else 0.0
+
+
+def resolve_iir_method(method: str, a_full, dtype) -> str:
+    """Resolve "auto" to "parallel"/"scan" from pole radius and precision.
+
+    a_full: full (a0-normalized) denominator, host-side.  64-bit dtypes
+    always take the parallel path; 32-bit takes it only when every pole is
+    inside PARALLEL_SAFE_RADIUS_32BIT.
+    """
+    if method != "auto":
+        return method
+    if np.dtype(dtype) in (np.float64, np.complex128):
+        return "parallel"
+    return ("parallel"
+            if max_pole_radius(a_full) <= PARALLEL_SAFE_RADIUS_32BIT
+            else "scan")
+
+
 def _w_recurrence_scan(a_tail: jnp.ndarray, w_state: jnp.ndarray, x: jnp.ndarray):
     """Sequential scan over samples.  a_tail = a[1:] (a0-normalized)."""
 
@@ -181,7 +216,8 @@ class SecondOrderFilter:
     reference's (quirky) golden values.
     """
 
-    def __init__(self, feed_forward, feed_back, dtype=None):
+    def __init__(self, feed_forward, feed_back, dtype=None,
+                 method: str = "auto"):
         ff = np.asarray(feed_forward, dtype=np.float64)
         fb = np.asarray(feed_back, dtype=np.float64)
         if ff.size < 3 or fb.size < 3:
@@ -190,7 +226,7 @@ class SecondOrderFilter:
         self._b = jnp.asarray(b, dtype=dtype)
         self._a_tail = jnp.asarray(a[1:], dtype=dtype)
         self._state = jnp.zeros(2, dtype=self._b.dtype)
-        self.method = "parallel"
+        self.method = resolve_iir_method(method, a, self._b.dtype)
 
     # reference-parity (swapped) accessors
     def numerator_coefs(self) -> np.ndarray:
@@ -232,7 +268,7 @@ class IIRFilter:
 
     def __init__(self, feed_forward, feed_back,
                  iirtype: str = IIRFilterType.NORMAL, dtype=None,
-                 method: str = "parallel"):
+                 method: str = "auto"):
         ff = np.asarray(feed_forward, dtype=np.float64)
         fb = np.asarray(feed_back, dtype=np.float64)
         self.iirtype = iirtype
@@ -246,6 +282,7 @@ class IIRFilter:
             b, a = _normalize(ff, fb)
             self._b = jnp.asarray(b, dtype=dtype)
             self._a_tail = jnp.asarray(a[1:], dtype=dtype)
+            self.method = resolve_iir_method(method, a, self._b.dtype)
             k = max(len(a) - 1, len(b) - 1, 1)
             # state dimension = len(a)-1 for the recurrence; the FIR part may
             # need older w's, so carry max(len(a), len(b)) - 1 entries
@@ -266,7 +303,7 @@ class IIRFilter:
             for i in range(n):
                 self._sections.append(
                     SecondOrderFilter(ff[3 * i : 3 * i + 3], fb[3 * i : 3 * i + 3],
-                                      dtype=dtype)
+                                      dtype=dtype, method=method)
                 )
             self._num_store = ff  # FORWARD stores (mod.rs:162-167)
             self._den_store = fb

@@ -18,6 +18,12 @@ def _dft(x, sign=-1):
     return W @ x
 
 
+def _snr(ref, test):
+    ref = np.asarray(ref); test = np.asarray(test)
+    err = ref - test
+    return 10*np.log10(np.mean(np.abs(ref)**2) / (np.mean(np.abs(err)**2) + 1e-300))
+
+
 # ------------------------------------------------------------------ planner
 @pytest.mark.parametrize(
     "n,method",
@@ -141,3 +147,42 @@ def test_spectrogram_shape():
     x = np.random.default_rng(4).standard_normal(4096) + 0j
     S = F.spectrogram(x, frame=512, hop=256)
     assert S.shape == (15, 512)
+
+
+# ------------------------------------------------------------- bluestein
+@pytest.mark.parametrize("n", [1000, 1009, 4095, 10007, 97, 360])
+def test_bluestein_forward_vs_numpy(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(F.fft(jnp.asarray(x, jnp.complex128),
+                                 backend="bluestein"))
+    want = np.fft.fft(x)
+    assert _snr(want, got) >= 120.0
+
+
+@pytest.mark.parametrize("n", [1009, 4095])
+def test_bluestein_inverse_unnormalized(n):
+    rng = np.random.default_rng(n + 1)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = np.asarray(F.ifft(jnp.asarray(x, jnp.complex128),
+                                  backend="bluestein"))
+    want = np.fft.ifft(x) * n  # reference convention: no 1/N
+    assert _snr(want, got) >= 120.0
+
+
+def test_bluestein_batched():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((7, 1009)) + 1j * rng.standard_normal((7, 1009))
+    got = np.asarray(F.fft(jnp.asarray(x, jnp.complex128),
+                                 backend="bluestein"))
+    want = np.fft.fft(x, axis=-1)
+    assert _snr(want, got) >= 120.0
+
+
+def test_bluestein_roundtrip_scaling():
+    n = 1009
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    X = F.fft(jnp.asarray(x, jnp.complex128), backend="bluestein")
+    y = np.asarray(F.ifft(X, backend="bluestein")) / n
+    assert _snr(x, y) >= 120.0

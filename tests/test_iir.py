@@ -129,3 +129,95 @@ def test_iir_normal_vs_sos_same_filter():
     ya = np.asarray(fa.execute_block(jnp.asarray(x)))
     yb = np.real(np.asarray(fb.execute_block(jnp.asarray(x))))
     np.testing.assert_allclose(ya, yb, atol=1e-10)
+
+
+# ------------------------------------------- stability-boundary hardening
+def _snr_db(ref, test):
+    ref = np.asarray(ref)
+    err = ref - np.asarray(test)
+    return 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                         / (np.mean(np.abs(err) ** 2) + 1e-300))
+
+
+def _pole_pair(r, theta=0.3):
+    return np.array([1.0, -2 * r * np.cos(theta), r * r])
+
+
+@pytest.mark.parametrize("r", [0.99, 0.999, 0.9999])
+def test_parallel_scan_agreement_near_unit_circle_f64(r):
+    """64-bit parallel stays exact (>=120 dB) arbitrarily close to |z|=1."""
+    rng = np.random.default_rng(int(r * 1e4))
+    T = 1 << 18
+    a = _pole_pair(r)
+    b = np.array([1.0, 0.0, 0.0])
+    x = jnp.asarray(rng.standard_normal(T))
+    ys, _ = iir.iir_apply(jnp.asarray(b), jnp.asarray(a[1:]),
+                          jnp.zeros(2), x, method="scan")
+    yp, _ = iir.iir_apply(jnp.asarray(b), jnp.asarray(a[1:]),
+                          jnp.zeros(2), x, method="parallel")
+    assert _snr_db(ys, yp) >= 120.0
+
+
+def test_parallel_safe_radius_guarantee_f32():
+    """Documented guarantee: f32 parallel >= 90 dB up to radius 0.99."""
+    rng = np.random.default_rng(5)
+    T = 1 << 20
+    r = iir.PARALLEL_SAFE_RADIUS_32BIT
+    a = _pole_pair(r)
+    b = np.array([1.0, 0.0, 0.0])
+    x = rng.standard_normal(T)
+    y_true, _ = iir.iir_apply(jnp.asarray(b), jnp.asarray(a[1:]),
+                              jnp.zeros(2), jnp.asarray(x), method="scan")
+    yp, _ = iir.iir_apply(jnp.asarray(b, jnp.float32),
+                          jnp.asarray(a[1:], jnp.float32),
+                          jnp.zeros(2, jnp.float32),
+                          jnp.asarray(x, jnp.float32), method="parallel")
+    assert _snr_db(y_true, yp) >= 90.0
+
+
+def test_auto_method_selection():
+    """auto: parallel for 64-bit or safe poles; scan for f32 near |z|=1."""
+    safe = _pole_pair(0.9)
+    risky = _pole_pair(0.9999)
+    b3 = [1.0, 0.0, 0.0]
+    # 64-bit: always parallel
+    assert iir.IIRFilter(b3, list(safe)).method == "parallel"
+    assert iir.IIRFilter(b3, list(risky)).method == "parallel"
+    # 32-bit: radius-gated
+    f = iir.IIRFilter(b3, list(safe), dtype=jnp.float32)
+    assert f.method == "parallel"
+    f = iir.IIRFilter(b3, list(risky), dtype=jnp.float32)
+    assert f.method == "scan"
+    # explicit override wins
+    f = iir.IIRFilter(b3, list(risky), dtype=jnp.float32, method="parallel")
+    assert f.method == "parallel"
+
+
+def test_auto_method_pll_active_lag_is_scan_in_f32():
+    """The bw=0.02 PLL loop filter has a pole AT |z|=1 (integrator) —
+    exactly the dangerous regime; auto must take the scan in 32-bit."""
+    from solid_dsp_tpu.design import iirdes
+
+    num, den = iirdes.pll_active_lag(0.02, 1 / np.sqrt(2), 1000.0)
+    assert iir.max_pole_radius(np.asarray(den) / den[0]) > 0.999
+    f = iir.IIRFilter(num, den, iir.IIRFilterType.SECOND_ORDER,
+                      dtype=jnp.float32)
+    assert all(s.method == "scan" for s in f.second_order_filters())
+    f64 = iir.IIRFilter(num, den, iir.IIRFilterType.SECOND_ORDER)
+    assert all(s.method == "parallel" for s in f64.second_order_filters())
+
+
+def test_auto_method_output_accuracy_risky_poles_f32():
+    """End-to-end: f32 auto (scan) output stays >= 80 dB vs f64 truth on a
+    1M-sample block with pole radius 0.9999."""
+    rng = np.random.default_rng(6)
+    T = 1 << 20
+    a = _pole_pair(0.9999)
+    b = np.array([0.01, 0.0, 0.0])  # keep output amplitude sane
+    x = rng.standard_normal(T)
+    truth, _ = iir.iir_apply(jnp.asarray(b), jnp.asarray(a[1:]),
+                             jnp.zeros(2), jnp.asarray(x), method="scan")
+    f = iir.IIRFilter(list(b), list(a), dtype=jnp.float32)
+    assert f.method == "scan"
+    y = f.execute_block(jnp.asarray(x, jnp.float32))
+    assert _snr_db(truth, y) >= 80.0
