@@ -43,6 +43,11 @@ class RxChainConfig:
     fm_kf: float = 0.1
     nco_mode: str = "exact"            # "lut" (ref parity) | "exact"
     dtype: object = jnp.complex64
+    # SURVEY §5 sanitizer analog: when True, per-stage finite checks run
+    # inside the jitted chain and the wrapper raises FloatingPointError
+    # naming the first stage that produced a NaN/Inf.  Off by default (one
+    # extra scalar fetch per block when on).
+    debug_checks: bool = False
 
     def design_taps(self) -> np.ndarray:
         taps = firdes.firdes_kaiser(
@@ -91,6 +96,7 @@ def make_rx_chain(cfg: RxChainConfig):
             taps, state.fir_tail, state.fir_phase, mixed,
             jnp.asarray(1.0, dtype=cfg.dtype), cfg.decimation,
         )
+        y_fir = y
         # 3. AGC
         if cfg.agc_mode == "exact":
             y, agc_state = agc_ops.agc_apply(
@@ -124,9 +130,30 @@ def make_rx_chain(cfg: RxChainConfig):
             agc=agc_state,
             fm_prev=fm_prev,
         )
+        if cfg.debug_checks:
+            flags = {
+                "input": jnp.all(jnp.isfinite(x)),
+                "nco": jnp.all(jnp.isfinite(mixed)),
+                "fir": jnp.all(jnp.isfinite(y_fir)),
+                "agc": jnp.all(jnp.isfinite(y)),
+                "demod": jnp.all(jnp.isfinite(out)),
+            }
+            return out, new_state, flags
         return out, new_state
 
-    return partial(rx_chain_init, cfg), apply
+    if not cfg.debug_checks:
+        return partial(rx_chain_init, cfg), apply
+
+    def checked_apply(state: ChainState, x):
+        out, new_state, flags = apply(state, x)
+        for stage in ("input", "nco", "fir", "agc", "demod"):
+            if not bool(flags[stage]):  # scalar fetch; debug mode only
+                raise FloatingPointError(
+                    f"non-finite values detected at chain stage {stage!r}"
+                )
+        return out, new_state
+
+    return partial(rx_chain_init, cfg), checked_apply
 
 
 class RxChain:

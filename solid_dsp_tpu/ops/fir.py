@@ -264,6 +264,37 @@ class FIRFilter:
     def get_scale(self):
         return self.scale
 
+    # Firdes trait parity (ref firdes/filter_traits.rs:4-39): analysis
+    # metrics bolted onto the filter object, applied to coefficients() —
+    # i.e. the REVERSED storage order, exactly like the reference.
+    def autocorrelation(self, lag: int) -> float:
+        from ..design import firdes
+
+        return firdes.filter_autocorrelation(self.coefficients(), lag)
+
+    def crosscorrelation(self, rhs: "FIRFilter", lag: int) -> float:
+        from ..design import firdes
+
+        return firdes.filter_crosscorrelation(
+            self.coefficients(), rhs.coefficients(), lag)
+
+    def isi(self, samples_per_symbol: int, delay: int) -> tuple:
+        from ..design import firdes
+
+        return firdes.filter_isi(self.coefficients(), samples_per_symbol,
+                                 delay)
+
+    def energy(self, cutoff_frequency: float, fft_size: int) -> float:
+        from ..design import firdes
+
+        try:
+            return firdes.filter_energy(self.coefficients(),
+                                        cutoff_frequency, fft_size)
+        except ValueError:
+            # parity: the reference swallows the error and returns 0.0
+            # (filter_traits.rs:29-37)
+            return 0.0
+
     def reset(self) -> None:
         self._tail = fir_init(len(self), dtype=self._taps.dtype)
 

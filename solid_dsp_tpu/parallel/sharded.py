@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import fm as fm_mod
+from ..models import qpsk as qpsk_mod
 from ..models.channelizer import channelizer_taps
 from ..models.rx_chain import RxChainConfig
 from ..ops import agc as agc_ops
@@ -94,6 +95,8 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
     block mode with the block energy ``pmean``-ed over the ``time`` axis —
     identical to single-chip *block-mode* AGC on the full block.
     """
+    if cfg.demod not in ("fm", "qpsk", "am", "none"):
+        raise ValueError(f"unknown demod {cfg.demod!r}")
     # host-side closure constants (see models/rx_chain.py note)
     taps = np.asarray(cfg.design_taps(), dtype=cfg.dtype)
     n = int(taps.shape[-1])
@@ -145,11 +148,23 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
                                           "time")
 
         # 4. demod.  FM needs a 1-sample halo for the discriminator memory;
-        #    AM envelope and passthrough are memoryless.
+        #    AM envelope and passthrough are memoryless; QPSK carrier
+        #    recovery estimates from the WHOLE block (4th-power spectral
+        #    line), so the time shards all_gather the decimated stream, run
+        #    the same estimator as the single-chip chain, and keep their own
+        #    slice — semantics identical to qpsk_carrier_block on the full
+        #    block, cost one (L/M)-sample all-gather over ICI.
         if cfg.demod == "fm":
             prev_halo = left_halo(y[..., -1], "time")
             fm_prev_l = jnp.where(t_idx == 0, state.fm_prev, prev_halo)
             out, _ = fm_mod.fm_demodulate(fm_prev_l, y, cfg.fm_kf)
+        elif cfg.demod == "qpsk":
+            y_full = jax.lax.all_gather(y, "time", axis=y.ndim - 1,
+                                        tiled=True)
+            out_full, _, _ = qpsk_mod.qpsk_carrier_block(y_full)
+            lo = y.shape[-1]
+            out = jax.lax.dynamic_slice_in_dim(
+                out_full, t_idx * lo, lo, axis=out_full.ndim - 1)
         elif cfg.demod == "am":
             out = jnp.abs(y)
         else:

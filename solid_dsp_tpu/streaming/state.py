@@ -68,19 +68,63 @@ class ChainState(Mapping):
         return cls(**dict(zip(keys, values)))
 
     # checkpoint ----------------------------------------------------------
+    CHECKPOINT_VERSION = 1
+
     def save(self, path: str) -> None:
-        """Serialize every leaf to an .npz checkpoint."""
+        """Serialize every leaf to an .npz checkpoint (versioned)."""
         leaves, treedef = jax.tree_util.tree_flatten(self)
         np.savez(
             path,
+            __version__=np.asarray(self.CHECKPOINT_VERSION),
             __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
         )
 
     @classmethod
     def load(cls, path: str, like: "ChainState") -> "ChainState":
-        """Restore a checkpoint using ``like`` for the tree structure."""
+        """Restore a checkpoint, validating it against ``like``.
+
+        The saved treedef, leaf count, and per-leaf shapes/dtypes must all
+        match ``like``'s structure; any drift (renamed components, changed
+        filter orders, different chain config) fails with a clear message
+        instead of silently mis-assigning leaves.
+        """
         data = np.load(path)
-        leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
-        treedef = jax.tree_util.tree_structure(like)
-        return jax.tree_util.tree_unflatten(treedef, leaves)
+        version = int(data["__version__"]) if "__version__" in data else 0
+        if version > cls.CHECKPOINT_VERSION:
+            raise ValueError(
+                f"checkpoint {path!r} has version {version}, newer than "
+                f"this build's {cls.CHECKPOINT_VERSION}"
+            )
+        saved_treedef = bytes(data["__treedef__"]).decode()
+        like_leaves, like_treedef = jax.tree_util.tree_flatten(like)
+        if saved_treedef != str(like_treedef):
+            raise ValueError(
+                "checkpoint structure mismatch:\n"
+                f"  saved:    {saved_treedef}\n"
+                f"  expected: {like_treedef}"
+            )
+        n_meta = sum(k in data for k in ("__version__", "__treedef__"))
+        n_leaves = len(data.files) - n_meta
+        if n_leaves != len(like_leaves):
+            raise ValueError(
+                f"checkpoint has {n_leaves} leaves, expected "
+                f"{len(like_leaves)}"
+            )
+        leaves = []
+        for i, want in enumerate(like_leaves):
+            got = data[f"leaf_{i}"]
+            want_shape = tuple(np.shape(want))
+            want_dtype = np.asarray(want).dtype
+            if tuple(got.shape) != want_shape:
+                raise ValueError(
+                    f"checkpoint leaf {i}: shape {tuple(got.shape)} != "
+                    f"expected {want_shape}"
+                )
+            if got.dtype != want_dtype:
+                raise ValueError(
+                    f"checkpoint leaf {i}: dtype {got.dtype} != expected "
+                    f"{want_dtype}"
+                )
+            leaves.append(got)
+        return jax.tree_util.tree_unflatten(like_treedef, leaves)

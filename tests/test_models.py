@@ -297,3 +297,55 @@ def test_rx_chain_rejects_unknown_agc_mode():
 
     with pytest.raises(ValueError):
         RxChain(RxChainConfig(agc_mode="nope"))
+
+
+def test_rx_chain_debug_checks_catch_injected_nan():
+    """SURVEY §5 sanitizer analog: debug mode names the poisoned stage."""
+    import pytest
+
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod="fm",
+                        debug_checks=True)
+    chain = RxChain(cfg)
+    x = np.full(256, 0.1 + 0.1j, dtype=np.complex128)
+    chain.execute_block(x)  # clean block passes
+
+    x_bad = x.copy()
+    x_bad[100] = np.nan + 1j * np.nan
+    with pytest.raises(FloatingPointError, match="input"):
+        chain.execute_block(x_bad)
+
+
+def test_rx_chain_debug_checks_off_by_default_same_output():
+    rng = np.random.default_rng(40)
+    x = (0.1 * (rng.standard_normal(1024) + 1j * rng.standard_normal(1024))
+         ).astype(np.complex128)
+    base = RxChain(RxChainConfig(dtype=jnp.complex128, agc_mode="block"))
+    dbg = RxChain(RxChainConfig(dtype=jnp.complex128, agc_mode="block",
+                                debug_checks=True))
+    np.testing.assert_array_equal(np.asarray(base.execute_block(x)),
+                                  np.asarray(dbg.execute_block(x)))
+
+
+def test_firdes_trait_methods_on_fir_filter():
+    """Firdes trait parity (filter_traits.rs:4-39): analysis metrics as
+    FIRFilter methods, applied to the reversed coefficient storage, with
+    golden values from the reference doctests."""
+    from solid_dsp_tpu.design import firdes
+    from solid_dsp_tpu.ops.fir import FIRFilter
+
+    notch = FIRFilter(firdes.firdes_notch(25, 0.2, 30.0))
+    kais = FIRFilter(firdes.firdes_kaiser(51, 0.35, 60.0, 0.0))
+    # golden: firdes/mod.rs:441 (autocorrelation at +/-3 identical)
+    assert abs(np.float32(notch.autocorrelation(3)) - np.float32(0.047983058)) < 2e-7
+    assert notch.autocorrelation(3) == notch.autocorrelation(-3)
+    # golden: firdes/mod.rs:485
+    assert abs(np.float32(kais.crosscorrelation(notch, 0))
+               - np.float32(0.92825377)) < 2e-7
+    # golden: firdes/mod.rs:549-550
+    rms, mx = notch.isi(1, 25)
+    assert abs(np.float32(rms) - np.float32(0.02509764)) < 2e-7
+    assert abs(np.float32(mx) - np.float32(0.061966006)) < 2e-7
+    # golden: firdes/mod.rs:600
+    assert abs(np.float32(notch.energy(0.35, 128)) - np.float32(0.3152318)) < 2e-7
+    # parity: error path returns 0.0 (filter_traits.rs:29-37)
+    assert notch.energy(-1.0, 128) == 0.0

@@ -151,7 +151,7 @@ def test_halo_primitives():
 
 
 @needs8
-@pytest.mark.parametrize("demod", ["am", "none"])
+@pytest.mark.parametrize("demod", ["am", "none", "qpsk"])
 def test_sharded_rx_chain_other_demods(demod):
     mesh = parallel.make_mesh(channel=2, time=4)
     cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod=demod,
@@ -216,3 +216,11 @@ def test_sharded_equalizer_train_step_matches_single_device():
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+
+
+@needs8
+def test_sharded_rx_chain_rejects_unknown_demod():
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex128, demod="chirp")
+    with pytest.raises(ValueError):
+        parallel.make_sharded_rx_chain(cfg, mesh)

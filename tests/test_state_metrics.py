@@ -5,6 +5,7 @@ the checkpoint; here ChainState.save/load must make a stream bit-resumable.
 """
 
 import json
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -74,3 +75,63 @@ class TestMetrics:
         # reference: rssi = -20 log10(gain) (agc :442-444)
         assert abs(rssi_db(10.0) + 20.0) < 1e-12
         assert abs(rssi_db(1.0)) < 1e-12
+
+
+class TestCheckpointValidation:
+    """Negative tests: structure drift must fail loudly (VERDICT r1 #8)."""
+
+    def _chain_state(self, taps=8, extra=False):
+        import jax.numpy as jnp
+
+        d = dict(nco_theta=jnp.uint32(3),
+                 fir_tail=jnp.zeros(taps, jnp.complex128),
+                 agc={"gain": jnp.asarray(2.0)})
+        if extra:
+            d["fm_prev"] = jnp.asarray(0.0 + 0j)
+        return ChainState(**d)
+
+    def test_structure_drift_rejected(self, tmp_path):
+        p = str(tmp_path / "c.npz")
+        self._chain_state().save(p)
+        with pytest.raises(ValueError, match="structure mismatch"):
+            ChainState.load(p, like=self._chain_state(extra=True))
+
+    def test_shape_drift_rejected(self, tmp_path):
+        p = str(tmp_path / "c.npz")
+        self._chain_state(taps=8).save(p)
+        with pytest.raises(ValueError, match="shape"):
+            ChainState.load(p, like=self._chain_state(taps=16))
+
+    def test_dtype_drift_rejected(self, tmp_path):
+        import jax.numpy as jnp
+
+        p = str(tmp_path / "c.npz")
+        self._chain_state().save(p)
+        like = self._chain_state()
+        like = like.replace(fir_tail=jnp.zeros(8, jnp.complex64))
+        with pytest.raises(ValueError, match="dtype"):
+            ChainState.load(p, like=like)
+
+    def test_version_field_saved_and_future_rejected(self, tmp_path):
+        import numpy as np
+
+        p = str(tmp_path / "c.npz")
+        st = self._chain_state()
+        st.save(p)
+        data = dict(np.load(p).items())
+        assert int(data["__version__"]) == ChainState.CHECKPOINT_VERSION
+        data["__version__"] = np.asarray(ChainState.CHECKPOINT_VERSION + 1)
+        np.savez(p, **data)
+        with pytest.raises(ValueError, match="newer"):
+            ChainState.load(p, like=st)
+
+    def test_matching_roundtrip_still_works(self, tmp_path):
+        import numpy as np
+
+        p = str(tmp_path / "c.npz")
+        st = self._chain_state()
+        got = ChainState.load(str(p), like=st) if st.save(p) else \
+            ChainState.load(p, like=st)
+        np.testing.assert_array_equal(np.asarray(got.fir_tail),
+                                      np.asarray(st.fir_tail))
+        assert float(got.agc["gain"]) == 2.0
