@@ -6,8 +6,12 @@ all: native
 
 native: native/libsolid_runtime.so
 
+# portable baseline (x86-64-v2): release artifacts must not SIGILL on CPUs
+# older than the build machine; local builds can override CXXFLAGS_ARCH.
+CXXFLAGS_ARCH ?= -march=x86-64-v2
+
 native/libsolid_runtime.so: native/solid_runtime.cc
-	g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread $< -o $@
+	g++ -O3 $(CXXFLAGS_ARCH) -std=c++17 -shared -fPIC -pthread $< -o $@
 
 test: native
 	$(PY) -m pytest tests/ -q

@@ -25,6 +25,9 @@
 #include <new>
 #include <thread>
 
+#include <poll.h>
+#include <unistd.h>
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -43,7 +46,10 @@ struct Ring {
     while (capacity < cap_request) capacity <<= 1;
     mask = capacity - 1;
     buf = static_cast<uint8_t*>(::malloc(capacity));
+    if (!buf) capacity = mask = 0;  // allocation failure -> zero-capacity
   }
+
+  bool ok() const { return buf != nullptr; }
   ~Ring() { ::free(buf); }
 
   size_t size() const {
@@ -215,16 +221,39 @@ struct Pump {
   }
 
   void run() {
+    // poll()-based loop (not blocking fread): a stalled FIFO/pipe source
+    // (the CLI's `rx -` stdin path) must not wedge ~Pump's join — stop is
+    // re-checked every poll tick.
     const size_t CHUNK = 1 << 16;  // samples per read
     size_t sb = iq_sample_bytes(fmt);
     uint8_t* raw = static_cast<uint8_t*>(::malloc(CHUNK * sb));
     float* conv = static_cast<float*>(::malloc(CHUNK * 8));
+    if (!raw || !conv) {
+      io_error.store(-2);
+      eof.store(true, std::memory_order_release);
+      ::free(raw);
+      ::free(conv);
+      return;
+    }
+    int fd = ::fileno(f);
+    size_t pend = 0;  // bytes of a partial sample carried between reads
     while (!stop.load(std::memory_order_relaxed)) {
-      size_t got = ::fread(raw, sb, CHUNK, f);
-      if (got == 0) {
-        if (::ferror(f)) io_error.store(-1);
+      struct pollfd pfd {fd, POLLIN, 0};
+      int pr = ::poll(&pfd, 1, 100 /* ms */);
+      if (pr < 0) {
+        io_error.store(-1);
         break;
       }
+      if (pr == 0) continue;  // timeout: re-check stop
+      ssize_t r = ::read(fd, raw + pend, CHUNK * sb - pend);
+      if (r < 0) {
+        io_error.store(-1);
+        break;
+      }
+      if (r == 0) break;  // EOF
+      size_t avail = pend + static_cast<size_t>(r);
+      size_t got = avail / sb;  // whole samples only
+      pend = avail - got * sb;
       size_t nbytes = iq_to_cf32(raw, got, fmt, conv);
       const uint8_t* src = reinterpret_cast<const uint8_t*>(conv);
       size_t pushed = 0;
@@ -233,6 +262,7 @@ struct Pump {
         pushed += k;
         if (k == 0) std::this_thread::yield();
       }
+      if (pend) ::memmove(raw, raw + got * sb, pend);
     }
     eof.store(true, std::memory_order_release);
     ::free(raw);
@@ -264,7 +294,12 @@ struct Pump {
 extern "C" {
 
 void* sdsp_ring_create(size_t capacity_bytes) {
-  return new (std::nothrow) Ring(capacity_bytes);
+  Ring* r = new (std::nothrow) Ring(capacity_bytes);
+  if (r && !r->ok()) {  // buffer allocation failed: fail construction
+    delete r;
+    return nullptr;
+  }
+  return r;
 }
 void sdsp_ring_destroy(void* r) { delete static_cast<Ring*>(r); }
 size_t sdsp_ring_capacity(void* r) { return static_cast<Ring*>(r)->capacity; }
@@ -302,6 +337,10 @@ long sdsp_iq_read(const char* path, int fmt, long offset_samples,
     return -1;
   }
   uint8_t* raw = static_cast<uint8_t*>(::malloc(n_samples * sb));
+  if (!raw) {
+    ::fclose(f);
+    return -1;
+  }
   size_t got = ::fread(raw, sb, static_cast<size_t>(n_samples), f);
   ::fclose(f);
   iq_to_cf32(raw, got, fmt, out);
@@ -318,6 +357,10 @@ long sdsp_iq_write(const char* path, int fmt, const float* data,
   FILE* f = ::fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
   uint8_t* raw = static_cast<uint8_t*>(::malloc(n_samples * sb));
+  if (!raw) {
+    ::fclose(f);
+    return -1;
+  }
   size_t nb = cf32_to_iq(data, static_cast<size_t>(n_samples), fmt, raw);
   size_t wrote = ::fwrite(raw, 1, nb, f);
   ::free(raw);
@@ -329,7 +372,12 @@ long sdsp_iq_write(const char* path, int fmt, const float* data,
 void* sdsp_pump_create(const char* path, int fmt, size_t ring_samples) {
   FILE* f = ::fopen(path, "rb");
   if (!f) return nullptr;
-  return new (std::nothrow) Pump(f, fmt, ring_samples * 8);
+  Pump* p = new (std::nothrow) Pump(f, fmt, ring_samples * 8);
+  if (p && !p->ring.ok()) {  // ring allocation failed: fail construction
+    delete p;
+    return nullptr;
+  }
+  return p;
 }
 void sdsp_pump_destroy(void* p) { delete static_cast<Pump*>(p); }
 // Blocking: fill out with n_samples cf32 samples; returns samples delivered

@@ -110,7 +110,23 @@ def _cmd_spectrum(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    import bench
+    # bench.py lives at the repo root, not in the package: resolve it
+    # relative to the package so `python -m solid_dsp_tpu bench` works from
+    # any CWD (and fail with a clear message on bench-less installs).
+    import importlib
+    import os
+    import sys
+
+    try:
+        bench = importlib.import_module("bench")
+    except ModuleNotFoundError:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if not os.path.exists(os.path.join(root, "bench.py")):
+            print("bench.py not found (source checkout required)",
+                  file=sys.stderr)
+            return 1
+        sys.path.insert(0, root)
+        bench = importlib.import_module("bench")
 
     bench.main()
     return 0
