@@ -56,12 +56,65 @@ def run_mesh(channel: int, time_: int, cps: int, samples_per_shard: int):
             "msps_per_device": round(total / dt / 1e6 / (channel * time_), 1)}
 
 
+def run_overhead(cps: int, samples: int):
+    """mesh(1x1) sharded chain vs the plain single-chip chain: quantifies
+    the shard_map/collective plumbing overhead on one device."""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    sharded = run_mesh(1, 1, cps, samples)
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="block", demod="fm", nco_mode="exact",
+                        dtype=jnp.complex64)
+    init, apply = make_rx_chain(cfg)
+    k = np.arange(samples, dtype=np.float64)
+    x = jnp.asarray((0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001)
+                                  * k)).astype(np.complex64))
+    st = init()
+    out, st = apply(st, x)
+    jax.block_until_ready(out)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, st = apply(st, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    # compare per-channel rates (the sharded run carries cps channels)
+    unsharded = samples / dt / 1e6
+    sharded_per_ch = sharded["msps_total"] / sharded["channels"]
+    return {"mesh": "1x1_overhead",
+            "unsharded_msps": round(unsharded, 1),
+            "sharded_msps_per_channel": round(sharded_per_ch, 1),
+            "sharded_msps_total": sharded["msps_total"],
+            "shard_map_overhead_vs_unsharded": round(
+                1.0 - sharded["msps_total"] / unsharded, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels-per-shard", type=int, default=2)
     ap.add_argument("--samples", type=int, default=1 << 20,
                     help="stream samples per time shard")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force CPU backend with N fake devices "
+                         "(plumbing-efficiency ladder)")
+    ap.add_argument("--overhead", action="store_true",
+                    help="measure mesh(1x1) sharded-vs-unsharded overhead "
+                         "instead of the ladder")
     args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.overhead:
+        print(json.dumps(run_overhead(1, args.samples)))
+        return
 
     n = len(jax.devices())
     ladder = [(1, 1)]

@@ -111,16 +111,55 @@ def _fir_block_matmul(taps: jnp.ndarray, x_ext: jnp.ndarray) -> jnp.ndarray:
     return conv1d_mxu(x_ext, taps)
 
 
+def _fir_tile_nfft(ntaps: int, ext_len: int) -> int:
+    """Fixed-tile FFT size for segmented overlap-save: the smallest pow2
+    covering 4x the kernel (75% useful output per tile), at least 512 for
+    FFT efficiency, never larger than the whole extended block."""
+    whole = 1 << int(np.ceil(np.log2(max(ext_len, 2))))
+    tile = max(512, 1 << int(np.ceil(np.log2(max(4 * ntaps, 2)))))
+    return min(whole, tile)
+
+
 def _fir_block_fft(taps: jnp.ndarray, x_ext: jnp.ndarray) -> jnp.ndarray:
+    """Segmented overlap-save convolution (batched tile FFTs).
+
+    The r1 version did ONE whole-block FFT with nfft = next-pow2 of the
+    extended block — up to 2x zero-pad waste and a full-size complex
+    intermediate.  Here the block is split into fixed pow2 tiles of
+    ``nfft`` with ``ntaps-1`` overlap; frames are built from pure
+    reshape/concat (no gathers — the axon backend rejects large gathers)
+    and the tile FFTs batch on the TPU's native pow2 FFT.
+    """
     n = taps.shape[-1]
-    L = x_ext.shape[-1] - (n - 1)
-    nfft = 1 << int(np.ceil(np.log2(max(x_ext.shape[-1], 2))))
+    ext = x_ext.shape[-1]
+    L = ext - (n - 1)
+    nfft = _fir_tile_nfft(int(n), int(ext))
+    S = nfft - (n - 1)          # valid outputs per tile
+    F = -(-L // S)              # number of tiles
+    batch = x_ext.shape[:-1]
+
+    pad = F * S + (n - 1) - ext
+    xp = jnp.pad(x_ext, [(0, 0)] * len(batch) + [(0, pad)])
+    # frame f covers xp[f*S : f*S + nfft] = body_f (S) + head of body_{f+1}
+    bodies = xp[..., : F * S].reshape(*batch, F, S)
+    if n > 1:
+        if F > 1:
+            heads = xp[..., S : S + (F - 1) * S].reshape(
+                *batch, F - 1, S)[..., : n - 1]
+            last = xp[..., F * S : F * S + (n - 1)].reshape(
+                *batch, 1, n - 1)
+            heads = jnp.concatenate([heads, last], axis=-2)
+        else:
+            heads = xp[..., S : S + (n - 1)].reshape(*batch, 1, n - 1)
+        frames = jnp.concatenate([bodies, heads], axis=-1)  # (..., F, nfft)
+    else:
+        frames = bodies
     kernel = jnp.flip(taps, axis=-1)
     cdtype = jnp.result_type(x_ext.dtype, kernel.dtype, jnp.complex64)
-    X = jnp.fft.fft(x_ext.astype(cdtype), n=nfft, axis=-1)
+    X = jnp.fft.fft(frames.astype(cdtype), n=nfft, axis=-1)
     H = jnp.fft.fft(kernel.astype(cdtype), n=nfft, axis=-1)
     y_full = jnp.fft.ifft(X * H, axis=-1)
-    y = jax.lax.dynamic_slice_in_dim(y_full, n - 1, L, axis=-1)
+    y = y_full[..., n - 1 :].reshape(*batch, F * S)[..., :L]
     if not jnp.issubdtype(x_ext.dtype, jnp.complexfloating) and not jnp.issubdtype(
         taps.dtype, jnp.complexfloating
     ):

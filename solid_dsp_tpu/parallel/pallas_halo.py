@@ -38,9 +38,27 @@ __all__ = ["make_fused_channelizer_frontend"]
 
 
 def _fused_kernel(x_ref, tail_ref, h_ref, out_ref, halo_buf, send_sem,
-                  recv_sem, *, K: int, U: int, axis: str):
+                  recv_sem, *, K: int, U: int, axis: str,
+                  use_barrier: bool = True):
     my = jax.lax.axis_index(axis)
     n_dev = jax.lax.axis_size(axis)
+
+    if use_barrier:
+        # Neighbor barrier before the remote write: both ring neighbors
+        # must have entered the kernel (scratch allocated) before data
+        # lands in their halo_buf; it is also what legitimizes
+        # collective_id on the compiled Mosaic path (pallas_guide "Local
+        # Barrier Between Neighbors").  Interpret mode cannot lower barrier
+        # semaphores, so the interpret tests skip it (the interpreter
+        # serializes devices anyway).
+        barrier = pltpu.get_barrier_semaphore()
+        left = jax.lax.rem(my - 1 + n_dev, jnp.int32(n_dev))
+        right = jax.lax.rem(my + 1, jnp.int32(n_dev))
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
 
     # Fully-matched ring: EVERY device ships its tail to (my+1) mod n, so
     # every send has a receive and no conditional pairing can deadlock.
@@ -123,7 +141,8 @@ def make_fused_channelizer_frontend(mesh: Mesh, num_channels: int,
         tail2 = tail_rows.reshape(K * M).view(jnp.float32).reshape(K, 2 * M)
 
         zp = pl.pallas_call(
-            partial(_fused_kernel, K=K, U=U, axis=axis),
+            partial(_fused_kernel, K=K, U=U, axis=axis,
+                    use_barrier=not interpret),
             out_shape=jax.ShapeDtypeStruct((U, 2 * M), jnp.float32),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -170,3 +170,33 @@ def test_pfb_per_sample_api():
                                    atol=1e-12)
     with pytest.raises(ValueError):
         pfb.execute(4)
+
+
+@pytest.mark.parametrize("ntaps,L", [(7, 1000), (64, 4096), (129, 5000),
+                                     (511, 8191), (1, 300), (1024, 2048)])
+def test_segmented_overlap_save_matches_matmul(ntaps, L):
+    """Fixed-tile overlap-save == direct conv for awkward tap/length mixes
+    (tile boundaries, partial last tile, kernel longer than one body)."""
+    rng = np.random.default_rng(ntaps + L)
+    taps = (rng.standard_normal(ntaps) + 1j * rng.standard_normal(ntaps)
+            ).astype(np.complex128)
+    x = (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+    ya, ta = fir.fir_apply(jnp.asarray(taps), fir.fir_init(ntaps, jnp.complex128),
+                           jnp.asarray(x), method="fft")
+    yb, tb = fir.fir_apply(jnp.asarray(taps), fir.fir_init(ntaps, jnp.complex128),
+                           jnp.asarray(x), method="matmul")
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-9 * ntaps)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+
+def test_segmented_overlap_save_streaming_continuity():
+    rng = np.random.default_rng(77)
+    ntaps = 200
+    taps = rng.standard_normal(ntaps)
+    x = rng.standard_normal(6000)
+    t0 = fir.fir_init(ntaps, jnp.float64)
+    y_full, _ = fir.fir_apply(jnp.asarray(taps), t0, jnp.asarray(x), method="fft")
+    ya, tmid = fir.fir_apply(jnp.asarray(taps), t0, jnp.asarray(x[:2500]), method="fft")
+    yb, _ = fir.fir_apply(jnp.asarray(taps), tmid, jnp.asarray(x[2500:]), method="fft")
+    np.testing.assert_allclose(np.concatenate([ya, yb]), np.asarray(y_full),
+                               atol=1e-9)
