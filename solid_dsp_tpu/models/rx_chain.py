@@ -156,6 +156,37 @@ def make_rx_chain(cfg: RxChainConfig):
     return partial(rx_chain_init, cfg), checked_apply
 
 
+def make_rx_chain_stream(cfg: RxChainConfig, block_size: int):
+    """Long-stream driver: ONE dispatch processes many chain blocks.
+
+    Returns (init, apply_stream) where ``apply_stream(state, x)`` reshapes
+    ``x`` (length = n_blocks * block_size, static per compilation) into
+    blocks and ``lax.scan``s the chain over them — the per-call dispatch
+    and scheduling overhead is paid once per stream instead of once per
+    block, which matters at multi-Gs/s rates.  Works with any agc_mode
+    except debug_checks (per-stage flags don't thread through scan).
+    """
+    if cfg.debug_checks:
+        raise ValueError("debug_checks is incompatible with the stream scan")
+    init, apply = make_rx_chain(cfg)
+
+    @jax.jit
+    def apply_stream(state: ChainState, x: jnp.ndarray):
+        n = x.shape[-1]
+        if n % block_size:
+            raise ValueError("stream length must be a multiple of block_size")
+        xb = x.reshape(n // block_size, block_size)
+
+        def step(st, blk):
+            out, st = apply(st, blk)
+            return st, out
+
+        state, outs = jax.lax.scan(step, state, xb)
+        return outs.reshape(-1), state
+
+    return partial(rx_chain_init, cfg), apply_stream
+
+
 class RxChain:
     """Stateful streaming wrapper around the jitted chain."""
 

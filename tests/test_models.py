@@ -349,3 +349,23 @@ def test_firdes_trait_methods_on_fir_filter():
     assert abs(np.float32(notch.energy(0.35, 128)) - np.float32(0.3152318)) < 2e-7
     # parity: error path returns 0.0 (filter_traits.rs:29-37)
     assert notch.energy(-1.0, 128) == 0.0
+
+
+def test_rx_chain_stream_scan_matches_block_calls():
+    """One-dispatch scan over blocks == repeated execute_block calls."""
+    from solid_dsp_tpu.models.rx_chain import make_rx_chain_stream
+
+    rng = np.random.default_rng(50)
+    B, NB = 2048, 4
+    x = (0.1 * (rng.standard_normal(B * NB)
+                + 1j * rng.standard_normal(B * NB))).astype(np.complex128)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="parallel", demod="fm")
+
+    init_s, stream = make_rx_chain_stream(cfg, B)
+    y_stream, st_s = stream(init_s(), jnp.asarray(x))
+
+    chain = RxChain(cfg)
+    y_blocks = np.concatenate(
+        [np.asarray(chain.execute_block(x[i * B:(i + 1) * B]))
+         for i in range(NB)])
+    np.testing.assert_allclose(np.asarray(y_stream), y_blocks, atol=1e-12)
