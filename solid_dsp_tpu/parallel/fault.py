@@ -1,0 +1,122 @@
+"""Failure detection and elastic recovery for streaming chains.
+
+SURVEY §5: the reference has no fault handling at all; a production
+streaming framework needs two pieces, both host-side (the jitted compute
+path stays error-free):
+
+* ``CheckpointManager`` — atomic, rotating ChainState checkpoints tagged
+  with the stream position.  Writes go to a temp file then ``os.replace``
+  so a crash mid-write can never corrupt the newest good checkpoint.
+* ``run_supervised`` — gang-restart supervision for an SPMD worker set:
+  if ANY worker dies, the whole set is torn down and relaunched (the
+  standard elastic-SPMD model — jax.distributed meshes cannot lose a
+  member), and workers resume from the newest shared checkpoint.
+
+The crash-resume path is validated by tests/test_fault.py: a worker killed
+mid-stream resumes bit-identically from its checkpoint.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import time
+
+from ..streaming.state import ChainState
+
+__all__ = ["CheckpointManager", "run_supervised", "SupervisorError"]
+
+
+class SupervisorError(RuntimeError):
+    pass
+
+
+class CheckpointManager:
+    """Atomic rotating checkpoints of (ChainState, stream position)."""
+
+    def __init__(self, directory: str, keep: int = 2):
+        self.directory = directory
+        self.keep = max(1, int(keep))
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, block_idx: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{block_idx:012d}.npz")
+
+    def save(self, state: ChainState, block_idx: int) -> str:
+        """Atomically write the checkpoint for ``block_idx`` and prune."""
+        path = self._path(block_idx)
+        tmp = path + ".tmp"
+        state.save(tmp)
+        # np.savez appends .npz to names without it
+        tmp_real = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(tmp_real, path)
+        self._prune()
+        return path
+
+    def _prune(self) -> None:
+        ckpts = sorted(glob.glob(os.path.join(self.directory, "ckpt_*.npz")))
+        for old in ckpts[: -self.keep]:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+
+    def latest(self, like: ChainState):
+        """Return (state, next_block_idx); (None, 0) when no checkpoint.
+
+        A checkpoint that fails validation (structure drift, torn file) is
+        skipped and the next-newest is tried — a bad checkpoint must not
+        take down recovery.
+        """
+        ckpts = sorted(glob.glob(os.path.join(self.directory, "ckpt_*.npz")),
+                       reverse=True)
+        for path in ckpts:
+            try:
+                state = ChainState.load(path, like=like)
+            except Exception:
+                continue
+            idx = int(os.path.basename(path)[5:-4])
+            return state, idx + 1
+        return None, 0
+
+
+def run_supervised(spawn, num_workers: int, max_restarts: int = 3,
+                   poll_interval: float = 0.2, timeout: float = 600.0):
+    """Run an SPMD worker gang with death detection and gang restart.
+
+    ``spawn(worker_id, attempt) -> subprocess.Popen`` launches one worker.
+    If any worker exits nonzero, the remaining workers are terminated and
+    the whole gang relaunched (workers are responsible for resuming from
+    their CheckpointManager).  Returns the list of final return codes once
+    every worker exits 0.  Raises SupervisorError after ``max_restarts``
+    failed attempts or on timeout.
+    """
+    deadline = time.monotonic() + timeout
+    for attempt in range(max_restarts + 1):
+        procs = [spawn(i, attempt) for i in range(num_workers)]
+        failed = False
+        while True:
+            if time.monotonic() > deadline:
+                for p in procs:
+                    p.kill()
+                raise SupervisorError("supervision timeout")
+            codes = [p.poll() for p in procs]
+            if any(c is not None and c != 0 for c in codes):
+                failed = True  # death detected: tear down the gang
+                for p in procs:
+                    if p.poll() is None:
+                        p.terminate()
+                for p in procs:
+                    try:
+                        p.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                break
+            if all(c == 0 for c in codes):
+                return codes
+            time.sleep(poll_interval)
+        if not failed:
+            return [p.poll() for p in procs]
+    raise SupervisorError(
+        f"worker gang failed after {max_restarts + 1} attempts")

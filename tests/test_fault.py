@@ -1,0 +1,95 @@
+"""Failure-detection / elastic-recovery tests (SURVEY §5).
+
+A worker is killed mid-stream (simulated hard crash), the supervisor
+detects the death and relaunches, and the resumed stream must be
+bit-identical to an uninterrupted run.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.parallel.fault import (
+    CheckpointManager, SupervisorError, run_supervised)
+from solid_dsp_tpu.streaming.state import ChainState
+
+WORKER = os.path.join(os.path.dirname(__file__), "fault_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(WORKER)))
+
+
+def _run_worker_gang(out_dir, crash: bool):
+    crash_flag = os.path.join(out_dir, "crash_once")
+    if crash:
+        open(crash_flag, "w").close()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def spawn(worker_id, attempt):
+        return subprocess.Popen(
+            [sys.executable, WORKER, out_dir, crash_flag],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    return run_supervised(spawn, num_workers=1, max_restarts=2,
+                          timeout=300.0)
+
+
+@pytest.mark.slow
+def test_crash_resume_bit_identical(tmp_path):
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    os.makedirs(clean)
+    os.makedirs(crashed)
+
+    assert _run_worker_gang(clean, crash=False) == [0]
+    # the crashing gang needs one restart; supervisor must report success
+    assert _run_worker_gang(crashed, crash=True) == [0]
+
+    for i in range(8):
+        a = np.load(os.path.join(clean, f"block_{i}.npy"))
+        b = np.load(os.path.join(crashed, f"block_{i}.npy"))
+        np.testing.assert_array_equal(a, b, err_msg=f"block {i}")
+
+
+def test_checkpoint_manager_rotation_and_atomicity(tmp_path):
+    import jax.numpy as jnp
+
+    cm = CheckpointManager(str(tmp_path), keep=2)
+    st = ChainState(x=jnp.arange(4.0), g={"v": jnp.asarray(1.5)})
+    for i in range(5):
+        cm.save(st.replace(x=jnp.arange(4.0) + i), i)
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "ckpt_*.npz")))
+    assert len(files) == 2  # pruned to keep=2
+    got, nxt = cm.latest(like=st)
+    assert nxt == 5
+    np.testing.assert_array_equal(np.asarray(got.x), np.arange(4.0) + 4)
+
+
+def test_checkpoint_manager_skips_corrupt_latest(tmp_path):
+    import jax.numpy as jnp
+
+    cm = CheckpointManager(str(tmp_path), keep=3)
+    st = ChainState(x=jnp.arange(3.0))
+    cm.save(st, 0)
+    cm.save(st.replace(x=jnp.arange(3.0) * 2), 1)
+    # corrupt the newest checkpoint (torn write after rename — worst case)
+    newest = sorted(os.listdir(tmp_path))[-1]
+    with open(os.path.join(tmp_path, newest), "wb") as f:
+        f.write(b"garbage")
+    got, nxt = cm.latest(like=st)
+    assert nxt == 1  # fell back to the older good checkpoint
+    np.testing.assert_array_equal(np.asarray(got.x), np.arange(3.0))
+
+
+def test_supervisor_gives_up_after_max_restarts(tmp_path):
+    def spawn(worker_id, attempt):
+        return subprocess.Popen([sys.executable, "-c", "import sys; sys.exit(3)"],
+                                stdout=subprocess.PIPE, text=True)
+
+    with pytest.raises(SupervisorError, match="failed after"):
+        run_supervised(spawn, num_workers=1, max_restarts=1, timeout=60.0)
