@@ -168,10 +168,18 @@ def _fir_block_fft(taps: jnp.ndarray, x_ext: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pick_method(method: str, ntaps: int, block: int) -> str:
+    """Resolve "auto" to matmul / fft / measure.
+
+    Perf-validated on chip (FIR_METHODS_r02.json): the MXU conv wins
+    consistently up to ~384 taps on the TPU; above that the winner
+    alternates with large run-to-run variance, so auto defers to measured
+    autotuning there.  On CPU the classic O(ntaps)-vs-O(log block)
+    crossover holds.
+    """
     if method != "auto":
         return method
-    # direct matmul costs O(ntaps) per sample; overlap-save costs
-    # O(log2(block)) per sample — switch when taps outgrow the FFT cost.
+    if jax.default_backend() in ("tpu",):
+        return "matmul" if ntaps <= 384 else "measure"
     return "fft" if ntaps > 2 * int(np.log2(max(block, 2))) + 8 else "matmul"
 
 
@@ -186,16 +194,49 @@ def _fir_apply_jit(taps, tail, x, scale, method):
     return y * scale, new_tail
 
 
+_METHOD_CACHE: dict = {}
+
+
+def _measured_method(taps, tail, x, scale) -> str:
+    """FFTW-MEASURE-style autotune: time both methods once per
+    (ntaps, block, dtype, backend) and cache the winner."""
+    import time
+
+    key = (int(taps.shape[-1]), int(x.shape[-1]), str(x.dtype),
+           jax.default_backend())
+    m = _METHOD_CACHE.get(key)
+    if m is None:
+        results = {}
+        for cand in ("matmul", "fft"):
+            y, _ = _fir_apply_jit(taps, tail, x, scale, cand)
+            jax.block_until_ready(y)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                y, _ = _fir_apply_jit(taps, tail, x, scale, cand)
+            jax.block_until_ready(y)
+            results[cand] = time.perf_counter() - t0
+        m = min(results, key=results.get)
+        _METHOD_CACHE[key] = m
+    return m
+
+
 def fir_apply(taps, tail, x, scale=1.0, method: str = "auto"):
     """One FIR block: returns (y, new_tail).
 
     y[t] = scale * sum_i taps[i] * x_ext[t+i] — reference
     FIRFilter::execute semantics (fir/mod.rs:208-212) vectorized per block.
+    method: "auto" | "matmul" | "fft" | "measure" (time both, cache).
     """
     taps = jnp.asarray(taps)
     x = jnp.asarray(x)
+    scale = jnp.asarray(scale)
     m = _pick_method(method, int(taps.shape[-1]), int(x.shape[-1]))
-    return _fir_apply_jit(taps, tail, x, jnp.asarray(scale), m)
+    if m == "measure":
+        if isinstance(x, jax.core.Tracer):  # cannot time under trace
+            m = "matmul"
+        else:
+            m = _measured_method(taps, tail, x, scale)
+    return _fir_apply_jit(taps, tail, x, scale, m)
 
 
 @partial(jax.jit, static_argnames=("decimation",))

@@ -68,18 +68,40 @@ def pfb_frontend_taps(taps: np.ndarray, num_channels: int) -> np.ndarray:
     return np.repeat(Hp2, 2, axis=1).astype(np.float32)  # (K+1, 2M)
 
 
-def _frontend_kernel(x_hbm, h_ref, out_ref, slab, sem, *, K: int, TR: int):
-    i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * TR, TR + K), :], slab, sem
-    )
-    copy.start()
-    copy.wait()
-    # zp[j] = sum_{k'} Hp2[k'] * slab[j + K - k']  — static sublane slices.
-    acc = slab[K: K + TR, :] * h_ref[0, :]
-    for kp in range(1, K + 1):
-        acc = acc + slab[K - kp: K - kp + TR, :] * h_ref[kp, :]
-    out_ref[:] = acc
+def _frontend_kernel(x_hbm, h_ref, out_ref, scratch, sems, *, K: int,
+                     TR: int, NCHUNK: int):
+    """Double-buffered streaming conv: DMA of tile i+1 overlaps compute of
+    tile i (pallas_guide "Double Buffering") — the r1 version did
+    copy.start(); copy.wait(); compute per grid step with zero overlap and
+    lost 4x to XLA; overlapped it beats XLA (see bench_all)."""
+
+    def get_dma(slot, ci):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ci * TR, TR + K), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def loop_body(ci, carry):
+        cur = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < NCHUNK)
+        def _():
+            get_dma(nxt, ci + 1).start()
+
+        get_dma(cur, ci).wait()
+        slab = scratch.at[cur]
+        # zp[j] = sum_{k'} Hp2[k'] * slab[j + K - k'] — static sublane slices
+        acc = slab[K: K + TR, :] * h_ref[0, :]
+        for kp in range(1, K + 1):
+            acc = acc + slab[K - kp: K - kp + TR, :] * h_ref[kp, :]
+        out_ref[pl.ds(ci * TR, TR), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, NCHUNK, loop_body, 0)
 
 
 @partial(jax.jit, static_argnames=("num_channels", "taps_per_branch",
@@ -112,18 +134,16 @@ def pfb_frontend(x, h_il, tail_rows, num_channels: int,
     )  # (Upad + K, 2M)
 
     zp = pl.pallas_call(
-        partial(_frontend_kernel, K=K, TR=TR),
+        partial(_frontend_kernel, K=K, TR=TR, NCHUNK=Upad // TR),
         out_shape=jax.ShapeDtypeStruct((Upad, 2 * M), jnp.float32),
-        grid=(Upad // TR,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TR, 2 * M), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TR + K, 2 * M), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, TR + K, 2 * M), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, h_il)

@@ -1,5 +1,6 @@
 """FIR golden + randomized parity tests (vs reference semantics)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -200,3 +201,38 @@ def test_segmented_overlap_save_streaming_continuity():
     yb, _ = fir.fir_apply(jnp.asarray(taps), tmid, jnp.asarray(x[2500:]), method="fft")
     np.testing.assert_allclose(np.concatenate([ya, yb]), np.asarray(y_full),
                                atol=1e-9)
+
+
+def test_measure_method_picks_and_caches(monkeypatch):
+    """method='measure' times both paths once and caches the winner."""
+    fir._METHOD_CACHE.clear()
+    rng = np.random.default_rng(9)
+    taps = jnp.asarray(rng.standard_normal(600))
+    x = jnp.asarray(rng.standard_normal(8192))
+    tail = fir.fir_init(600, jnp.float64)
+    y, _ = fir.fir_apply(taps, tail, x, method="measure")
+    assert len(fir._METHOD_CACHE) == 1
+    winner = next(iter(fir._METHOD_CACHE.values()))
+    assert winner in ("matmul", "fft")
+    yw, _ = fir.fir_apply(taps, tail, x, method=winner)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yw), atol=1e-9)
+    # second call hits the cache (no growth)
+    fir.fir_apply(taps, tail, x, method="measure")
+    assert len(fir._METHOD_CACHE) == 1
+
+
+def test_auto_under_jit_trace_is_static():
+    """auto/measure inside a user jit cannot time — must still work."""
+    rng = np.random.default_rng(10)
+    taps = jnp.asarray(rng.standard_normal(600))
+    tail = fir.fir_init(600, jnp.float64)
+
+    @jax.jit
+    def run(v):
+        y, _ = fir.fir_apply(taps, tail, v, method="measure")
+        return y
+
+    x = jnp.asarray(rng.standard_normal(4096))
+    y = run(x)
+    yr, _ = fir.fir_apply(taps, tail, x, method="matmul")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-9)
