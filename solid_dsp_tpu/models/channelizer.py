@@ -84,13 +84,14 @@ class PolyphaseChannelizer:
         self.M = int(num_channels)
         self.K = int(taps_per_branch)
         self.backend = backend
-        self.taps = jnp.asarray(
-            channelizer_taps(self.M, self.K, attenuation), dtype=dtype
-        )
+        taps_np = channelizer_taps(self.M, self.K, attenuation)
+        self.taps = jnp.asarray(taps_np, dtype=dtype)
         if backend == "pallas":
             from ..ops.pallas_kernels import pfb_frontend_taps
 
-            self._h_il = pfb_frontend_taps(np.asarray(self.taps.real), self.M)
+            # taps stay host-side here: np.asarray(device_array) is a
+            # device->host fetch the axon tunnel cannot do
+            self._h_il = pfb_frontend_taps(taps_np, self.M)
             self._tail = jnp.zeros((self.K, self.M), jnp.complex64)
         else:
             self._tail = channelizer_init(self.M, self.K, dtype)

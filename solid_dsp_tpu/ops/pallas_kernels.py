@@ -68,40 +68,20 @@ def pfb_frontend_taps(taps: np.ndarray, num_channels: int) -> np.ndarray:
     return np.repeat(Hp2, 2, axis=1).astype(np.float32)  # (K+1, 2M)
 
 
-def _frontend_kernel(x_hbm, h_ref, out_ref, scratch, sems, *, K: int,
-                     TR: int, NCHUNK: int):
-    """Double-buffered streaming conv: DMA of tile i+1 overlaps compute of
-    tile i (pallas_guide "Double Buffering") — the r1 version did
-    copy.start(); copy.wait(); compute per grid step with zero overlap and
-    lost 4x to XLA; overlapped it beats XLA (see bench_all)."""
-
-    def get_dma(slot, ci):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(ci * TR, TR + K), :],
-            scratch.at[slot],
-            sems.at[slot],
-        )
-
-    get_dma(0, 0).start()
-
-    def loop_body(ci, carry):
-        cur = jax.lax.rem(ci, 2)
-        nxt = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < NCHUNK)
-        def _():
-            get_dma(nxt, ci + 1).start()
-
-        get_dma(cur, ci).wait()
-        slab = scratch.at[cur]
-        # zp[j] = sum_{k'} Hp2[k'] * slab[j + K - k'] — static sublane slices
-        acc = slab[K: K + TR, :] * h_ref[0, :]
-        for kp in range(1, K + 1):
-            acc = acc + slab[K - kp: K - kp + TR, :] * h_ref[kp, :]
-        out_ref[pl.ds(ci * TR, TR), :] = acc
-        return carry
-
-    jax.lax.fori_loop(0, NCHUNK, loop_body, 0)
+def _frontend_kernel(x_ref, h_ref, out_ref, *, K: int, U: int):
+    """Whole-slab VPU conv: the input slab sits in VMEM (XLA stages the
+    HBM->VMEM copy) and the kernel is K+1 statically-shifted elementwise
+    multiply-adds over the full (U, 2M) array.  Measured fastest of three
+    formulations on chip: the r1 per-tile copy.start()/wait() grid lost 4x
+    to XLA and a double-buffered fori_loop variant lost ~5x (dynamic
+    scratch indexing defeats Mosaic's vectorizer); this straight-line form
+    matches the fused-halo kernel's compute section, which beats XLA
+    (bench_all fused_halo entry)."""
+    # zp[j] = sum_{k'} Hp2[k'] * x[j + K - k'] — static sublane slices
+    acc = x_ref[K: K + U, :] * h_ref[0, :]
+    for kp in range(1, K + 1):
+        acc = acc + x_ref[K - kp: K - kp + U, :] * h_ref[kp, :]
+    out_ref[:] = acc
 
 
 @partial(jax.jit, static_argnames=("num_channels", "taps_per_branch",
@@ -124,31 +104,32 @@ def pfb_frontend(x, h_il, tail_rows, num_channels: int,
     if L % M:
         raise ValueError("block length must be a multiple of M")
     U = L // M
-    TR = tile_rows
-    Upad = -(-U // TR) * TR
 
     x2 = x.view(jnp.float32).reshape(U, 2 * M)
     tail2 = tail_rows.reshape(K * M).view(jnp.float32).reshape(K, 2 * M)
-    xp = jnp.concatenate(
-        [tail2, x2, jnp.zeros((Upad - U, 2 * M), jnp.float32)], axis=0
-    )  # (Upad + K, 2M)
+    xp = jnp.concatenate([tail2, x2], axis=0)  # (U + K, 2M)
 
-    zp = pl.pallas_call(
-        partial(_frontend_kernel, K=K, TR=TR, NCHUNK=Upad // TR),
-        out_shape=jax.ShapeDtypeStruct((Upad, 2 * M), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, TR + K, 2 * M), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(xp, h_il)
+    # JAX-level chunking keeps each slab within VMEM for very long blocks;
+    # slices overlap by K rows so outputs stay exact.
+    chunk = max(tile_rows, 4096)
+    outs = []
+    for lo in range(0, U, chunk):
+        rows = min(chunk, U - lo)
+        slab = jax.lax.dynamic_slice_in_dim(xp, lo, rows + K, axis=0)
+        zc = pl.pallas_call(
+            partial(_frontend_kernel, K=K, U=rows),
+            out_shape=jax.ShapeDtypeStruct((rows, 2 * M), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(slab, h_il)
+        outs.append(zc)
+    zp = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    z = zp[:U].view(jnp.complex64)  # (U, 2M) f32 -> (U, M) c64
+    z = zp.view(jnp.complex64)  # (U, 2M) f32 -> (U, M) c64
     new_tail = x[(U - K) * M:].reshape(K, M) if U >= K else jnp.concatenate(
         [tail_rows[U:], x.reshape(U, M)], axis=0
     )
