@@ -48,3 +48,17 @@ def test_spectrum(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out)
     assert abs(rec["peak_freq"] - 0.1) < 1e-3
     assert rec["peak_db"] > rec["noise_floor_db"] + 40
+
+
+def test_spectrum_prime_nfft_bluestein(tmp_path, capsys):
+    """Non-pow2 (prime) nfft drives the Bluestein path through the CLI."""
+    n = 2048
+    x = 0.5 * np.exp(2j * np.pi * 0.25 * np.arange(n))
+    src = str(tmp_path / "p.cf32")
+    write_iq(src, x.astype(np.complex64))
+    assert main(["spectrum", src, "--nfft", "1009"]) == 0
+    import json
+
+    rec = json.loads(capsys.readouterr().out)
+    assert abs(rec["peak_freq"] - 0.25) < 1e-2
+    assert rec["peak_db"] > rec["noise_floor_db"] + 30
