@@ -41,6 +41,12 @@ def run_mesh(channel: int, time_: int, cps: int, samples_per_shard: int):
            ).astype(np.complex64)
     x = jnp.asarray(np.broadcast_to(row, (C, L)).copy())
 
+    # TWO warmups: the first apply compiles for the fresh (unsharded) state
+    # layout; its output state carries the shard_map out_specs sharding, so
+    # the second call compiles the steady-state executable.  Timing after a
+    # single warmup measures a recompile, not the chain (~100000x error on
+    # a slow-compile backend).
+    out, state = apply(state, x)
     out, state = apply(state, x)
     jax.block_until_ready((out, state))
     iters = 5

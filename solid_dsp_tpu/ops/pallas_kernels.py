@@ -136,12 +136,16 @@ def pfb_frontend(x, h_il, tail_rows, num_channels: int,
     return z, new_tail
 
 
+@partial(jax.jit, static_argnames=("num_channels", "taps_per_branch",
+                                   "interpret"))
 def channelizer_apply_pallas(taps_h_il, tail_rows, x, num_channels: int,
                              taps_per_branch: int, interpret: bool = False):
     """Full channelizer block via the Pallas front end + XLA batched FFT.
 
     Drop-in parity with ``models.channelizer.channelizer_apply`` (same Y up
-    to fp32 rounding) but with O(1) HBM amplification.
+    to fp32 rounding) but with O(1) HBM amplification.  Jitted as ONE
+    dispatch — eager per-op dispatch over the axon tunnel dominates
+    otherwise.
     """
     z, new_tail = pfb_frontend(
         x, taps_h_il, tail_rows, num_channels, taps_per_branch,
