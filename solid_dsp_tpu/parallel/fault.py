@@ -25,7 +25,10 @@ import time
 
 from ..streaming.state import ChainState
 
-__all__ = ["CheckpointManager", "run_supervised", "SupervisorError"]
+__all__ = [
+    "CheckpointManager", "run_supervised", "SupervisorError",
+    "save_distributed", "load_distributed", "latest_distributed_step",
+]
 
 
 class SupervisorError(RuntimeError):
@@ -79,6 +82,81 @@ class CheckpointManager:
             idx = int(os.path.basename(path)[5:-4])
             return state, idx + 1
         return None, 0
+
+
+def save_distributed(state, directory: str, step: int) -> str:
+    """Per-process sharded checkpoint (orbax-style layout, zero gathers).
+
+    Each process writes ONLY its addressable shards, keyed by device id —
+    no cross-host gather, no device->host transfer of remote data.  Every
+    process must call this (collective-free but symmetric).
+    """
+    import jax
+    import numpy as np
+
+    os.makedirs(directory, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    data = {"__treedef__": np.frombuffer(str(treedef).encode(),
+                                         dtype=np.uint8)}
+    for i, leaf in enumerate(leaves):
+        arr = jax.numpy.asarray(leaf)
+        for s in arr.addressable_shards:
+            data[f"leaf{i}_dev{s.device.id}"] = np.asarray(s.data)
+    path = os.path.join(
+        directory,
+        f"step_{step:012d}_proc{jax.process_index()}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_distributed(directory: str, step: int, like):
+    """Restore this process's shards of a distributed checkpoint.
+
+    ``like`` supplies the global shapes and shardings (e.g. the output of
+    one warm-up/init step on the live mesh).  Reassembles global arrays
+    with ``jax.make_array_from_single_device_arrays``.
+    """
+    import jax
+    import numpy as np
+
+    path = os.path.join(
+        directory,
+        f"step_{step:012d}_proc{jax.process_index()}.npz")
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    if bytes(data["__treedef__"]).decode() != str(treedef):
+        raise ValueError("distributed checkpoint structure mismatch")
+    out = []
+    for i, leaf in enumerate(leaves):
+        arr = jax.numpy.asarray(leaf)
+        singles = [
+            jax.device_put(data[f"leaf{i}_dev{s.device.id}"], s.device)
+            for s in arr.addressable_shards
+        ]
+        out.append(jax.make_array_from_single_device_arrays(
+            arr.shape, arr.sharding, singles))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def latest_distributed_step(directory: str) -> int:
+    """Newest step for which EVERY process file set exists; -1 if none.
+
+    A crash between the two processes' save() calls leaves a torn step —
+    only steps with all per-process files are recoverable, so callers need
+    the minimum over processes.  Cheap host-side glob; call on any process.
+    """
+    import jax
+
+    n = jax.process_count()
+    steps: dict = {}
+    for f in glob.glob(os.path.join(directory, "step_*_proc*.npz")):
+        base = os.path.basename(f)
+        step = int(base.split("_")[1])
+        steps.setdefault(step, set()).add(base.split("proc")[1].split(".")[0])
+    good = [s for s, procs in steps.items() if len(procs) == n]
+    return max(good) if good else -1
 
 
 def run_supervised(spawn, num_workers: int, max_restarts: int = 3,

@@ -93,3 +93,51 @@ def test_supervisor_gives_up_after_max_restarts(tmp_path):
 
     with pytest.raises(SupervisorError, match="failed after"):
         run_supervised(spawn, num_workers=1, max_restarts=1, timeout=60.0)
+
+
+DIST_WORKER = os.path.join(os.path.dirname(__file__), "fault_worker_dist.py")
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_distributed_crash_gang_restart(tmp_path):
+    """Kill one process of a 2-process jax.distributed mesh mid-stream;
+    the supervisor gang-restarts both, which resume from the newest
+    COMPLETE per-process shard checkpoint; every chunk's sharded output is
+    verified in-worker against a single-chip reference."""
+    out_dir = str(tmp_path)
+    crash_flag = os.path.join(out_dir, "crash_once")
+    open(crash_flag, "w").close()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    logs = []
+
+    def spawn(worker_id, attempt):
+        port = str(_free_port()) if worker_id == 0 else spawn.port
+        if worker_id == 0:
+            spawn.port = port
+        p = subprocess.Popen(
+            [sys.executable, DIST_WORKER, str(worker_id), spawn.port,
+             out_dir, crash_flag],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        logs.append(p)
+        return p
+
+    codes = run_supervised(spawn, num_workers=2, max_restarts=2,
+                           timeout=480.0)
+    assert codes == [0, 0], [p.stdout.read() for p in logs if p.stdout]
+    assert os.path.exists(os.path.join(out_dir, "PASS_proc0"))
+    assert os.path.exists(os.path.join(out_dir, "PASS_proc1"))
+    # the crash actually happened (flag consumed) and a restart occurred
+    assert not os.path.exists(crash_flag)
+    assert len(logs) == 4  # 2 workers x 2 attempts
