@@ -14,7 +14,8 @@ from dataclasses import dataclass, field
 
 import jax
 
-__all__ = ["Timer", "benchmark", "trace"]
+__all__ = ["Timer", "benchmark", "trace", "Roofline", "roofline",
+           "fir_workload", "fft_workload", "CHIP_PEAKS"]
 
 
 @dataclass
@@ -84,3 +85,78 @@ def emit_metric(metric: str, value: float, unit: str, vs_baseline: float):
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# roofline analysis (SURVEY §5: per-kernel roofline counters)
+# --------------------------------------------------------------------------
+
+# Peak numbers per chip generation (f32 unless noted).  v5e from public
+# spec: 197 TFLOP/s bf16 -> ~49 TFLOP/s f32 MXU, 819 GB/s HBM.
+CHIP_PEAKS = {
+    "tpu-v5e": {"gflops_f32": 49_000.0, "gbps_hbm": 819.0},
+    "tpu-v4": {"gflops_f32": 68_500.0, "gbps_hbm": 1_228.0},
+    "cpu": {"gflops_f32": 100.0, "gbps_hbm": 50.0},  # rough host-class
+}
+
+
+@dataclass
+class Roofline:
+    """Achieved-vs-peak classification for one measured workload."""
+
+    name: str
+    achieved_gflops: float
+    achieved_gbps: float
+    frac_compute: float
+    frac_memory: float
+    bound: str  # "compute" | "memory"
+    arithmetic_intensity: float  # flops per byte
+
+    def __repr__(self) -> str:
+        return (
+            f"Roofline[{self.name}] {self.bound}-bound: "
+            f"{self.achieved_gflops:.1f} GFLOP/s "
+            f"({100 * self.frac_compute:.0f}% of peak), "
+            f"{self.achieved_gbps:.1f} GB/s "
+            f"({100 * self.frac_memory:.0f}% of HBM), "
+            f"AI={self.arithmetic_intensity:.2f} flop/B"
+        )
+
+
+def roofline(name: str, seconds: float, flops: float, bytes_moved: float,
+             chip: str = "tpu-v5e") -> Roofline:
+    """Classify a measured run against the chip's roofline.
+
+    flops / bytes_moved are the workload totals; ``bound`` is whichever
+    resource the run used the larger fraction of — at speed-of-light the
+    bound fraction approaches 1.0.
+    """
+    peaks = CHIP_PEAKS.get(chip, CHIP_PEAKS["tpu-v5e"])
+    gflops = flops / seconds / 1e9
+    gbps = bytes_moved / seconds / 1e9
+    fc = gflops / peaks["gflops_f32"]
+    fm = gbps / peaks["gbps_hbm"]
+    return Roofline(
+        name=name,
+        achieved_gflops=gflops,
+        achieved_gbps=gbps,
+        frac_compute=fc,
+        frac_memory=fm,
+        bound="compute" if fc >= fm else "memory",
+        arithmetic_intensity=flops / max(bytes_moved, 1.0),
+    )
+
+
+def fir_workload(n_samples: int, ntaps: int, complex_data: bool = True):
+    """(flops, bytes) for a block FIR — 8 flops per complex MAC, in+out."""
+    mac = 8.0 if complex_data else 2.0
+    sample_bytes = 8.0 if complex_data else 4.0
+    return (mac * n_samples * ntaps, 2.0 * sample_bytes * n_samples)
+
+
+def fft_workload(batch: int, nfft: int, complex_data: bool = True):
+    """(flops, bytes) for batched FFTs — the 5 N log2 N convention."""
+    import numpy as _np
+
+    flops = 5.0 * batch * nfft * _np.log2(max(nfft, 2))
+    return (flops, 2.0 * 8.0 * batch * nfft)

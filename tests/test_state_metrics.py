@@ -135,3 +135,31 @@ class TestCheckpointValidation:
         np.testing.assert_array_equal(np.asarray(got.fir_tail),
                                       np.asarray(st.fir_tail))
         assert float(got.agc["gain"]) == 2.0
+
+
+class TestRoofline:
+    def test_memory_bound_classification(self):
+        from solid_dsp_tpu.utils.profiling import fir_workload, roofline
+
+        flops, byts = fir_workload(1 << 20, 64)
+        # 68 Gs/s chain-like rate: HBM-bound on v5e
+        r = roofline("fir", seconds=(1 << 20) / 68e9, flops=flops,
+                     bytes_moved=byts, chip="tpu-v5e")
+        assert r.bound == "memory"
+        assert 0.0 < r.frac_memory <= 2.0
+        assert "memory-bound" in repr(r)
+
+    def test_compute_bound_classification(self):
+        from solid_dsp_tpu.utils.profiling import roofline
+
+        # high arithmetic intensity (1000 flop/B) at 20 TFLOP/s: compute
+        r = roofline("matmul", seconds=0.05, flops=1e12, bytes_moved=1e9)
+        assert r.bound == "compute"
+        assert r.frac_compute > r.frac_memory
+
+    def test_fft_workload_model(self):
+        from solid_dsp_tpu.utils.profiling import fft_workload
+
+        flops, byts = fft_workload(4096, 4096)
+        assert flops == 5.0 * 4096 * 4096 * 12
+        assert byts == 2.0 * 8.0 * 4096 * 4096
