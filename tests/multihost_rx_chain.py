@@ -93,6 +93,37 @@ def main() -> int:
     if theta != ref_theta:
         ok = False
 
+    # --- config-5 across hosts: sharded channelizer (TP psum over DCN
+    # when channel spans processes; time halos over DCN otherwise) ---
+    from solid_dsp_tpu.models.channelizer import (
+        channelizer_apply, channelizer_init, channelizer_taps)
+    from solid_dsp_tpu.parallel.sharded import make_sharded_channelizer
+
+    M, K2 = 16, 8
+    Lc = M * 16 * mesh.shape["time"]
+    xc_host = (0.1 * (rng.standard_normal(Lc)
+                      + 1j * rng.standard_normal(Lc))).astype(np.complex64)
+    init_c, ch_apply = make_sharded_channelizer(M, K2, mesh=mesh)
+    tail0 = init_c()
+    sh_t = NamedSharding(mesh, P("time"))
+    xc = jax.make_array_from_callback((Lc,), sh_t,
+                                      lambda idx: xc_host[idx])
+    tail_g = jax.device_put(tail0, NamedSharding(mesh, P()))
+    Yc, _tail = ch_apply(tail_g, xc)
+    jax.block_until_ready(Yc)
+
+    taps_c = np.asarray(channelizer_taps(M, K2), np.complex64)
+    Y_ref, _ = channelizer_apply(
+        jnp.asarray(taps_c), channelizer_init(M, K2, jnp.complex64),
+        jnp.asarray(xc_host), M)
+    Y_ref = np.asarray(Y_ref)
+    for shard in Yc.addressable_shards:
+        got = np.asarray(shard.data)
+        want = Y_ref[shard.index]
+        if not np.allclose(got, want, rtol=1e-4, atol=1e-4):
+            ok = False
+        n_checked += 1
+
     print(f"[p{pid}] {layout}: {'PASS' if ok else 'FAIL'} "
           f"({n_checked} addressable shards checked)", flush=True)
     return 0 if ok else 1
