@@ -131,8 +131,9 @@ class RefNCO:
         self.theta = self.constrain(rad)
 
     def index(self):
-        return int((np.uint32(self.theta + np.uint32(1 << 21)) >> np.uint32(22))
-                   & np.uint32(0x3FF))
+        # intended u32 wraparound (ref nco/mod.rs:100) without the numpy
+        # overflow warning: wrap in python ints then mask
+        return ((int(self.theta) + (1 << 21)) >> 22) & 0x3FF
 
     def sin(self):
         return self.lut[self.index()]
