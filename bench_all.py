@@ -81,6 +81,34 @@ def _bench_chain_cfg(metric, L, **cfg_overrides):
             "unit": "Msamples/s", "vs_baseline": round(sps / 1e9, 3)}
 
 
+def bench_rx_chain_ci16_ingest():
+    """Raw int16 IQ ingest converted on-device: half the HBM ingest bytes
+    per sample vs cf32 (the chain is ingest-bandwidth-bound)."""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    import jax.numpy as jnp
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="block", demod="fm", nco_mode="exact",
+                        dtype=jnp.complex64, input_format="ci16")
+    init, apply = make_rx_chain(cfg)
+    L = 1 << 22
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-20000, 20000, size=(L, 2),
+                                 dtype=np.int16))
+
+    def step(st):
+        out, st = apply(st, x)
+        return st
+
+    st = init()
+    st = step(st)
+    jax.block_until_ready(st)
+    dt = _best_of(step, st)
+    sps = L / dt
+    return {"metric": "rx_chain_ci16_ingest", "value": round(sps / 1e6, 1),
+            "unit": "Msamples/s", "vs_baseline": round(sps / 1e9, 3)}
+
+
 def bench_rx_chain_parity_parallel():
     """EXACT reference AGC semantics (Newton solve) + LUT-parity NCO."""
     return _bench_chain_cfg("rx_chain_parity_parallel_agc_lut_nco", 1 << 22,
@@ -243,7 +271,8 @@ def bench_fft_nonpow2():
 
 
 def main():
-    for fn in (bench_rx_chain, bench_rx_chain_parity_parallel,
+    for fn in (bench_rx_chain, bench_rx_chain_ci16_ingest,
+               bench_rx_chain_parity_parallel,
                bench_rx_chain_parity_scan, bench_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2):

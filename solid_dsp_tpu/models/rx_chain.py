@@ -48,6 +48,11 @@ class RxChainConfig:
     # naming the first stage that produced a NaN/Inf.  Off by default (one
     # extra scalar fetch per block when on).
     debug_checks: bool = False
+    # Ingest format: "cf32" takes complex blocks; "ci16" takes raw (T, 2)
+    # int16 IQ (the native SDR capture format) and converts ON DEVICE —
+    # half the HBM ingest bytes per sample, conversion fused into the NCO
+    # mix by XLA.
+    input_format: str = "cf32"
 
     def design_taps(self) -> np.ndarray:
         taps = firdes.firdes_kaiser(
@@ -77,6 +82,8 @@ def make_rx_chain(cfg: RxChainConfig):
     """
     if cfg.agc_mode not in ("exact", "parallel", "block"):
         raise ValueError(f"unknown agc_mode {cfg.agc_mode!r}")
+    if cfg.input_format not in ("cf32", "ci16"):
+        raise ValueError(f"unknown input_format {cfg.input_format!r}")
     # NOTE: closure constants must stay HOST-side (numpy): jit embeds them as
     # MLIR constants, and embedding a committed device array forces a
     # device->host fetch that some backends (axon tunnel) cannot do.
@@ -87,6 +94,11 @@ def make_rx_chain(cfg: RxChainConfig):
 
     @jax.jit
     def apply(state: ChainState, x: jnp.ndarray):
+        if cfg.input_format == "ci16":
+            # raw interleaved int16 IQ -> complex on the VPU (fuses into
+            # the mix); same scaling as the native runtime's iq_to_cf32
+            xs = x.astype(rdtype) * np.asarray(1.0 / 32767.0, rdtype)
+            x = jax.lax.complex(xs[..., 0], xs[..., 1]).astype(cfg.dtype)
         # 1. downconvert (closed-form phases, no sequential dependency)
         mixed, theta_end = nco_ops.mix_down_block(
             x, state.nco_theta, dtheta, lut, cfg.nco_mode
@@ -196,7 +208,9 @@ class RxChain:
         self.state = init()
 
     def execute_block(self, x):
-        out, self.state = self._apply(self.state, jnp.asarray(x, self.cfg.dtype))
+        in_dtype = (jnp.int16 if self.cfg.input_format == "ci16"
+                    else self.cfg.dtype)
+        out, self.state = self._apply(self.state, jnp.asarray(x, in_dtype))
         return out
 
     def reset(self):

@@ -369,3 +369,26 @@ def test_rx_chain_stream_scan_matches_block_calls():
         [np.asarray(chain.execute_block(x[i * B:(i + 1) * B]))
          for i in range(NB)])
     np.testing.assert_allclose(np.asarray(y_stream), y_blocks, atol=1e-12)
+
+
+def test_rx_chain_ci16_ingest_matches_cf32():
+    """Device-side int16 IQ ingest == cf32 ingest of the converted data."""
+    rng = np.random.default_rng(60)
+    n = 4096
+    raw = rng.integers(-20000, 20000, size=(n, 2), dtype=np.int16)
+    as_cf32 = (raw[:, 0] + 1j * raw[:, 1]).astype(np.complex128) / 32767.0
+
+    base = RxChain(RxChainConfig(dtype=jnp.complex128, agc_mode="block",
+                                 demod="fm"))
+    ci16 = RxChain(RxChainConfig(dtype=jnp.complex128, agc_mode="block",
+                                 demod="fm", input_format="ci16"))
+    y_base = np.asarray(base.execute_block(as_cf32))
+    y_ci16 = np.asarray(ci16.execute_block(raw))
+    np.testing.assert_allclose(y_ci16, y_base, atol=1e-12)
+
+
+def test_rx_chain_rejects_unknown_input_format():
+    import pytest
+
+    with pytest.raises(ValueError):
+        RxChain(RxChainConfig(input_format="cf64x"))
