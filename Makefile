@@ -6,9 +6,15 @@ all: native
 
 native: native/libsolid_runtime.so
 
-# portable baseline (x86-64-v2): release artifacts must not SIGILL on CPUs
-# older than the build machine; local builds can override CXXFLAGS_ARCH.
+# portable baseline (x86-64-v2 on x86 only): release artifacts must not
+# SIGILL on CPUs older than the build machine, and non-x86 hosts get no
+# arch flag; local builds can override CXXFLAGS_ARCH.
+UNAME_M := $(shell uname -m)
+ifeq ($(UNAME_M),x86_64)
 CXXFLAGS_ARCH ?= -march=x86-64-v2
+else
+CXXFLAGS_ARCH ?=
+endif
 
 native/libsolid_runtime.so: native/solid_runtime.cc
 	g++ -O3 $(CXXFLAGS_ARCH) -std=c++17 -shared -fPIC -pthread $< -o $@

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cerrno>
 #include <cstring>
 #include <cmath>
 #include <new>
@@ -241,12 +242,14 @@ struct Pump {
       struct pollfd pfd {fd, POLLIN, 0};
       int pr = ::poll(&pfd, 1, 100 /* ms */);
       if (pr < 0) {
+        if (errno == EINTR) continue;  // benign signal (SIGCHLD etc.)
         io_error.store(-1);
         break;
       }
       if (pr == 0) continue;  // timeout: re-check stop
       ssize_t r = ::read(fd, raw + pend, CHUNK * sb - pend);
       if (r < 0) {
+        if (errno == EINTR) continue;
         io_error.store(-1);
         break;
       }

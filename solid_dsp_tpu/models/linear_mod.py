@@ -56,8 +56,10 @@ def psk_constellation(m: int) -> np.ndarray:
 def qam_constellation(m: int) -> np.ndarray:
     """Gray-coded square M-QAM, unit average energy."""
     side = int(np.sqrt(m))
-    if side * side != m or side < 2:
-        raise ValueError("M-QAM order must be a perfect square >= 4")
+    if side * side != m or side < 2 or side & (side - 1):
+        # side must be a power of two: the per-axis gray/bit packing
+        # shifts by log2(side) bits
+        raise ValueError("M-QAM order must be 4^k (4, 16, 64, 256, ...)")
     levels = 2.0 * np.arange(side) - (side - 1)  # ..., -3, -1, 1, 3, ...
     pts = np.empty(m, dtype=np.complex128)
     gray = _gray(side)

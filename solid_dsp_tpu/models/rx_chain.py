@@ -119,12 +119,10 @@ def make_rx_chain(cfg: RxChainConfig):
             y, agc_state = agc_ops.agc_apply_parallel(
                 state.agc, y, cfg.agc_bandwidth, 1.0, -1e30, 100
             )
-        elif cfg.agc_mode == "block":
+        else:  # "block" — the 3 modes are validated at make_rx_chain entry
             y, agc_state = agc_ops.agc_apply_block_mode(
                 state.agc, y, cfg.agc_bandwidth
             )
-        else:
-            raise ValueError(f"unknown agc_mode {cfg.agc_mode!r}")
         # 4. demod
         fm_prev = state.fm_prev
         if cfg.demod == "fm":
@@ -184,10 +182,14 @@ def make_rx_chain_stream(cfg: RxChainConfig, block_size: int):
 
     @jax.jit
     def apply_stream(state: ChainState, x: jnp.ndarray):
-        n = x.shape[-1]
+        # ci16 input is (T, 2) int16 — the stream length is axis 0 there
+        n = x.shape[0] if cfg.input_format == "ci16" else x.shape[-1]
         if n % block_size:
             raise ValueError("stream length must be a multiple of block_size")
-        xb = x.reshape(n // block_size, block_size)
+        if cfg.input_format == "ci16":
+            xb = x.reshape(n // block_size, block_size, 2)
+        else:
+            xb = x.reshape(n // block_size, block_size)
 
         def step(st, blk):
             out, st = apply(st, blk)

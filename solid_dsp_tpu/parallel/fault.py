@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import subprocess
 import time
 
@@ -46,22 +47,39 @@ class CheckpointManager:
     def _path(self, block_idx: int) -> str:
         return os.path.join(self.directory, f"ckpt_{block_idx:012d}.npz")
 
+    _NAME_RE = re.compile(r"^ckpt_(\d{12})\.npz$")
+
     def save(self, state: ChainState, block_idx: int) -> str:
-        """Atomically write the checkpoint for ``block_idx`` and prune."""
+        """Atomically write the checkpoint for ``block_idx`` and prune.
+
+        ChainState.save goes through atomic_savez (dot-prefixed temp +
+        os.replace), so a crash mid-write leaves only a temp file that the
+        recovery glob/regex never matches.
+        """
         path = self._path(block_idx)
-        tmp = path + ".tmp"
-        state.save(tmp)
-        # np.savez appends .npz to names without it
-        tmp_real = tmp if os.path.exists(tmp) else tmp + ".npz"
-        os.replace(tmp_real, path)
+        state.save(path)
         self._prune()
         return path
 
+    def _ckpts(self):
+        out = []
+        for f in glob.glob(os.path.join(self.directory, "ckpt_*.npz")):
+            m = self._NAME_RE.match(os.path.basename(f))
+            if m:  # strict name check: never parse stray/temp files
+                out.append((int(m.group(1)), f))
+        return sorted(out)
+
     def _prune(self) -> None:
-        ckpts = sorted(glob.glob(os.path.join(self.directory, "ckpt_*.npz")))
-        for old in ckpts[: -self.keep]:
+        for _, old in self._ckpts()[: -self.keep]:
             try:
                 os.remove(old)
+            except OSError:
+                pass
+        # clear any crash-leftover temp files too
+        for stray in glob.glob(os.path.join(self.directory,
+                                            ".tmp_ckpt_*.npz")):
+            try:
+                os.remove(stray)
             except OSError:
                 pass
 
@@ -72,14 +90,11 @@ class CheckpointManager:
         skipped and the next-newest is tried — a bad checkpoint must not
         take down recovery.
         """
-        ckpts = sorted(glob.glob(os.path.join(self.directory, "ckpt_*.npz")),
-                       reverse=True)
-        for path in ckpts:
+        for idx, path in reversed(self._ckpts()):
             try:
                 state = ChainState.load(path, like=like)
             except Exception:
                 continue
-            idx = int(os.path.basename(path)[5:-4])
             return state, idx + 1
         return None, 0
 
@@ -94,10 +109,14 @@ def save_distributed(state, directory: str, step: int) -> str:
     import jax
     import numpy as np
 
+    from ..streaming.state import ChainState, atomic_savez, treedef_bytes
+
     os.makedirs(directory, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    data = {"__treedef__": np.frombuffer(str(treedef).encode(),
-                                         dtype=np.uint8)}
+    data = {
+        "__version__": np.asarray(ChainState.CHECKPOINT_VERSION),
+        "__treedef__": treedef_bytes(treedef),
+    }
     for i, leaf in enumerate(leaves):
         arr = jax.numpy.asarray(leaf)
         for s in arr.addressable_shards:
@@ -105,10 +124,7 @@ def save_distributed(state, directory: str, step: int) -> str:
     path = os.path.join(
         directory,
         f"step_{step:012d}_proc{jax.process_index()}.npz")
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **data)
-    os.replace(tmp, path)
-    return path
+    return atomic_savez(path, **data)
 
 
 def load_distributed(directory: str, step: int, like):
@@ -121,10 +137,17 @@ def load_distributed(directory: str, step: int, like):
     import jax
     import numpy as np
 
+    from ..streaming.state import ChainState
+
     path = os.path.join(
         directory,
         f"step_{step:012d}_proc{jax.process_index()}.npz")
     data = np.load(path)
+    version = int(data["__version__"]) if "__version__" in data else 0
+    if version > ChainState.CHECKPOINT_VERSION:
+        raise ValueError(
+            f"distributed checkpoint {path!r} has version {version}, newer "
+            f"than this build's {ChainState.CHECKPOINT_VERSION}")
     leaves, treedef = jax.tree_util.tree_flatten(like)
     if bytes(data["__treedef__"]).decode() != str(treedef):
         raise ValueError("distributed checkpoint structure mismatch")
@@ -150,11 +173,13 @@ def latest_distributed_step(directory: str) -> int:
     import jax
 
     n = jax.process_count()
+    name_re = re.compile(r"^step_(\d+)_proc(\d+)\.npz$")
     steps: dict = {}
     for f in glob.glob(os.path.join(directory, "step_*_proc*.npz")):
-        base = os.path.basename(f)
-        step = int(base.split("_")[1])
-        steps.setdefault(step, set()).add(base.split("proc")[1].split(".")[0])
+        m = name_re.match(os.path.basename(f))
+        if not m:  # strict: stray/temp files must not count as a save
+            continue
+        steps.setdefault(int(m.group(1)), set()).add(int(m.group(2)))
     good = [s for s, procs in steps.items() if len(procs) == n]
     return max(good) if good else -1
 

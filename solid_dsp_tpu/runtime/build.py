@@ -35,22 +35,43 @@ def _writable_out(src: str) -> str:
     return os.path.join(cache, "libsolid_runtime.so")
 
 
+def _default_arch_flags() -> list:
+    """Portable arch baseline per host ISA.
+
+    x86-64-v2 keeps artifacts portable across x86 machines; non-x86 hosts
+    (aarch64 etc.) and toolchains that predate the -v2 level names get no
+    arch flag at all (plain -O3), which always compiles.
+    """
+    import platform
+
+    env = os.environ.get("SOLID_DSP_CXXFLAGS_ARCH")
+    if env is not None:
+        return env.split() if env else []
+    if platform.machine() in ("x86_64", "AMD64"):
+        return ["-march=x86-64-v2"]
+    return []
+
+
 def ensure_built() -> str:
     """Compile native/solid_runtime.cc if missing or stale; return .so path.
 
-    Uses a portable -march=x86-64-v2 baseline (override with
-    SOLID_DSP_CXXFLAGS_ARCH) so the artifact runs on CPUs other than the
-    build machine's.
+    Falls back to no arch flag if the baseline level name is rejected
+    (GCC < 11 does not know x86-64-v2).
     """
     src = os.path.abspath(_SRC)
     out = _writable_out(src)
-    arch = os.environ.get("SOLID_DSP_CXXFLAGS_ARCH", "-march=x86-64-v2")
     with _LOCK:
         if (not os.path.exists(out)
                 or os.path.getmtime(out) < os.path.getmtime(src)):
-            cmd = [
-                "g++", "-O3", arch, "-std=c++17", "-shared",
-                "-fPIC", "-pthread", src, "-o", out,
-            ]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                    "-pthread", src, "-o", out]
+            arch = _default_arch_flags()
+            try:
+                subprocess.run(base[:2] + arch + base[2:], check=True,
+                               capture_output=True, text=True)
+            except subprocess.CalledProcessError:
+                if not arch:
+                    raise
+                subprocess.run(base, check=True, capture_output=True,
+                               text=True)
     return out

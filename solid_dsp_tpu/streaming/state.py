@@ -12,10 +12,32 @@ of it lives in one explicit pytree so that it is simultaneously:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator, Mapping
 
 import jax
 import numpy as np
+
+
+def treedef_bytes(treedef) -> np.ndarray:
+    """Serialize a treedef repr as a uint8 array (shared by all
+    checkpoint writers — single-device, rotating, and distributed)."""
+    return np.frombuffer(str(treedef).encode(), dtype=np.uint8)
+
+
+def atomic_savez(path: str, **data) -> str:
+    """np.savez with crash-safety: write a dot-prefixed temp file in the
+    same directory, then os.replace.  The temp name never matches the
+    ``*.npz`` recovery globs, so a crash mid-write can neither brick
+    recovery nor rotate away a good checkpoint.  Returns the final path
+    (with .npz appended if missing, matching np.savez behavior)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    d = os.path.dirname(path) or "."
+    tmp = os.path.join(d, ".tmp_" + os.path.basename(path))
+    np.savez(tmp, **data)
+    os.replace(tmp, path)
+    return path
 
 
 @jax.tree_util.register_pytree_node_class
@@ -71,12 +93,12 @@ class ChainState(Mapping):
     CHECKPOINT_VERSION = 1
 
     def save(self, path: str) -> None:
-        """Serialize every leaf to an .npz checkpoint (versioned)."""
+        """Serialize every leaf to an .npz checkpoint (versioned, atomic)."""
         leaves, treedef = jax.tree_util.tree_flatten(self)
-        np.savez(
+        atomic_savez(
             path,
             __version__=np.asarray(self.CHECKPOINT_VERSION),
-            __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+            __treedef__=treedef_bytes(treedef),
             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
         )
 

@@ -141,3 +141,69 @@ def test_distributed_crash_gang_restart(tmp_path):
     # the crash actually happened (flag consumed) and a restart occurred
     assert not os.path.exists(crash_flag)
     assert len(logs) == 4  # 2 workers x 2 attempts
+
+
+def test_checkpoint_tmp_files_never_poison_recovery(tmp_path):
+    """Code-review r2 finding: a crash mid-write leaves only a dot-prefixed
+    temp that recovery globs/regexes never match, and prune clears it."""
+    import glob
+
+    import jax.numpy as jnp
+
+    cm = CheckpointManager(str(tmp_path), keep=2)
+    st = ChainState(x=jnp.arange(3.0))
+    cm.save(st, 0)
+    # simulate a crash mid-write of checkpoint 1: temp file left behind
+    stray = os.path.join(str(tmp_path), ".tmp_ckpt_000000000001.npz")
+    with open(stray, "wb") as f:
+        f.write(b"torn")
+    got, nxt = cm.latest(like=st)
+    assert nxt == 1  # temp ignored; real ckpt 0 recovered
+    # a subsequent save prunes the stray temp
+    cm.save(st, 1)
+    assert not glob.glob(os.path.join(str(tmp_path), ".tmp_*"))
+
+
+def test_latest_distributed_step_ignores_temp_and_foreign_files(tmp_path):
+    from solid_dsp_tpu.parallel.fault import latest_distributed_step
+
+    d = str(tmp_path)
+    # complete step 3 for the single process of this (non-distributed) test
+    open(os.path.join(d, "step_000000000003_proc0.npz"), "wb").close()
+    # torn step 5: only a leftover temp
+    open(os.path.join(d, ".tmp_step_000000000005_proc0.npz"), "wb").close()
+    # foreign name that sloppy parsing would have counted
+    open(os.path.join(d, "step_000000000004_proc0.npz.bak"), "wb").close()
+    assert latest_distributed_step(d) == 3
+
+
+def test_qam_rejects_non_pow4_orders():
+    from solid_dsp_tpu.models import linear_mod as lm
+
+    with pytest.raises(ValueError):
+        lm.qam_constellation(36)
+    with pytest.raises(ValueError):
+        lm.qam_constellation(100)
+
+
+def test_stream_scan_ci16_ingest(tmp_path):
+    """Code-review r2 finding: stream scan must handle (T, 2) int16."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from solid_dsp_tpu.models.rx_chain import (
+        RxChain, RxChainConfig, make_rx_chain_stream)
+
+    rng = np.random.default_rng(61)
+    B, NB = 1024, 3
+    raw = rng.integers(-20000, 20000, size=(B * NB, 2), dtype=np.int16)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod="fm",
+                        input_format="ci16")
+    init, stream = make_rx_chain_stream(cfg, B)
+    y_stream, _ = stream(init(), jnp.asarray(raw))
+
+    chain = RxChain(cfg)
+    y_blocks = np.concatenate(
+        [np.asarray(chain.execute_block(raw[i * B:(i + 1) * B]))
+         for i in range(NB)])
+    np.testing.assert_allclose(np.asarray(y_stream), y_blocks, atol=1e-12)
