@@ -26,7 +26,10 @@
 #include <new>
 #include <thread>
 
+#include <arpa/inet.h>
+#include <netinet/in.h>
 #include <poll.h>
+#include <sys/socket.h>
 #include <unistd.h>
 
 namespace {
@@ -288,6 +291,76 @@ struct Pump {
   }
 };
 
+// ---------------------------------------------------------------------------
+// UDP live IQ source: receiver thread -> ring of cf32 samples
+// ---------------------------------------------------------------------------
+
+struct UdpSource {
+  int sock = -1;
+  int fmt = CF32;
+  Ring ring;
+  std::thread reader;
+  std::atomic<bool> stop{false};
+  std::atomic<long> io_error{0};
+  std::atomic<uint64_t> dropped{0};  // datagrams lost to a full ring
+
+  UdpSource(int fd, int format, size_t ring_bytes)
+      : sock(fd), fmt(format), ring(ring_bytes) {
+    reader = std::thread([this] { run(); });
+  }
+
+  ~UdpSource() {
+    stop.store(true);
+    if (reader.joinable()) reader.join();
+    if (sock >= 0) ::close(sock);
+  }
+
+  void run() {
+    const size_t MAXDG = 65536;  // max UDP datagram
+    size_t sb = iq_sample_bytes(fmt);
+    uint8_t* raw = static_cast<uint8_t*>(::malloc(MAXDG + sb));
+    float* conv = static_cast<float*>(::malloc((MAXDG / sb + 1) * 8));
+    if (!raw || !conv) {
+      io_error.store(-2);
+      ::free(raw);
+      ::free(conv);
+      return;
+    }
+    while (!stop.load(std::memory_order_relaxed)) {
+      struct pollfd pfd {sock, POLLIN, 0};
+      int pr = ::poll(&pfd, 1, 100 /* ms */);
+      if (pr < 0) {
+        if (errno == EINTR) continue;
+        io_error.store(-1);
+        break;
+      }
+      if (pr == 0) continue;
+      ssize_t r = ::recv(sock, raw, MAXDG, 0);
+      if (r < 0) {
+        if (errno == EINTR) continue;
+        io_error.store(-1);
+        break;
+      }
+      size_t got = static_cast<size_t>(r) / sb;  // whole samples only
+      if (got == 0) continue;
+      size_t nbytes = iq_to_cf32(raw, got, fmt, conv);
+      // live source: a full ring DROPS the datagram (counted) rather than
+      // back-pressuring the radio — matching SDR receiver semantics
+      if (ring.space() < nbytes) {
+        dropped.fetch_add(1, std::memory_order_relaxed);
+        continue;
+      }
+      ring.push(reinterpret_cast<const uint8_t*>(conv), nbytes);
+    }
+  }
+
+  // Read up to n bytes without blocking; returns bytes copied.
+  long read_available(uint8_t* dst, size_t n) {
+    if (io_error.load() != 0 && ring.size() == 0) return -1;
+    return static_cast<long>(ring.pop(dst, n));
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -393,6 +466,50 @@ long sdsp_pump_next(void* p, float* out, long n_samples) {
 int sdsp_pump_eof(void* p) {
   Pump* pp = static_cast<Pump*>(p);
   return pp->eof.load() && pp->ring.size() == 0;
+}
+
+// UDP live source: binds bind_addr:port and converts datagrams into the
+// ring. Returns NULL on bind/allocation failure.
+void* sdsp_udp_create(const char* bind_addr, int port, int fmt,
+                      size_t ring_samples) {
+  if (iq_sample_bytes(fmt) == 0) return nullptr;
+  int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return nullptr;
+  int one = 1;
+  ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  struct sockaddr_in addr;
+  std::memset(&addr, 0, sizeof(addr));
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (::inet_pton(AF_INET, bind_addr, &addr.sin_addr) != 1) {
+    ::close(fd);
+    return nullptr;
+  }
+  if (::bind(fd, reinterpret_cast<struct sockaddr*>(&addr),
+             sizeof(addr)) != 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  UdpSource* s = new (std::nothrow) UdpSource(fd, fmt, ring_samples * 8);
+  if (s && !s->ring.ok()) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+void sdsp_udp_destroy(void* s) { delete static_cast<UdpSource*>(s); }
+// Non-blocking: copies up to n_samples available cf32 samples; returns
+// samples copied, or -1 after an IO error once the ring drains.
+long sdsp_udp_read(void* s, float* out, long n_samples) {
+  long b = static_cast<UdpSource*>(s)->read_available(
+      reinterpret_cast<uint8_t*>(out), static_cast<size_t>(n_samples) * 8);
+  return b < 0 ? -1 : b / 8;
+}
+size_t sdsp_udp_available(void* s) {
+  return static_cast<UdpSource*>(s)->ring.size() / 8;
+}
+unsigned long long sdsp_udp_dropped(void* s) {
+  return static_cast<UdpSource*>(s)->dropped.load();
 }
 
 }  // extern "C"

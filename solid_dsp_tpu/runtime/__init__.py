@@ -27,7 +27,7 @@ import numpy as np
 from .build import ensure_built
 
 __all__ = [
-    "CircularBuffer", "BufferError_", "StreamPump", "read_iq", "write_iq",
+    "CircularBuffer", "BufferError_", "StreamPump", "UdpSource", "read_iq", "write_iq",
     "IQ_FORMATS",
 ]
 
@@ -63,6 +63,15 @@ _lib.sdsp_pump_next.restype = C.c_long
 _lib.sdsp_pump_next.argtypes = [C.c_void_p, C.c_void_p, C.c_long]
 _lib.sdsp_pump_eof.restype = C.c_int
 _lib.sdsp_pump_eof.argtypes = [C.c_void_p]
+_lib.sdsp_udp_create.restype = C.c_void_p
+_lib.sdsp_udp_create.argtypes = [C.c_char_p, C.c_int, C.c_int, C.c_size_t]
+_lib.sdsp_udp_destroy.argtypes = [C.c_void_p]
+_lib.sdsp_udp_read.restype = C.c_long
+_lib.sdsp_udp_read.argtypes = [C.c_void_p, C.c_void_p, C.c_long]
+_lib.sdsp_udp_available.restype = C.c_size_t
+_lib.sdsp_udp_available.argtypes = [C.c_void_p]
+_lib.sdsp_udp_dropped.restype = C.c_ulonglong
+_lib.sdsp_udp_dropped.argtypes = [C.c_void_p]
 
 
 class BufferError_(RuntimeError):
@@ -239,3 +248,58 @@ class StreamPump:
             if b is None:
                 return
             yield b
+
+
+class UdpSource:
+    """Live UDP IQ receiver: the C++ thread converts datagrams (ci8/ci16/
+    cf32/cf64) to complex64 into a lock-free ring; Python drains blocks
+    non-blockingly.  A full ring DROPS datagrams (counted via .dropped) —
+    live-radio semantics, never back-pressure.
+
+    Usage::
+
+        with UdpSource(port=5000, fmt="ci16") as src:
+            while True:
+                block = src.read(1 << 16)     # up to N samples, no blocking
+                if block.size:
+                    out = chain.execute_block(block)
+    """
+
+    def __init__(self, port: int, fmt: str = "ci16",
+                 bind_addr: str = "0.0.0.0", ring_samples: int = 1 << 22):
+        code = _fmt_code(fmt)
+        self._ptr = _lib.sdsp_udp_create(bind_addr.encode(), int(port),
+                                         code, ring_samples)
+        if not self._ptr:
+            raise OSError(f"cannot bind UDP {bind_addr}:{port}")
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            _lib.sdsp_udp_destroy(self._ptr)
+            self._ptr = None
+
+    __del__ = close
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read(self, max_samples: int) -> np.ndarray:
+        """Non-blocking: up to max_samples complex64 (possibly empty)."""
+        out = np.empty(max_samples, dtype=np.complex64)
+        got = _lib.sdsp_udp_read(self._ptr, out.ctypes.data_as(C.c_void_p),
+                                 max_samples)
+        if got < 0:
+            raise OSError("IO error in UDP receiver thread")
+        return out[:got]
+
+    @property
+    def available(self) -> int:
+        return int(_lib.sdsp_udp_available(self._ptr))
+
+    @property
+    def dropped(self) -> int:
+        """Datagrams dropped because the ring was full."""
+        return int(_lib.sdsp_udp_dropped(self._ptr))

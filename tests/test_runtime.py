@@ -180,3 +180,62 @@ class TestStdinStreaming:
         t.join()
         y = np.concatenate(got)
         np.testing.assert_array_equal(y, x)
+
+
+class TestUdpSource:
+    """Live UDP IQ ingest: loopback datagrams -> converted ring."""
+
+    def _free_port(self):
+        import socket
+
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def test_ci16_datagrams_roundtrip(self):
+        import socket
+        import time
+
+        from solid_dsp_tpu.runtime import UdpSource
+
+        port = self._free_port()
+        rng = np.random.default_rng(0)
+        raw = rng.integers(-30000, 30000, size=4096 * 2, dtype=np.int16)
+        want = (raw[0::2] + 1j * raw[1::2]).astype(np.complex64) / 32767.0
+
+        with UdpSource(port=port, fmt="ci16",
+                       bind_addr="127.0.0.1") as src:
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            payload = raw.tobytes()
+            # 4 datagrams of 1024 samples each
+            for i in range(4):
+                tx.sendto(payload[i * 4096:(i + 1) * 4096],
+                          ("127.0.0.1", port))
+            tx.close()
+            # wait for the receiver thread to drain the socket
+            deadline = time.time() + 5.0
+            got = np.empty(0, np.complex64)
+            while len(got) < 4096 and time.time() < deadline:
+                got = np.concatenate([got, src.read(8192)])
+                time.sleep(0.01)
+            assert src.dropped == 0
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_nonblocking_empty_read(self):
+        from solid_dsp_tpu.runtime import UdpSource
+
+        port = self._free_port()
+        with UdpSource(port=port, fmt="cf32",
+                       bind_addr="127.0.0.1") as src:
+            assert src.read(1024).size == 0
+            assert src.available == 0
+
+    def test_bad_bind_raises(self):
+        import pytest
+
+        from solid_dsp_tpu.runtime import UdpSource
+
+        with pytest.raises(OSError):
+            UdpSource(port=5000, fmt="ci16", bind_addr="999.1.1.1")
