@@ -5,6 +5,12 @@ native C++ prefetch pump.
     python examples/fm_receiver.py [recording.ci16]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import tempfile
 

@@ -4,6 +4,12 @@ Schmidl-Cox sync -> CFO correction -> pilot equalization -> SER.
     python examples/ofdm_link.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax.numpy as jnp
 import numpy as np
 

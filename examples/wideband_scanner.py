@@ -5,6 +5,12 @@ report which channels are occupied.
     python examples/wideband_scanner.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from solid_dsp_tpu.models.channel_bank import ChannelBank
