@@ -10,6 +10,15 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# Demos default to the host CPU so they run everywhere; set
+# SOLID_DSP_EXAMPLES_TPU=1 to use the accelerator (note: the
+# tunneled dev chip cannot do device->host array fetches, which
+# these demos use for plotting/printing).
+if not _os.environ.get("SOLID_DSP_EXAMPLES_TPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 
 import numpy as np
 
