@@ -1,0 +1,94 @@
+"""Burst/energy detection tests incl. the associative hysteresis trick."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.models import detect
+
+
+def _hysteresis_ref(e_db, hi, lo, init_on):
+    """Per-sample reference state machine."""
+    on = init_on
+    out = np.empty(len(e_db), dtype=bool)
+    for i, e in enumerate(e_db):
+        if e > hi:
+            on = True
+        elif e < lo:
+            on = False
+        out[i] = on
+    return out
+
+
+def test_sliding_energy_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(500) + 1j * rng.standard_normal(500)
+         ).astype(np.complex64)
+    W = 16
+    e_db, _ = detect.sliding_energy_db(jnp.asarray(x),
+                                       jnp.zeros(W, jnp.complex64), W)
+    ext = np.concatenate([np.zeros(W, np.complex64), x])
+    want = np.array([np.mean(np.abs(ext[i + 1: i + 1 + W]) ** 2)
+                     for i in range(500)])
+    np.testing.assert_allclose(np.asarray(e_db),
+                               10 * np.log10(want + 1e-30), atol=1e-3)
+
+
+def test_sliding_energy_streaming_continuity():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(400) + 1j * rng.standard_normal(400)
+         ).astype(np.complex64)
+    W = 32
+    t0 = jnp.zeros(W, jnp.complex64)
+    full, _ = detect.sliding_energy_db(jnp.asarray(x), t0, W)
+    a, tmid = detect.sliding_energy_db(jnp.asarray(x[:150]), t0, W)
+    b, _ = detect.sliding_energy_db(jnp.asarray(x[150:]), tmid, W)
+    np.testing.assert_allclose(np.concatenate([a, b]), np.asarray(full),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("init_on", [False, True])
+def test_hysteresis_gate_matches_state_machine(init_on):
+    rng = np.random.default_rng(2)
+    # wander across both thresholds incl. long HOLD stretches
+    e = np.cumsum(rng.standard_normal(2000)) * 0.5
+    gate, final = detect.hysteresis_gate(jnp.asarray(e), 3.0, -3.0,
+                                         jnp.asarray(init_on))
+    want = _hysteresis_ref(e, 3.0, -3.0, init_on)
+    np.testing.assert_array_equal(np.asarray(gate), want)
+    assert bool(final) == want[-1]
+
+
+def test_burst_detector_end_to_end():
+    rng = np.random.default_rng(3)
+    n = 4096
+    x = 0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    # two bursts at known positions
+    for start, length in [(500, 300), (2000, 600)]:
+        k = np.arange(length)
+        x[start:start + length] += np.exp(2j * np.pi * 0.05 * k)
+    det = detect.BurstDetector(window=64, high_db=-10.0, low_db=-13.0,
+                               dtype=jnp.complex128)
+    r = det.execute_block(x)
+    rises = [int(v) for v in np.asarray(r["rises"]) if v >= 0]
+    falls = [int(v) for v in np.asarray(r["falls"]) if v >= 0]
+    assert len(rises) == 2 and len(falls) == 2
+    # rise within a window-length of the true burst starts
+    assert abs(rises[0] - 500) <= 64 and abs(rises[1] - 2000) <= 64
+    assert abs(falls[0] - 800) <= 80 and abs(falls[1] - 2600) <= 80
+
+
+def test_burst_spanning_block_boundary_not_double_counted():
+    n = 2048
+    x = 0.001 * np.ones(n, np.complex128)
+    x[900:1300] += 1.0  # burst spans the split at 1024
+    det = detect.BurstDetector(window=32, high_db=-10.0, low_db=-13.0,
+                               dtype=jnp.complex128)
+    r1 = det.execute_block(x[:1024])
+    r2 = det.execute_block(x[1024:])
+    rises = ([int(v) for v in np.asarray(r1["rises"]) if v >= 0]
+             + [int(v) for v in np.asarray(r2["rises"]) if v >= 0])
+    falls = ([int(v) for v in np.asarray(r1["falls"]) if v >= 0]
+             + [int(v) for v in np.asarray(r2["falls"]) if v >= 0])
+    assert len(rises) == 1  # ONE burst: no re-rise after the block split
+    assert len(falls) == 1
