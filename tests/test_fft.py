@@ -186,3 +186,28 @@ def test_bluestein_roundtrip_scaling():
     X = F.fft(jnp.asarray(x, jnp.complex128), backend="bluestein")
     y = np.asarray(F.ifft(X, backend="bluestein")) / n
     assert _snr(x, y) >= 120.0
+
+
+def test_plan_path_exhaustive_small_sizes():
+    """EVERY size 1..128 through the structural plan path vs numpy — each
+    size exercises whatever method the reference planner selects for it
+    (codelets, mixed-radix recursion, Rader, Rader2)."""
+    rng = np.random.default_rng(99)
+    for n in range(1, 129):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        got = np.asarray(F.fft(jnp.asarray(x, jnp.complex128),
+                               backend="plan"))
+        want = np.fft.fft(x)
+        err = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-30)
+        assert err < 1e-9, (n, F.estimate_method(n), err)
+
+
+def test_bluestein_exhaustive_small_sizes():
+    rng = np.random.default_rng(98)
+    for n in range(1, 129):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        got = np.asarray(F.fft(jnp.asarray(x, jnp.complex128),
+                               backend="bluestein"))
+        want = np.fft.fft(x)
+        err = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-30)
+        assert err < 1e-9, (n, err)
