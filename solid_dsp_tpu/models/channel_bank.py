@@ -53,7 +53,10 @@ class ChannelBank:
 
     def __init__(self, num_channels: int, taps_per_branch: int = 8,
                  sos: np.ndarray | None = None, agc_bandwidth: float = 0.0,
-                 attenuation: float = 80.0, backend: str = "xla"):
+                 attenuation: float = 80.0, backend: str = "xla",
+                 squelch_high_db: float | None = None,
+                 squelch_low_db: float | None = None,
+                 squelch_window: int = 32):
         # sos: (S, 5) shared across channels, or (S, 5, M) per-channel
         # cascades (both handled by ops.pallas_kernels.iir_bank_apply)
         self.M = int(num_channels)
@@ -67,6 +70,17 @@ class ChannelBank:
         self._iir_state = iir_bank_init(self.sos.shape[0], self.M)
         self._agc_state = agc_ops.agc_init(jnp.float32, batch_shape=(self.M,))
         self._interpret = jax.default_backend() != "tpu"
+        # optional per-channel energy squelch (models.detect): channels
+        # whose filtered energy never crossed high_db emit zeros
+        self.squelch_high_db = squelch_high_db
+        self.squelch_low_db = (squelch_low_db if squelch_low_db is not None
+                               else (squelch_high_db - 3.0
+                                     if squelch_high_db is not None else None))
+        self.squelch_window = int(squelch_window)
+        self._det_tail = jnp.zeros((self.M, self.squelch_window),
+                                   jnp.complex64)
+        self._det_on = jnp.zeros(self.M, bool)
+        self.last_gate = None  # (M, T) bool after each block when enabled
 
     @property
     def state(self) -> ChainState:
@@ -79,6 +93,16 @@ class ChannelBank:
             jnp.asarray(self.sos), self._iir_state,
             jnp.asarray(Y, jnp.complex64), interpret=self._interpret,
         )
+        if self.squelch_high_db is not None:
+            from . import detect
+
+            e_db, self._det_tail = detect.sliding_energy_db(
+                Y.T, self._det_tail, self.squelch_window)
+            gate, self._det_on = detect.hysteresis_gate(
+                e_db, self.squelch_high_db, self.squelch_low_db,
+                self._det_on)
+            self.last_gate = gate  # (M, T)
+            Y = jnp.where(gate.T, Y, 0.0)
         if self.agc_bandwidth > 0.0:
             out, self._agc_state = agc_ops.agc_apply_block_mode(
                 self._agc_state, Y.T, self.agc_bandwidth
@@ -90,6 +114,9 @@ class ChannelBank:
         self.channelizer.reset()
         self._iir_state = iir_bank_init(self.sos.shape[0], self.M)
         self._agc_state = agc_ops.agc_init(jnp.float32, batch_shape=(self.M,))
+        self._det_tail = jnp.zeros_like(self._det_tail)
+        self._det_on = jnp.zeros(self.M, bool)
+        self.last_gate = None
 
     def __repr__(self) -> str:
         return (f"ChannelBank [M={self.M}] [sections={self.sos.shape[0]}] "

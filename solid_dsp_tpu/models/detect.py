@@ -57,22 +57,25 @@ def hysteresis_gate(e_db, high_db, low_db, init_on):
 
     gate[n] is ON once e rises above high_db and stays ON until e falls
     below low_db.  Solved as "last non-HOLD classification" via an
-    associative scan.  Returns (gate bool (T,), final_state bool).
+    associative scan along the last axis; leading axes batch (per-channel
+    gates for a channelizer output come free).  e_db: (..., T),
+    init_on: (...,) bools.  Returns (gate bool (..., T), final (...,)).
     """
     raw = jnp.where(e_db > high_db, 1,
                     jnp.where(e_db < low_db, 0, _HOLD)).astype(jnp.int32)
     init = jnp.where(jnp.asarray(init_on), 1, 0).astype(jnp.int32)
-    seq = jnp.concatenate([init[None], raw], axis=-1)
+    seq = jnp.concatenate([init[..., None], raw], axis=-1)
 
     def combine(a, b):
         return jnp.where(b == _HOLD, a, b)
 
-    st = jax.lax.associative_scan(combine, seq)[1:]
-    return st == 1, st[-1] == 1
+    st = jax.lax.associative_scan(combine, seq, axis=-1)[..., 1:]
+    return st == 1, st[..., -1] == 1
 
 
 def burst_edges(gate, prev_last, max_bursts: int):
-    """Rising/falling edge indices with static shapes.
+    """Rising/falling edge indices with static shapes (1-D gate only —
+    batched channels keep the boolean gate matrix instead).
 
     Returns (rises, falls): int32 arrays of length ``max_bursts`` padded
     with -1.  ``prev_last`` is the previous block's final gate value so a

@@ -92,3 +92,39 @@ def test_burst_spanning_block_boundary_not_double_counted():
              + [int(v) for v in np.asarray(r2["falls"]) if v >= 0])
     assert len(rises) == 1  # ONE burst: no re-rise after the block split
     assert len(falls) == 1
+
+
+def test_hysteresis_gate_batched_channels():
+    rng = np.random.default_rng(7)
+    e = np.cumsum(rng.standard_normal((5, 800)), axis=-1) * 0.5
+    init = np.array([False, True, False, True, False])
+    gate, final = detect.hysteresis_gate(jnp.asarray(e), 2.0, -2.0,
+                                         jnp.asarray(init))
+    for c in range(5):
+        want = _hysteresis_ref(e[c], 2.0, -2.0, bool(init[c]))
+        np.testing.assert_array_equal(np.asarray(gate[c]), want, err_msg=str(c))
+        assert bool(final[c]) == want[-1]
+
+
+def test_channel_bank_squelch_mutes_idle_channels():
+    from solid_dsp_tpu.models.channel_bank import ChannelBank
+
+    M = 16
+    L = M * 512
+    rng = np.random.default_rng(8)
+    # tones in channels 3 and 9, noise floor ~-50 dB elsewhere
+    k = np.arange(L)
+    x = (3e-3 * (rng.standard_normal(L) + 1j * rng.standard_normal(L)))
+    for ch in (3, 9):
+        x = x + np.exp(2j * np.pi * (ch / M) * k)
+    bank = ChannelBank(M, squelch_high_db=-20.0)
+    Y = np.asarray(bank.execute_block(x.astype(np.complex64)))
+    steady = Y[Y.shape[0] // 2:]  # skip filter/energy-window transients
+    power = 10 * np.log10(np.mean(np.abs(steady) ** 2, axis=0) + 1e-30)
+    active = set(int(i) for i in np.where(power > -40)[0])
+    assert active == {3, 9}, (active, power.round(1).tolist())
+    # idle channels are EXACT zeros in the steady region (muted, not low)
+    idle = [c for c in range(M) if c not in (3, 9)]
+    assert np.all(steady[:, idle] == 0)
+    gate = np.asarray(bank.last_gate)
+    assert gate.shape == (M, Y.shape[0])
