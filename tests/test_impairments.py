@@ -1,0 +1,81 @@
+"""DC-offset / IQ-imbalance estimation and correction tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.models import impairments as imp
+
+
+def _proper_signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            / np.sqrt(2)).astype(np.complex128)
+
+
+def test_dc_estimate():
+    s = _proper_signal(1 << 16)
+    r = imp.apply_iq_imbalance(jnp.asarray(s), 0.0, 0.0, dc=0.3 - 0.2j)
+    dc = complex(imp.estimate_dc(r))
+    assert abs(dc - (0.3 - 0.2j)) < 0.02
+
+
+@pytest.mark.parametrize("gain_db,phase_deg", [(1.0, 0.0), (0.0, 5.0),
+                                               (0.5, 3.0), (-1.0, -4.0)])
+def test_correction_improves_image_rejection(gain_db, phase_deg):
+    s = _proper_signal(1 << 16, seed=1)
+    r = imp.apply_iq_imbalance(jnp.asarray(s), gain_db, phase_deg,
+                               dc=0.05 + 0.02j)
+    irr_before = imp.image_rejection_db(r)
+    y = imp.correct(r, imp.estimate_dc(r), imp.estimate_iq_imbalance(r))
+    irr_after = imp.image_rejection_db(y)
+    assert irr_before < 22.0          # impairment really was there
+    # the IRR metric itself saturates near 10*log10(sqrt(N)) ~ 24 dB for
+    # noise signals (it re-measures improperness with the same
+    # finite-sample variance) — the precise gate is the tone test below
+    assert irr_after > irr_before + 8.0
+    assert irr_after > 25.0
+
+
+def test_corrected_signal_matches_original_shape():
+    """After correction the signal equals alpha*s up to the 2nd-order
+    residual: correlation with the clean signal ~ 1."""
+    s = _proper_signal(1 << 14, seed=2)
+    r = imp.apply_iq_imbalance(jnp.asarray(s), 0.8, 4.0)
+    y = np.asarray(imp.correct(r, imp.estimate_dc(r),
+                               imp.estimate_iq_imbalance(r)))
+    rho = np.abs(np.vdot(y, s)) / (np.linalg.norm(y) * np.linalg.norm(s))
+    assert rho > 0.999
+
+
+def test_streaming_corrector_converges():
+    rng = np.random.default_rng(3)
+    c = imp.ImpairmentCorrector(bandwidth=0.5, dtype=jnp.complex128)
+    last_irr = None
+    for i in range(6):
+        s = _proper_signal(1 << 13, seed=10 + i)
+        r = imp.apply_iq_imbalance(jnp.asarray(s), 0.7, 3.0, dc=0.1)
+        y = c.execute_block(r)
+        last_irr = imp.image_rejection_db(y)
+    assert last_irr > 25.0
+    assert abs(c.dc - 0.1) < 0.02
+
+
+def test_tone_image_suppression():
+    """Classic visual: a tone at +f gets an image at -f under imbalance;
+    correction pushes the image below -40 dBc."""
+    n = 1 << 14
+    k = np.arange(n)
+    s = np.exp(2j * np.pi * 0.1 * k)
+    r = imp.apply_iq_imbalance(jnp.asarray(s), 1.0, 5.0)
+
+    def image_dbc(v):
+        V = np.fft.fft(np.asarray(v))
+        f = int(round(0.1 * n))
+        return 20 * np.log10(np.abs(V[-f]) / (np.abs(V[f]) + 1e-30) + 1e-30)
+
+    assert image_dbc(r) > -25.0  # visible image spur
+    y = imp.correct(r, imp.estimate_dc(r), imp.estimate_iq_imbalance(r))
+    # NOTE: a pure tone is NOT proper (E[s^2] spins at 2f but averages to
+    # ~0 over many cycles), so blind estimation still works
+    assert image_dbc(y) < -40.0
