@@ -1,0 +1,94 @@
+"""Farrow arbitrary-ratio resampler (cubic Lagrange).
+
+Completes the rate-conversion family (integer decimators/interpolators,
+rational P/Q polyphase, CIC): resampling by ANY real ratio — the 48k ->
+44.1k class of conversions and fine sample-clock tracking (timing loops
+feed a slowly varying ratio).
+
+TPU formulation: each output sample needs 4 input points around its
+fractional position; the 4-point windows come from one monotonic gather
+(small fan-out, unlike im2col) and the cubic Lagrange basis evaluates as
+a (T_out, 4) einsum — no sequential dependency, the whole block is
+parallel.  The output length per block depends on the carried fractional
+phase, so it is computed host-side (one retrace when it changes by +-1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["lagrange_coeffs", "FarrowResampler"]
+
+
+@jax.jit
+def lagrange_coeffs(mu):
+    """Cubic Lagrange basis at fractional offset mu in [0, 1), for the
+    4-point stencil x[-1], x[0], x[1], x[2]:  (T, 4)."""
+    m = jnp.asarray(mu)
+    c_m1 = -m * (m - 1.0) * (m - 2.0) / 6.0
+    c_0 = (m + 1.0) * (m - 1.0) * (m - 2.0) / 2.0
+    c_1 = -(m + 1.0) * m * (m - 2.0) / 2.0
+    c_2 = (m + 1.0) * m * (m - 1.0) / 6.0
+    return jnp.stack([c_m1, c_0, c_1, c_2], axis=-1)
+
+
+class FarrowResampler:
+    """Streaming arbitrary-ratio resampler.
+
+    ratio = input samples per output sample (e.g. 48000/44100 to go from
+    48 kHz down to 44.1 kHz).  Cubic interpolation: > 60 dB image
+    rejection for signals below ~0.1 of the input rate.
+    """
+
+    STENCIL = 4  # x[-1], x[0], x[1], x[2]
+
+    def __init__(self, ratio: float, dtype=jnp.complex64):
+        if ratio <= 0.0:
+            raise ValueError("ratio must be positive")
+        self.ratio = float(ratio)
+        self._tail = jnp.zeros(self.STENCIL - 1, dtype)
+        # position of the next output, in input-sample units, measured
+        # from index 1 of the CURRENT extended block (so a stencil point
+        # at -1 is always available)
+        self._t_next = 0.0
+
+    def execute_block(self, x):
+        x = jnp.asarray(x, self._tail.dtype)
+        ext = jnp.concatenate([self._tail, x])
+        L = int(ext.shape[-1])
+        # valid output positions t (ext stencil coords: sample value at
+        # position t+1+mu uses ext[floor(t) .. floor(t)+3]): need
+        # floor(t)+3 <= L-1, i.e. strictly t < L-3
+        n_out = int(np.ceil((L - 3 - self._t_next) / self.ratio - 1e-12))
+        n_out = max(n_out, 0)
+        if n_out == 0:
+            self._tail = ext[-(self.STENCIL - 1):]
+            self._t_next -= x.shape[-1]
+            return ext[:0]
+        t = self._t_next + self.ratio * np.arange(n_out)
+        base = np.floor(t).astype(np.int64)
+        mu = t - base
+        y = self._interp(ext, jnp.asarray(base), jnp.asarray(mu))
+        # advance: next output position relative to the next block's ext,
+        # whose index 0 will be current ext index L - 3
+        t_end = self._t_next + self.ratio * n_out
+        self._t_next = float(t_end - (L - 3))
+        self._tail = ext[-(self.STENCIL - 1):]
+        return y
+
+    @staticmethod
+    @jax.jit
+    def _interp(ext, base, mu):
+        idx = base[:, None] + jnp.arange(4)[None, :]  # ext[t-1 .. t+2]
+        windows = ext[idx]  # (T_out, 4) monotonic gather
+        c = lagrange_coeffs(mu).astype(ext.dtype)
+        return jnp.einsum("tk,tk->t", windows, c)
+
+    def reset(self):
+        self._tail = jnp.zeros_like(self._tail)
+        self._t_next = 0.0
+
+    def __repr__(self):
+        return f"FarrowResampler [ratio={self.ratio:.6f}]"
