@@ -11,5 +11,5 @@ from . import am, fm, qpsk  # noqa: F401
 from .rx_chain import RxChain, RxChainConfig  # noqa: F401
 from .channelizer import PolyphaseChannelizer  # noqa: F401
 from .channel_bank import ChannelBank  # noqa: F401
-from . import timing, equalizer, fsk, ofdm, linear_mod, detect, impairments  # noqa: F401
+from . import timing, equalizer, fsk, ofdm, linear_mod, detect, impairments, ddc  # noqa: F401
 from .linear_mod import LinearModem  # noqa: F401
