@@ -53,6 +53,11 @@ class RxChainConfig:
     # half the HBM ingest bytes per sample, conversion fused into the NCO
     # mix by XLA.
     input_format: str = "cf32"
+    # Front-end impairment correction (models.impairments): estimate DC
+    # offset and IQ-imbalance per block (EMA-tracked in the ChainState)
+    # and cancel them before the NCO mix.  Bandwidth is the per-block EMA
+    # coefficient; 0 disables the stage.
+    impairment_bw: float = 0.0
 
     def design_taps(self) -> np.ndarray:
         taps = firdes.firdes_kaiser(
@@ -65,13 +70,20 @@ def rx_chain_init(cfg: RxChainConfig) -> ChainState:
     # numpy, not jnp: a zero-sized device array is an eager TPU op that the
     # axon backend rejects (UNIMPLEMENTED), and all we want is the dtype.
     rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
-    return ChainState(
+    parts = dict(
         nco_theta=jnp.uint32(0),
         fir_tail=fir_ops.fir_init(cfg.fir_taps, dtype=cfg.dtype),
         fir_phase=jnp.int32(0),
         agc=agc_ops.agc_init(rdtype),
         fm_prev=fm_mod.fm_demod_init(cfg.dtype),
     )
+    if cfg.impairment_bw > 0.0:
+        parts["impair"] = {
+            "dc": jnp.zeros((), cfg.dtype),
+            "k": jnp.zeros((), cfg.dtype),
+            "primed": jnp.asarray(False),
+        }
+    return ChainState(**parts)
 
 
 def make_rx_chain(cfg: RxChainConfig):
@@ -99,6 +111,20 @@ def make_rx_chain(cfg: RxChainConfig):
             # the mix); same scaling as the native runtime's iq_to_cf32
             xs = x.astype(rdtype) * np.asarray(1.0 / 32767.0, rdtype)
             x = jax.lax.complex(xs[..., 0], xs[..., 1]).astype(cfg.dtype)
+        # 0. front-end impairment correction (optional)
+        if cfg.impairment_bw > 0.0:
+            from . import impairments as imp_mod
+
+            dc_new = imp_mod.estimate_dc(x)
+            k_new = imp_mod.estimate_iq_imbalance(x).astype(cfg.dtype)
+            b = jnp.asarray(cfg.impairment_bw, cfg.dtype)
+            st_i = state.impair
+            dc = jnp.where(st_i["primed"],
+                           (1.0 - b) * st_i["dc"] + b * dc_new, dc_new)
+            k = jnp.where(st_i["primed"],
+                          (1.0 - b) * st_i["k"] + b * k_new, k_new)
+            x = imp_mod.correct(x, dc, k)
+            impair_state = {"dc": dc, "k": k, "primed": jnp.asarray(True)}
         # 1. downconvert (closed-form phases, no sequential dependency)
         mixed, theta_end = nco_ops.mix_down_block(
             x, state.nco_theta, dtheta, lut, cfg.nco_mode
@@ -133,13 +159,16 @@ def make_rx_chain(cfg: RxChainConfig):
             out = jnp.abs(y)
         else:
             out = y
-        new_state = ChainState(
+        new_parts = dict(
             nco_theta=theta_end,
             fir_tail=fir_tail,
             fir_phase=fir_phase,
             agc=agc_state,
             fm_prev=fm_prev,
         )
+        if cfg.impairment_bw > 0.0:
+            new_parts["impair"] = impair_state
+        new_state = ChainState(**new_parts)
         if cfg.debug_checks:
             flags = {
                 "input": jnp.all(jnp.isfinite(x)),

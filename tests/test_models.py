@@ -392,3 +392,30 @@ def test_rx_chain_rejects_unknown_input_format():
 
     with pytest.raises(ValueError):
         RxChain(RxChainConfig(input_format="cf64x"))
+
+
+def test_rx_chain_impairment_correction_stage():
+    """impairment_bw>0 == manual correct() then the plain chain."""
+    from solid_dsp_tpu.models import impairments as imp
+
+    rng = np.random.default_rng(70)
+    n = 8192
+    s = (0.2 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex128)
+    r = np.asarray(imp.apply_iq_imbalance(jnp.asarray(s), 0.8, 4.0,
+                                          dc=0.05 - 0.03j))
+
+    chain = RxChain(RxChainConfig(dtype=jnp.complex128, agc_mode="block",
+                                  demod="fm", impairment_bw=0.5))
+    y = np.asarray(chain.execute_block(r))
+
+    # manual: one-block estimates (first block: no EMA history)
+    xc = imp.correct(jnp.asarray(r), imp.estimate_dc(jnp.asarray(r)),
+                     imp.estimate_iq_imbalance(jnp.asarray(r)))
+    base = RxChain(RxChainConfig(dtype=jnp.complex128, agc_mode="block",
+                                 demod="fm"))
+    want = np.asarray(base.execute_block(np.asarray(xc)))
+    np.testing.assert_allclose(y, want, atol=1e-10)
+    # EMA state carried: second block uses blended estimates
+    chain.execute_block(r)
+    assert bool(chain.state.impair["primed"])
