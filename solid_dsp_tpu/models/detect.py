@@ -73,6 +73,7 @@ def hysteresis_gate(e_db, high_db, low_db, init_on):
     return st == 1, st[..., -1] == 1
 
 
+@partial(jax.jit, static_argnames=("max_bursts",))
 def burst_edges(gate, prev_last, max_bursts: int):
     """Rising/falling edge indices with static shapes (1-D gate only —
     batched channels keep the boolean gate matrix instead).
@@ -90,6 +91,18 @@ def burst_edges(gate, prev_last, max_bursts: int):
     rises = jnp.where(rises == -1, -1, rises).astype(jnp.int32)
     falls = jnp.where(falls == -1, -1, falls).astype(jnp.int32)
     return rises, falls
+
+
+@partial(jax.jit, static_argnames=("window", "max_bursts"))
+def _detector_block(x, tail, on, window: int, high_db, low_db,
+                    max_bursts: int):
+    """Whole detector block as ONE dispatch (eager per-op dispatch over a
+    tunneled device dominates otherwise)."""
+    e_db, new_tail = sliding_energy_db(x, tail, window)
+    gate, on_new = hysteresis_gate(e_db, high_db, low_db, on)
+    rises, falls = burst_edges(gate, on, max_bursts)
+    return ({"gate": gate, "e_db": e_db, "rises": rises, "falls": falls},
+            new_tail, on_new)
 
 
 class BurstDetector:
@@ -116,12 +129,10 @@ class BurstDetector:
 
     def execute_block(self, x):
         x = jnp.asarray(x, self._tail.dtype)
-        e_db, self._tail = sliding_energy_db(x, self._tail, self.window)
-        gate, self._on_new = hysteresis_gate(
-            e_db, self.high_db, self.low_db, self._on)
-        rises, falls = burst_edges(gate, self._on, self.max_bursts)
-        self._on = self._on_new
-        return {"gate": gate, "e_db": e_db, "rises": rises, "falls": falls}
+        out, self._tail, self._on = _detector_block(
+            x, self._tail, self._on, self.window, self.high_db,
+            self.low_db, self.max_bursts)
+        return out
 
     def reset(self):
         self._tail = jnp.zeros_like(self._tail)

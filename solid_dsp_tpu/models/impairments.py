@@ -86,6 +86,21 @@ def image_rejection_db(x) -> float:
     return float(10.0 * np.log10(p / (c2 + 1e-30)))
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("primed",))
+def _corrector_block(x, dc_prev, k_prev, bandwidth, primed: bool):
+    """Estimate + EMA + correct as one dispatch."""
+    dc_new = estimate_dc(x)
+    k_new = estimate_iq_imbalance(x).astype(dc_prev.dtype)
+    if primed:
+        b = bandwidth
+        dc_new = (1.0 - b) * dc_prev + b * dc_new
+        k_new = (1.0 - b) * k_prev + b * k_new
+    return correct(x, dc_new, k_new), dc_new, k_new
+
+
 class ImpairmentCorrector:
     """Streaming corrector with EMA-tracked estimates.
 
@@ -112,15 +127,10 @@ class ImpairmentCorrector:
 
     def execute_block(self, x):
         x = jnp.asarray(x, self._dc.dtype)
-        dc_new = estimate_dc(x)
-        k_new = estimate_iq_imbalance(x)
-        if self._primed:
-            b = self.bandwidth
-            dc_new = (1.0 - b) * self._dc + b * dc_new
-            k_new = (1.0 - b) * self._k + b * k_new
-        self._dc, self._k = dc_new, k_new
+        y, self._dc, self._k = _corrector_block(
+            x, self._dc, self._k, self.bandwidth, self._primed)
         self._primed = True
-        return correct(x, self._dc, self._k)
+        return y
 
     def reset(self):
         self._dc = jnp.zeros_like(self._dc)

@@ -21,6 +21,26 @@ import numpy as np
 
 __all__ = ["lagrange_coeffs", "FarrowResampler"]
 
+from functools import partial
+
+
+@jax.jit
+def _farrow_block(tail, x, base, mu):
+    """One resampler block as a single fused dispatch.
+
+    base (int32) / mu (f32) arrive precomputed: output positions are
+    host-computed in float64 because on-device f32 position accumulation
+    (t0 + k*ratio) loses mu precision entirely for k in the millions
+    (TPUs have no f64).  Rational ratios cycle through a small set of
+    block phases, so the host arrays are cached per phase.
+    """
+    ext = jnp.concatenate([tail, x])
+    new_tail = ext[-(tail.shape[-1]):]
+    idx = base[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
+    windows = ext[idx]  # (T_out, 4) monotonic gather
+    c = lagrange_coeffs(mu).astype(ext.dtype)
+    return jnp.einsum("tk,tk->t", windows, c), new_tail
+
 
 @jax.jit
 def lagrange_coeffs(mu):
@@ -48,6 +68,7 @@ class FarrowResampler:
         if ratio <= 0.0:
             raise ValueError("ratio must be positive")
         self.ratio = float(ratio)
+        self._pos_cache: dict = {}
         self._tail = jnp.zeros(self.STENCIL - 1, dtype)
         # position of the next output, in input-sample units, measured
         # from index 1 of the CURRENT extended block (so a stencil point
@@ -56,35 +77,35 @@ class FarrowResampler:
 
     def execute_block(self, x):
         x = jnp.asarray(x, self._tail.dtype)
-        ext = jnp.concatenate([self._tail, x])
-        L = int(ext.shape[-1])
+        L = int(x.shape[-1]) + self.STENCIL - 1
         # valid output positions t (ext stencil coords: sample value at
         # position t+1+mu uses ext[floor(t) .. floor(t)+3]): need
-        # floor(t)+3 <= L-1, i.e. strictly t < L-3
+        # floor(t)+3 <= L-1, i.e. strictly t < L-3.  n_out and the phase
+        # update are pure host arithmetic (no device fetch); the block
+        # itself is ONE jitted dispatch (eager per-op dispatch over the
+        # axon tunnel measured 1000x slower).
         n_out = int(np.ceil((L - 3 - self._t_next) / self.ratio - 1e-12))
         n_out = max(n_out, 0)
         if n_out == 0:
-            self._tail = ext[-(self.STENCIL - 1):]
+            ext_tail = jnp.concatenate([self._tail, x])[-(self.STENCIL - 1):]
+            self._tail = ext_tail
             self._t_next -= x.shape[-1]
-            return ext[:0]
-        t = self._t_next + self.ratio * np.arange(n_out)
-        base = np.floor(t).astype(np.int64)
-        mu = t - base
-        y = self._interp(ext, jnp.asarray(base), jnp.asarray(mu))
-        # advance: next output position relative to the next block's ext,
-        # whose index 0 will be current ext index L - 3
+            return x[:0]
+        key = (round(self._t_next, 9), n_out)
+        cached = self._pos_cache.get(key)
+        if cached is None:
+            t = self._t_next + self.ratio * np.arange(n_out)
+            base_np = np.floor(t).astype(np.int32)
+            rdt = np.zeros(0, self._tail.dtype).real.dtype
+            mu_np = (t - base_np).astype(rdt)
+            cached = (jnp.asarray(base_np), jnp.asarray(mu_np))
+            if len(self._pos_cache) < 64:
+                self._pos_cache[key] = cached
+        base, mu = cached
+        y, self._tail = _farrow_block(self._tail, x, base, mu)
         t_end = self._t_next + self.ratio * n_out
         self._t_next = float(t_end - (L - 3))
-        self._tail = ext[-(self.STENCIL - 1):]
         return y
-
-    @staticmethod
-    @jax.jit
-    def _interp(ext, base, mu):
-        idx = base[:, None] + jnp.arange(4)[None, :]  # ext[t-1 .. t+2]
-        windows = ext[idx]  # (T_out, 4) monotonic gather
-        c = lagrange_coeffs(mu).astype(ext.dtype)
-        return jnp.einsum("tk,tk->t", windows, c)
 
     def reset(self):
         self._tail = jnp.zeros_like(self._tail)
