@@ -32,7 +32,7 @@ pow2 sizes through MIXEDRADIX exactly as the reference does.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,8 @@ __all__ = [
     "ifft",
     "windowed_fft",
     "spectrogram",
+    "welch_psd",
+    "goertzel",
 ]
 
 
@@ -379,3 +381,35 @@ def spectrogram(x, frame: int, hop: int | None = None,
     idx = jnp.arange(T)[:, None] * hop + jnp.arange(frame)[None, :]
     frames = x[..., idx]
     return windowed_fft(frames, window, nfft or frame)
+
+
+def welch_psd(x, frame: int = 1024, overlap: float = 0.5,
+              window: str = "hamming", nfft: int | None = None):
+    """Welch-averaged power spectral density estimate.
+
+    Averaged periodograms of overlapping windowed frames, normalized so a
+    unit-amplitude complex tone integrates to ~1 (window power corrected).
+    Returns (nfft,) real PSD, frequency bins in FFT order.
+    """
+    x = jnp.asarray(x)
+    hop = max(1, int(frame * (1.0 - overlap)))
+    X = spectrogram(x, frame, hop, window, nfft or frame)
+    w = np.asarray(get_window(window, frame), dtype=np.float64)
+    scale = float(np.sum(w * w)) * frame
+    return jnp.mean(jnp.real(X * jnp.conj(X)), axis=-2) / scale
+
+
+@partial(jax.jit, static_argnames=())
+def goertzel(x, freq):
+    """Single-bin DFT power at normalized frequency ``freq`` (cycles per
+    sample) — the tone-detection primitive.  Block form (one complex
+    projection, no per-sample recurrence: the classic Goertzel biquad is
+    just a sequential way to compute this same projection).  Returns the
+    complex bin value sum_n x[n] e^{-2 pi i f n}."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    cdtype = jnp.result_type(x.dtype, jnp.complex64)
+    k = jnp.arange(n)
+    ph = jnp.exp(jnp.asarray(-2j * jnp.pi, cdtype) *
+                 jnp.asarray(freq, cdtype) * k.astype(cdtype))
+    return jnp.sum(x.astype(cdtype) * ph, axis=-1)

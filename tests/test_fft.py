@@ -211,3 +211,38 @@ def test_bluestein_exhaustive_small_sizes():
         want = np.fft.fft(x)
         err = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-30)
         assert err < 1e-9, (n, err)
+
+
+def test_welch_psd_tone_and_floor():
+    rng = np.random.default_rng(200)
+    n = 1 << 15
+    k = np.arange(n)
+    x = np.exp(2j * np.pi * 0.125 * k) + 0.01 * (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    psd = np.asarray(F.welch_psd(jnp.asarray(x, jnp.complex128),
+                                 frame=1024))
+    peak_bin = int(np.argmax(psd))
+    assert peak_bin == int(0.125 * 1024)
+    # unit tone integrates to ~1 at the peak region; noise floor way down
+    assert 10 * np.log10(psd[peak_bin] / np.median(psd)) > 30.0
+
+
+def test_welch_psd_variance_reduction():
+    """Averaged periodograms have lower variance than one frame."""
+    rng = np.random.default_rng(201)
+    x = (rng.standard_normal(1 << 15) + 1j * rng.standard_normal(1 << 15))
+    one = np.asarray(F.welch_psd(jnp.asarray(x[:1024], jnp.complex128),
+                                 frame=1024))
+    many = np.asarray(F.welch_psd(jnp.asarray(x, jnp.complex128),
+                                  frame=1024))
+    assert np.std(many) < 0.4 * np.std(one)
+
+
+def test_goertzel_matches_fft_bin():
+    rng = np.random.default_rng(202)
+    n = 512
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    for kbin in (0, 7, 100):
+        got = complex(F.goertzel(jnp.asarray(x, jnp.complex128), kbin / n))
+        want = np.fft.fft(x)[kbin]
+        assert abs(got - want) < 1e-9
