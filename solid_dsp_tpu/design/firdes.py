@@ -29,6 +29,8 @@ __all__ = [
     "firdes_notch",
     "firdes_doppler",
     "firdes_rrcos",
+    "firdes_ls",
+    "firdes_equiripple",
     "firdes_hilbert",
     "filter_autocorrelation",
     "filter_crosscorrelation",
@@ -334,3 +336,85 @@ def firdes_hilbert(ntaps: int) -> np.ndarray:
     odd = (k % 2) != 0
     h[odd] = 2.0 / (np.pi * k[odd])
     return h * hamming(n)
+
+
+# --------------------------------------------------------------------------
+# least-squares + equiripple (Lawson IRLS) multiband design — beyond the
+# reference's windowed designs (firdes/mod.rs has only kaiser/notch/doppler)
+# --------------------------------------------------------------------------
+
+def _type1_design_matrix(ntaps: int, grid: np.ndarray):
+    """cos-basis design matrix for a symmetric (type-I) FIR of odd length."""
+    m = (ntaps - 1) // 2
+    w = 2.0 * np.pi * grid
+    return np.cos(np.outer(w, np.arange(m + 1)))  # (G, M+1)
+
+
+def _bands_grid(bands, desired, weights, grid_density, ntaps):
+    pts, des, wts = [], [], []
+    n_total = max(grid_density * ntaps, 64)
+    span = sum(b[1] - b[0] for b in bands)
+    for (f0, f1), d, w in zip(bands, desired, weights):
+        n = max(int(round(n_total * (f1 - f0) / span)), 8)
+        f = np.linspace(f0, f1, n)
+        pts.append(f)
+        des.append(np.full(n, float(d)))
+        wts.append(np.full(n, float(w)))
+    return np.concatenate(pts), np.concatenate(des), np.concatenate(wts)
+
+
+def firdes_ls(ntaps: int, bands, desired, weights=None,
+              grid_density: int = 16) -> np.ndarray:
+    """Weighted least-squares multiband linear-phase FIR (type I).
+
+    bands: [(f0, f1), ...] in cycles/sample (0..0.5); desired: target gain
+    per band; weights: relative error weight per band.  ``ntaps`` is
+    forced odd (symmetric impulse response).
+    """
+    if ntaps % 2 == 0:
+        ntaps += 1
+    if weights is None:
+        weights = [1.0] * len(bands)
+    f, d, w = _bands_grid(bands, desired, weights, grid_density, ntaps)
+    A = _type1_design_matrix(ntaps, f)
+    Aw = A * w[:, None]
+    coeffs, *_ = np.linalg.lstsq(Aw, d * w, rcond=None)
+    m = (ntaps - 1) // 2
+    h = np.zeros(ntaps)
+    h[m] = coeffs[0]
+    for k in range(1, m + 1):
+        h[m + k] = h[m - k] = 0.5 * coeffs[k]
+    return h
+
+
+def firdes_equiripple(ntaps: int, bands, desired, weights=None,
+                      grid_density: int = 16, iterations: int = 60,
+                      beta: float = 0.5) -> np.ndarray:
+    """Near-equiripple multiband FIR via Lawson's iteratively reweighted
+    least squares: after each LS solve, grid weights are scaled by the
+    error envelope, which provably drives the weighted-Chebyshev solution;
+    30-60 iterations flatten the ripple to within a few percent of true
+    Parks-McClellan for ordinary specs, with none of the exchange
+    algorithm's brittleness.
+    """
+    if ntaps % 2 == 0:
+        ntaps += 1
+    if weights is None:
+        weights = [1.0] * len(bands)
+    f, d, w0 = _bands_grid(bands, desired, weights, grid_density, ntaps)
+    A = _type1_design_matrix(ntaps, f)
+    w = w0.copy()
+    coeffs = None
+    for _ in range(iterations):
+        Aw = A * w[:, None]
+        coeffs, *_ = np.linalg.lstsq(Aw, d * w, rcond=None)
+        err = np.abs((A @ coeffs - d) * w0)
+        env = err / (np.mean(err) + 1e-300)
+        w = w * np.power(env + 1e-12, beta)
+        w = w / np.max(w) * np.max(w0)  # keep conditioning sane
+    m = (ntaps - 1) // 2
+    h = np.zeros(ntaps)
+    h[m] = coeffs[0]
+    for k in range(1, m + 1):
+        h[m + k] = h[m - k] = 0.5 * coeffs[k]
+    return h

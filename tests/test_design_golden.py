@@ -282,3 +282,72 @@ def test_csqrt():
     assert abs(z - 2.0) < 1e-12
     z = specialfn.csqrt(-4.0)
     assert abs(z - 2j) < 1e-12
+
+
+# ---------------------------------------------- LS / equiripple designers
+class TestLsEquirippleDesign:
+    BANDS = [(0.0, 0.10), (0.16, 0.5)]
+    DESIRED = [1.0, 0.0]
+
+    @staticmethod
+    def _resp(h, f):
+        w = np.exp(-2j * np.pi * np.outer(f, np.arange(len(h))))
+        return np.abs(w @ h)
+
+    def test_ls_meets_basic_spec(self):
+        h = firdes.firdes_ls(63, self.BANDS, self.DESIRED)
+        fp = np.linspace(0.0, 0.10, 60)
+        fs = np.linspace(0.16, 0.5, 120)
+        assert np.max(np.abs(self._resp(h, fp) - 1.0)) < 0.02
+        assert 20 * np.log10(np.max(self._resp(h, fs))) < -40.0
+
+    def test_equiripple_flattens_stopband_ripple(self):
+        """Lawson IRLS equalizes the error: the stopband peaks all sit at
+        the same level (unlike LS, whose error decays away from the edge)."""
+        h_ls = firdes.firdes_ls(63, self.BANDS, self.DESIRED)
+        h_eq = firdes.firdes_equiripple(63, self.BANDS, self.DESIRED)
+        fs = np.linspace(0.17, 0.5, 400)
+        r_ls = 20 * np.log10(self._resp(h_ls, fs) + 1e-12)
+        r_eq = 20 * np.log10(self._resp(h_eq, fs) + 1e-12)
+
+        def peak_spread(r):
+            # local maxima of the ripple lobes
+            pk = [r[i] for i in range(1, len(r) - 1)
+                  if r[i] > r[i - 1] and r[i] > r[i + 1]]
+            return max(pk) - min(pk)
+
+        assert peak_spread(r_eq) < 6.0          # near-uniform lobes
+        assert peak_spread(r_ls) > 15.0         # LS decays many dB
+
+    def test_equiripple_beats_kaiser_at_same_length(self):
+        """Equiripple's whole point: more stopband attenuation for the
+        same length and transition width."""
+        n = 63
+        h_eq = firdes.firdes_equiripple(n, self.BANDS, self.DESIRED,
+                                        weights=[1.0, 10.0])
+        # kaiser with the same cutoff/transition
+        h_k = firdes.firdes_kaiser(n, 0.13, 60.0, 0.0)
+        h_k = h_k / np.sum(h_k)
+        fs = np.linspace(0.17, 0.5, 300)
+        atten_eq = -20 * np.log10(np.max(self._resp(h_eq, fs)) + 1e-12)
+        atten_k = -20 * np.log10(np.max(self._resp(h_k, fs)) + 1e-12)
+        assert atten_eq > atten_k + 5.0, (atten_eq, atten_k)
+        # and the passband still holds
+        fp = np.linspace(0.0, 0.10, 60)
+        assert np.max(np.abs(self._resp(h_eq, fp) - 1.0)) < 0.02
+
+    def test_bandpass_design(self):
+        bands = [(0.0, 0.08), (0.12, 0.22), (0.27, 0.5)]
+        desired = [0.0, 1.0, 0.0]
+        h = firdes.firdes_equiripple(85, bands, desired)
+        f_mid = np.linspace(0.13, 0.21, 50)
+        assert np.max(np.abs(self._resp(h, f_mid) - 1.0)) < 0.03
+        f_lo = np.linspace(0.0, 0.07, 40)
+        f_hi = np.linspace(0.28, 0.5, 60)
+        assert 20 * np.log10(np.max(self._resp(h, f_lo))) < -35.0
+        assert 20 * np.log10(np.max(self._resp(h, f_hi))) < -35.0
+
+    def test_even_ntaps_promoted_to_odd(self):
+        h = firdes.firdes_ls(64, self.BANDS, self.DESIRED)
+        assert len(h) == 65
+        np.testing.assert_allclose(h, h[::-1], atol=1e-12)  # linear phase
