@@ -91,18 +91,24 @@ class FarrowResampler:
             self._tail = ext_tail
             self._t_next -= x.shape[-1]
             return x[:0]
-        key = (round(self._t_next, 9), n_out)
+        # pad the position arrays to a fixed per-L length: a shape that
+        # wobbles by +-1 between blocks forces a fresh XLA compile of the
+        # gather program every block (~30 s over the tunnel; measured
+        # 1000x throughput loss), while the padded program compiles once.
+        n_pad = int(np.ceil((L - 3) / self.ratio)) + 2
+        key = (round(self._t_next, 9), n_pad)
         cached = self._pos_cache.get(key)
         if cached is None:
-            t = self._t_next + self.ratio * np.arange(n_out)
-            base_np = np.floor(t).astype(np.int32)
+            t = self._t_next + self.ratio * np.arange(n_pad)
+            base_np = np.minimum(np.floor(t), L - 4).astype(np.int32)
             rdt = np.zeros(0, self._tail.dtype).real.dtype
-            mu_np = (t - base_np).astype(rdt)
+            mu_np = (t - np.floor(t)).astype(rdt)
             cached = (jnp.asarray(base_np), jnp.asarray(mu_np))
             if len(self._pos_cache) < 64:
                 self._pos_cache[key] = cached
         base, mu = cached
-        y, self._tail = _farrow_block(self._tail, x, base, mu)
+        y_pad, self._tail = _farrow_block(self._tail, x, base, mu)
+        y = y_pad[:n_out]
         t_end = self._t_next + self.ratio * n_out
         self._t_next = float(t_end - (L - 3))
         return y
