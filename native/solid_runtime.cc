@@ -491,8 +491,12 @@ void* sdsp_udp_create(const char* bind_addr, int port, int fmt,
     return nullptr;
   }
   UdpSource* s = new (std::nothrow) UdpSource(fd, fmt, ring_samples * 8);
-  if (s && !s->ring.ok()) {
-    delete s;
+  if (!s) {  // allocation failure: the bound fd must not leak
+    ::close(fd);
+    return nullptr;
+  }
+  if (!s->ring.ok()) {
+    delete s;  // ~UdpSource closes fd
     return nullptr;
   }
   return s;

@@ -363,6 +363,16 @@ def _bands_grid(bands, desired, weights, grid_density, ntaps):
     return np.concatenate(pts), np.concatenate(des), np.concatenate(wts)
 
 
+def _coeffs_to_taps(coeffs: np.ndarray, ntaps: int) -> np.ndarray:
+    """cos-basis coefficients -> symmetric type-I impulse response."""
+    m = (ntaps - 1) // 2
+    h = np.zeros(ntaps)
+    h[m] = coeffs[0]
+    for k in range(1, m + 1):
+        h[m + k] = h[m - k] = 0.5 * coeffs[k]
+    return h
+
+
 def firdes_ls(ntaps: int, bands, desired, weights=None,
               grid_density: int = 16) -> np.ndarray:
     """Weighted least-squares multiband linear-phase FIR (type I).
@@ -379,12 +389,7 @@ def firdes_ls(ntaps: int, bands, desired, weights=None,
     A = _type1_design_matrix(ntaps, f)
     Aw = A * w[:, None]
     coeffs, *_ = np.linalg.lstsq(Aw, d * w, rcond=None)
-    m = (ntaps - 1) // 2
-    h = np.zeros(ntaps)
-    h[m] = coeffs[0]
-    for k in range(1, m + 1):
-        h[m + k] = h[m - k] = 0.5 * coeffs[k]
-    return h
+    return _coeffs_to_taps(coeffs, ntaps)
 
 
 def firdes_equiripple(ntaps: int, bands, desired, weights=None,
@@ -412,9 +417,4 @@ def firdes_equiripple(ntaps: int, bands, desired, weights=None,
         env = err / (np.mean(err) + 1e-300)
         w = w * np.power(env + 1e-12, beta)
         w = w / np.max(w) * np.max(w0)  # keep conditioning sane
-    m = (ntaps - 1) // 2
-    h = np.zeros(ntaps)
-    h[m] = coeffs[0]
-    for k in range(1, m + 1):
-        h[m + k] = h[m - k] = 0.5 * coeffs[k]
-    return h
+    return _coeffs_to_taps(coeffs, ntaps)

@@ -72,6 +72,11 @@ class ChannelBank:
         self._interpret = jax.default_backend() != "tpu"
         # optional per-channel energy squelch (models.detect): channels
         # whose filtered energy never crossed high_db emit zeros
+        if squelch_low_db is not None and squelch_high_db is None:
+            raise ValueError("squelch_low_db given without squelch_high_db")
+        if (squelch_high_db is not None and squelch_low_db is not None
+                and squelch_low_db > squelch_high_db):
+            raise ValueError("squelch_low_db must not exceed squelch_high_db")
         self.squelch_high_db = squelch_high_db
         self.squelch_low_db = (squelch_low_db if squelch_low_db is not None
                                else (squelch_high_db - 3.0

@@ -88,9 +88,7 @@ def burst_edges(gate, prev_last, max_bursts: int):
     falling = ~gate & prev
     rises = jnp.nonzero(rising, size=max_bursts, fill_value=-1)[0]
     falls = jnp.nonzero(falling, size=max_bursts, fill_value=-1)[0]
-    rises = jnp.where(rises == -1, -1, rises).astype(jnp.int32)
-    falls = jnp.where(falls == -1, -1, falls).astype(jnp.int32)
-    return rises, falls
+    return rises.astype(jnp.int32), falls.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("window", "max_bursts"))

@@ -89,16 +89,27 @@ def image_rejection_db(x) -> float:
 from functools import partial
 
 
+def ema_correct(x, dc_prev, k_prev, bandwidth, primed):
+    """Shared estimate + EMA-blend + correct step.
+
+    ``primed`` may be a python bool or a traced bool (jnp.where handles
+    both) — the streaming class and the rx chain's in-jit stage both
+    funnel through this so the blend rule cannot drift between them.
+    Returns (y, dc, k).
+    """
+    dc_new = estimate_dc(x)
+    k_new = estimate_iq_imbalance(x).astype(dc_prev.dtype)
+    b = bandwidth
+    use = jnp.asarray(primed)
+    dc = jnp.where(use, (1.0 - b) * dc_prev + b * dc_new, dc_new)
+    k = jnp.where(use, (1.0 - b) * k_prev + b * k_new, k_new)
+    return correct(x, dc, k), dc, k
+
+
 @partial(jax.jit, static_argnames=("primed",))
 def _corrector_block(x, dc_prev, k_prev, bandwidth, primed: bool):
     """Estimate + EMA + correct as one dispatch."""
-    dc_new = estimate_dc(x)
-    k_new = estimate_iq_imbalance(x).astype(dc_prev.dtype)
-    if primed:
-        b = bandwidth
-        dc_new = (1.0 - b) * dc_prev + b * dc_new
-        k_new = (1.0 - b) * k_prev + b * k_new
-    return correct(x, dc_new, k_new), dc_new, k_new
+    return ema_correct(x, dc_prev, k_prev, bandwidth, primed)
 
 
 class ImpairmentCorrector:

@@ -111,19 +111,14 @@ def make_rx_chain(cfg: RxChainConfig):
             # the mix); same scaling as the native runtime's iq_to_cf32
             xs = x.astype(rdtype) * np.asarray(1.0 / 32767.0, rdtype)
             x = jax.lax.complex(xs[..., 0], xs[..., 1]).astype(cfg.dtype)
-        # 0. front-end impairment correction (optional)
+        # 0. front-end impairment correction (optional; shared blend rule)
         if cfg.impairment_bw > 0.0:
             from . import impairments as imp_mod
 
-            dc_new = imp_mod.estimate_dc(x)
-            k_new = imp_mod.estimate_iq_imbalance(x).astype(cfg.dtype)
-            b = jnp.asarray(cfg.impairment_bw, cfg.dtype)
             st_i = state.impair
-            dc = jnp.where(st_i["primed"],
-                           (1.0 - b) * st_i["dc"] + b * dc_new, dc_new)
-            k = jnp.where(st_i["primed"],
-                          (1.0 - b) * st_i["k"] + b * k_new, k_new)
-            x = imp_mod.correct(x, dc, k)
+            x, dc, k = imp_mod.ema_correct(
+                x, st_i["dc"], st_i["k"],
+                jnp.asarray(cfg.impairment_bw, cfg.dtype), st_i["primed"])
             impair_state = {"dc": dc, "k": k, "primed": jnp.asarray(True)}
         # 1. downconvert (closed-form phases, no sequential dependency)
         mixed, theta_end = nco_ops.mix_down_block(

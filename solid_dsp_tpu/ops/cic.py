@@ -87,6 +87,22 @@ class CICDecimator:
         return f"CICDecimator [R={self.R}] [N={self.N}] [M={self.M}]"
 
 
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("rate",))
+def _cic_interp_block(x, tail, taps, scale, rate: int):
+    """Zero-stuff + boxcar^N conv as ONE dispatch (eager per-op dispatch
+    over a tunneled device dominates throughput otherwise)."""
+    up = jnp.zeros(x.shape[-1] * rate, x.dtype)
+    up = up.at[::rate].set(x)
+    ext = jnp.concatenate([tail, up])
+    y = fir_ops.conv1d_mxu(ext, taps) * scale
+    return y, ext[-(taps.shape[-1] - 1):]
+
+
 class CICInterpolator:
     """N-stage CIC interpolator by R: zero-stuff then the boxcar^N FIR."""
 
@@ -104,11 +120,10 @@ class CICInterpolator:
 
     def execute_block(self, x):
         x = jnp.asarray(x, self._taps.dtype)
-        up = jnp.zeros(x.shape[-1] * self.R, x.dtype)
-        up = up.at[:: self.R].set(x)
-        ext = jnp.concatenate([self._tail, up])
-        y = fir_ops.conv1d_mxu(ext, self._taps) * self.scale
-        self._tail = ext[-(self._taps.shape[-1] - 1):]
+        y, self._tail = _cic_interp_block(x, self._tail, self._taps,
+                                          jnp.asarray(self.scale,
+                                                      self._taps.dtype),
+                                          self.R)
         return y
 
     def reset(self):

@@ -393,9 +393,10 @@ def welch_psd(x, frame: int = 1024, overlap: float = 0.5,
     """
     x = jnp.asarray(x)
     hop = max(1, int(frame * (1.0 - overlap)))
-    X = spectrogram(x, frame, hop, window, nfft or frame)
+    n_fft = nfft or frame
+    X = spectrogram(x, frame, hop, window, n_fft)
     w = np.asarray(get_window(window, frame), dtype=np.float64)
-    scale = float(np.sum(w * w)) * frame
+    scale = float(np.sum(w * w)) * n_fft  # actual FFT length, not frame
     return jnp.mean(jnp.real(X * jnp.conj(X)), axis=-2) / scale
 
 
