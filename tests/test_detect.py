@@ -128,3 +128,12 @@ def test_channel_bank_squelch_mutes_idle_channels():
     assert np.all(steady[:, idle] == 0)
     gate = np.asarray(bank.last_gate)
     assert gate.shape == (M, Y.shape[0])
+
+
+def test_channel_bank_squelch_threshold_validation():
+    from solid_dsp_tpu.models.channel_bank import ChannelBank
+
+    with pytest.raises(ValueError):
+        ChannelBank(8, squelch_high_db=-30.0, squelch_low_db=-20.0)
+    with pytest.raises(ValueError):
+        ChannelBank(8, squelch_low_db=-40.0)

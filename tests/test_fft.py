@@ -246,3 +246,14 @@ def test_goertzel_matches_fft_bin():
         got = complex(F.goertzel(jnp.asarray(x, jnp.complex128), kbin / n))
         want = np.fft.fft(x)[kbin]
         assert abs(got - want) < 1e-9
+
+
+def test_welch_psd_zero_padded_nfft_normalization():
+    """Review-r2 regression: nfft != frame must keep the power contract."""
+    n = 1 << 14
+    x = np.exp(2j * np.pi * 0.125 * np.arange(n))
+    p1 = np.asarray(F.welch_psd(jnp.asarray(x, jnp.complex128), frame=256))
+    p2 = np.asarray(F.welch_psd(jnp.asarray(x, jnp.complex128), frame=256,
+                                nfft=512))
+    # total tone power (sum over bins) must agree regardless of padding
+    np.testing.assert_allclose(np.sum(p2), np.sum(p1), rtol=0.05)
