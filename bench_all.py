@@ -244,6 +244,32 @@ def bench_fused_halo_channelizer():
             "vs_baseline": round(sps / 1e9, 3)}
 
 
+def bench_frontend_ops():
+    """Round-2 front-end blocks: CIC decimator and Farrow resampler."""
+    from solid_dsp_tpu.ops.cic import CICDecimator
+    from solid_dsp_tpu.ops.farrow import FarrowResampler
+
+    L = 1 << 22
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
+                     ).astype(np.complex64))
+    out = []
+    cic = CICDecimator(8, 4)
+    y = cic.execute_block(x)
+    jax.block_until_ready(y)
+    dt = _best_of(lambda _: cic.execute_block(x), None)
+    out.append({"metric": "cic_decim_R8N4", "value": round(L / dt / 1e6, 1),
+                "unit": "Msamples/s", "vs_baseline": round(L / dt / 1e9, 3)})
+    rs = FarrowResampler(48000 / 44100)
+    for _ in range(3):  # warm the phase variants
+        y = rs.execute_block(x)
+    jax.block_until_ready(y)
+    dt = _best_of(lambda _: rs.execute_block(x), None)
+    out.append({"metric": "farrow_48k_44k1", "value": round(L / dt / 1e6, 1),
+                "unit": "Msamples/s", "vs_baseline": round(L / dt / 1e9, 3)})
+    return out
+
+
 def bench_fft_nonpow2():
     """Non-pow2/prime sizes through the auto path (Bluestein on TPU).
 
@@ -275,7 +301,7 @@ def main():
                bench_rx_chain_parity_parallel,
                bench_rx_chain_parity_scan, bench_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
-               bench_fft_nonpow2):
+               bench_fft_nonpow2, bench_frontend_ops):
         try:
             res = fn()
             for row in (res if isinstance(res, list) else [res]):
