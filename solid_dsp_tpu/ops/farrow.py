@@ -1,9 +1,12 @@
 """Farrow arbitrary-ratio resampler (cubic Lagrange).
 
 Completes the rate-conversion family (integer decimators/interpolators,
-rational P/Q polyphase, CIC): resampling by ANY real ratio — the 48k ->
-44.1k class of conversions and fine sample-clock tracking (timing loops
-feed a slowly varying ratio).
+rational P/Q polyphase, CIC): resampling by ANY real ratio — fine
+sample-clock tracking (timing loops feed a slowly varying ratio) and
+irrational conversions.  For FIXED rational ratios prefer
+``ops.fir.RationalResampler`` (polyphase matmul with proper anti-alias
+filtering, no interpolation error); Farrow's cubic is the tool when the
+ratio is irrational or drifts.
 
 TPU formulation: each output sample needs 4 input points around its
 fractional position; the 4-point windows come from one monotonic gather
