@@ -44,9 +44,11 @@ class TxChainConfig:
     dtype: object = jnp.complex64
 
     def design_taps(self) -> np.ndarray:
-        # anti-image lowpass: cutoff at the pre-interpolation Nyquist
+        # anti-image lowpass: the zero-stuffed message occupies +-0.5/P at
+        # the TX rate and the first image starts right there too, so the
+        # cutoff sits AT 0.5/P (transition splits both sides)
         taps = firdes.firdes_kaiser(
-            self.fir_taps, 0.5 / (2 * self.interpolation),
+            self.fir_taps, 0.5 / self.interpolation,
             self.fir_attenuation, 0.0)
         # zero-stuffing loses a factor interpolation of DC gain
         return taps / np.sum(taps) * self.interpolation
@@ -56,9 +58,9 @@ def make_tx_chain(cfg: TxChainConfig):
     """Build (init, apply): apply(state, msg) -> (iq, state).
 
     msg: real samples (fm), or bits (psk/qam), or complex baseband
-    ("none" = passthrough modulator).  iq emerges at ``interpolation``
-    (times ``sps`` for linear schemes) samples per message unit, centered
-    on the carrier.
+    ("none" = passthrough modulator).  Output rate: ``interpolation``
+    samples per message sample for fm/none; ``interpolation * sps /
+    log2(order)`` samples per BIT for psk/qam.
     """
     if cfg.modulation not in ("fm", "psk", "qam", "none"):
         raise ValueError(f"unknown modulation {cfg.modulation!r}")

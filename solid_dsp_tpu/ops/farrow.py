@@ -48,13 +48,18 @@ def _farrow_block(tail, x, base0, frac0, ratio_dev, n_valid: int):
     ext = jnp.concatenate([tail, x])
     new_tail = ext[-(tail.shape[-1]):]
     rdt = frac0.dtype
-    j = jnp.arange(_CHUNK, dtype=rdt)
-    t_loc = frac0[:, None] + ratio_dev * j[None, :]     # (C, CHUNK)
+    n_chunks = base0.shape[0]
+    chunk_len = -(-n_valid // n_chunks)
+    j = jnp.arange(chunk_len, dtype=rdt)
+    t_loc = frac0[:, None] + ratio_dev * j[None, :]     # (C, chunk)
     step = jnp.floor(t_loc)
-    base = base0[:, None] + step.astype(jnp.int32)
+    base_pre = (base0[:, None] + step.astype(jnp.int32)).reshape(-1)[:n_valid]
     mu = (t_loc - step).reshape(-1)[:n_valid]
-    base = base.reshape(-1)[:n_valid]
-    base = jnp.clip(base, 0, ext.shape[-1] - 4)
+    base = jnp.clip(base_pre, 0, ext.shape[-1] - 4)
+    # fold any clamp displacement into mu so a boundary f32 rounding event
+    # shifts the INTERPOLATION POINT, not the output sample (the Lagrange
+    # basis extrapolates smoothly for mu slightly outside [0, 1))
+    mu = mu + (base_pre - base).astype(rdt)
     idx = base[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
     windows = ext[idx]  # (n_valid, 4) monotonic gather
     c = lagrange_coeffs(mu).astype(ext.dtype)
@@ -110,17 +115,21 @@ class FarrowResampler:
             self._t_next -= x.shape[-1]
             return x[:0]
         # n_valid pads to a fixed per-L length: a shape that wobbles by
-        # +-1 between blocks forces a fresh XLA compile every block.
+        # +-1 between blocks forces a fresh XLA compile every block.  The
+        # chunk shrinks with the ratio so the on-device f32 span
+        # chunk*ratio (and hence the mu error) stays ~1024*eps regardless
+        # of how large the ratio is.
+        chunk = max(64, int(_CHUNK / max(self.ratio, 1.0)))
         n_pad = int(np.ceil((L - 3) / self.ratio)) + 2
-        n_chunks = -(-n_pad // _CHUNK)
+        n_chunks = -(-n_pad // chunk)
         rdt = np.zeros(0, self._tail.dtype).real.dtype
         # per-chunk start positions, exact in f64 on the host (tiny arrays)
-        t_c = self._t_next + self.ratio * _CHUNK * np.arange(n_chunks)
+        t_c = self._t_next + self.ratio * chunk * np.arange(n_chunks)
         base0 = np.floor(t_c).astype(np.int32)
         frac0 = (t_c - np.floor(t_c)).astype(rdt)
         y_pad, self._tail = _farrow_block(
             self._tail, x, jnp.asarray(base0), jnp.asarray(frac0),
-            jnp.asarray(self.ratio, rdt), n_chunks * _CHUNK)
+            jnp.asarray(self.ratio, rdt), n_chunks * chunk)
         y = y_pad[:n_out]
         t_end = self._t_next + self.ratio * n_out
         self._t_next = float(t_end - (L - 3))

@@ -71,3 +71,16 @@ def test_tx_streaming_continuity():
 def test_tx_rejects_unknown_modulation():
     with pytest.raises(ValueError):
         TxChain(TxChainConfig(modulation="chirp"))
+
+
+def test_tx_passes_full_message_band():
+    """Review-r3 regression: tones across the message band (up to ~0.8 of
+    the message Nyquist) must pass with near-unit power."""
+    n = 4096
+    for f_msg in (0.05, 0.2, 0.3, 0.38):
+        bb = np.exp(2j * np.pi * f_msg * np.arange(n)).astype(np.complex128)
+        tx = TxChain(TxChainConfig(modulation="none", carrier_freq=0.0,
+                                   interpolation=4, dtype=jnp.complex128))
+        iq = np.asarray(tx.execute_block(bb))
+        p = np.mean(np.abs(iq[512:]) ** 2)
+        assert abs(p - 1.0) < 0.1, (f_msg, p)
