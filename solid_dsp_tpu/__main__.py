@@ -132,6 +132,32 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_tx(args) -> int:
+    """Synthesize an IQ recording with the transmit chain."""
+    import numpy as np
+
+    from .models.tx_chain import TxChain, TxChainConfig
+    from .runtime import write_iq
+
+    n = args.samples
+    if args.mod == "fm":
+        msg = np.sin(2 * np.pi * args.tone * np.arange(n))
+    elif args.mod in ("psk", "qam"):
+        rng = np.random.default_rng(args.seed)
+        msg = rng.integers(0, 2, n)
+    else:  # none: a complex test tone
+        msg = np.exp(2j * np.pi * args.tone * np.arange(n))
+    tx = TxChain(TxChainConfig(modulation=args.mod, order=args.order,
+                               carrier_freq=args.carrier,
+                               interpolation=args.interp))
+    iq = np.asarray(tx.execute_block(msg)).astype(np.complex64)
+    write_iq(args.output, iq, args.format)
+    print(json.dumps({"output": args.output, "samples": int(len(iq)),
+                      "format": args.format, "mod": args.mod,
+                      "carrier": args.carrier}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="solid_dsp_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +189,21 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
     b.set_defaults(fn=_cmd_bench)
+
+    t = sub.add_parser("tx", help="synthesize an IQ recording (TxChain)")
+    t.add_argument("output")
+    t.add_argument("--mod", default="fm", choices=["fm", "psk", "qam",
+                                                   "none"])
+    t.add_argument("--order", type=int, default=4)
+    t.add_argument("--samples", type=int, default=1 << 16,
+                   help="message samples (fm/none) or bits (psk/qam)")
+    t.add_argument("--carrier", type=float, default=0.2)
+    t.add_argument("--interp", type=int, default=4)
+    t.add_argument("--tone", type=float, default=0.002)
+    t.add_argument("--format", default="cf32",
+                   choices=["cf32", "ci16", "ci8", "cf64"])
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=_cmd_tx)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -62,3 +62,26 @@ def test_spectrum_prime_nfft_bluestein(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out)
     assert abs(rec["peak_freq"] - 0.25) < 1e-2
     assert rec["peak_db"] > rec["noise_floor_db"] + 30
+
+
+def test_tx_rx_cli_roundtrip(tmp_path, capsys):
+    """tx generates an FM recording that rx demodulates back."""
+    import json
+
+    rec = str(tmp_path / "gen.ci16")
+    out = str(tmp_path / "audio.cf32")
+    assert main(["tx", rec, "--mod", "fm", "--samples", "16384",
+                 "--carrier", "0.2", "--interp", "4",
+                 "--format", "ci16"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["samples"] == 16384 * 4
+
+    assert main(["rx", rec, "-o", out, "--format", "ci16",
+                 "--carrier", "0.2", "--decimation", "4",
+                 "--block", "16384"]) == 0
+    audio = read_iq(out)
+    msg = np.sin(2 * np.pi * 0.002 * np.arange(16384))
+    a = audio.real[512:]
+    best = max(abs(np.corrcoef(a, msg[512 - l: 512 - l + len(a)])[0, 1])
+               for l in range(0, 40))
+    assert best > 0.9, best
