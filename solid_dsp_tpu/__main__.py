@@ -8,6 +8,7 @@ chain.  The other subcommands expose the framework as a usable SDR tool:
 * ``rx``       — demodulate an IQ recording through the flagship RxChain
 * ``spectrum`` — windowed-FFT spectral analysis of a recording (config 2)
 * ``bench``    — the headline throughput benchmark (same as bench.py)
+* ``tx``       — synthesize an IQ recording with the transmit chain
 """
 
 from __future__ import annotations

@@ -239,3 +239,53 @@ class TestUdpSource:
 
         with pytest.raises(OSError):
             UdpSource(port=5000, fmt="ci16", bind_addr="999.1.1.1")
+
+
+def test_udp_source_feeds_rx_chain():
+    """Live pipeline: UDP datagrams -> ring -> RxChain demodulation."""
+    import socket
+    import time
+
+    import jax.numpy as jnp
+
+    from solid_dsp_tpu.models.fm import fm_modulate
+    from solid_dsp_tpu.models.rx_chain import RxChain, RxChainConfig
+    from solid_dsp_tpu.runtime import UdpSource
+
+    n = 16384
+    msg = np.sin(2 * np.pi * 0.002 * np.arange(n))
+    iq, _ = fm_modulate(jnp.asarray(msg, jnp.float64), 0.1)
+    iq = (np.asarray(iq) * 0.5
+          * np.exp(2j * np.pi * (0.2 / (2 * np.pi)) * np.arange(n))
+          ).astype(np.complex64)
+
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    chain = RxChain(RxChainConfig(carrier_freq=0.2, decimation=4,
+                                  agc_mode="block", demod="fm"))
+    audio = []
+    with UdpSource(port=port, fmt="cf32", bind_addr="127.0.0.1") as src:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        payload = iq.tobytes()
+        for i in range(0, len(payload), 8192):
+            tx.sendto(payload[i:i + 8192], ("127.0.0.1", port))
+        tx.close()
+        deadline = time.time() + 10.0
+        got = 0
+        while got < n and time.time() < deadline:
+            block = src.read(4096)
+            if block.size >= 4:
+                take = (block.size // 4) * 4
+                audio.append(np.asarray(chain.execute_block(block[:take])))
+                got += take
+            else:
+                time.sleep(0.005)
+        assert src.dropped == 0
+    audio = np.concatenate(audio).real
+    m4 = msg[::4]
+    a = audio[512:]
+    c = np.corrcoef(a, m4[512:512 + len(a)])[0, 1]
+    assert c > 0.8, c
