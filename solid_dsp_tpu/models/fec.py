@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["conv_encode", "viterbi_decode", "ConvCode"]
+__all__ = ["conv_encode", "viterbi_decode", "ConvCode",
+           "interleave", "deinterleave"]
 
 DEFAULT_POLYS = (0o171, 0o133)
 DEFAULT_K = 7
@@ -155,3 +156,23 @@ class ConvCode:
     def __repr__(self):
         return (f"ConvCode [K={self.K}] "
                 f"[polys={tuple(oct(p) for p in self.polys)}]")
+
+
+def interleave(bits, rows: int, cols: int) -> jnp.ndarray:
+    """Rectangular block interleaver: write row-wise, read column-wise.
+
+    Spreads a burst of up to ``rows`` consecutive channel errors at least
+    ``cols`` apart, turning bursts into the scattered errors the Viterbi
+    decoder corrects.  len(bits) must equal rows*cols.
+    """
+    b = jnp.asarray(bits)
+    if b.shape[-1] != rows * cols:
+        raise ValueError("length must equal rows*cols")
+    return b.reshape(rows, cols).T.reshape(-1)
+
+
+def deinterleave(bits, rows: int, cols: int) -> jnp.ndarray:
+    b = jnp.asarray(bits)
+    if b.shape[-1] != rows * cols:
+        raise ValueError("length must equal rows*cols")
+    return b.reshape(cols, rows).T.reshape(-1)

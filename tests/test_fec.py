@@ -78,3 +78,30 @@ def test_short_constraint_roundtrip():
     rx[100] ^= 1
     got = np.asarray(code.decode(rx))
     np.testing.assert_array_equal(got, bits)
+
+
+def test_interleaver_roundtrip_and_burst_protection():
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 1200)
+    code = fec.ConvCode()
+    coded = np.asarray(code.encode(bits))
+    rows, cols = 36, len(coded) // 36
+    coded = coded[: rows * cols]
+    il = np.asarray(fec.interleave(coded, rows, cols)).copy()
+    # roundtrip identity
+    np.testing.assert_array_equal(
+        np.asarray(fec.deinterleave(il, rows, cols)), coded)
+    # a 30-bit BURST after interleaving spreads out and gets corrected
+    il[500:530] ^= 1
+    rx = np.asarray(fec.deinterleave(il, rows, cols))
+    got = np.asarray(code.decode(np.concatenate(
+        [rx, np.asarray(code.encode(bits))[rows * cols:]])))
+    n = rows * cols // 2 - 10
+    ber = np.mean(got[:n] != bits[:n])
+    assert ber < 0.005, ber
+    # sanity: the same burst WITHOUT interleaving is fatal locally
+    direct = np.asarray(code.encode(bits)).copy()
+    direct[500:530] ^= 1
+    got_d = np.asarray(code.decode(direct))
+    local = got_d[230:280] != bits[230:280]  # region around the burst
+    assert np.mean(local) >= 0.1  # burst damage without interleaving
