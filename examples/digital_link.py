@@ -1,8 +1,8 @@
 """Digital QPSK link: every round-2 block in one signal path.
 
     bits -> LinearModem (RRC) -> TxChain upconversion
-         -> channel: AWGN + DC offset + IQ imbalance + CFO + fractional delay
-         -> ImpairmentCorrector -> DDC downconversion
+         -> channel: AWGN + DC offset + IQ imbalance + CFO
+         -> ImpairmentCorrector -> downconvert + decimate
          -> 4th-power carrier recovery -> Oerder-Meyr timing -> slicer -> BER
 
     python examples/digital_link.py

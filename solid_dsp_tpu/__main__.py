@@ -145,6 +145,8 @@ def _cmd_tx(args) -> int:
         msg = np.sin(2 * np.pi * args.tone * np.arange(n))
     elif args.mod in ("psk", "qam"):
         rng = np.random.default_rng(args.seed)
+        k = max(1, int(np.log2(args.order)))
+        n -= n % k  # whole symbols only
         msg = rng.integers(0, 2, n)
     else:  # none: a complex test tone
         msg = np.exp(2j * np.pi * args.tone * np.arange(n))

@@ -33,6 +33,17 @@ DEFAULT_POLYS = (0o171, 0o133)
 DEFAULT_K = 7
 
 
+def _bitrev(p: int, K: int) -> int:
+    # Internally the shift register keeps the NEWEST bit at the LSB;
+    # the standard convention (802.11/DVB/CCSDS) lists generator taps
+    # newest-at-MSB, so polys are reversed once here to make emitted
+    # streams bit-compatible with standard (171,133) equipment.
+    out = 0
+    for i in range(K):
+        out |= ((p >> i) & 1) << (K - 1 - i)
+    return out
+
+
 def _parity(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.uint32)
     for sh in (16, 8, 4, 2, 1):
@@ -49,7 +60,7 @@ def _tables(polys: tuple, K: int):
     b = np.arange(2)[None, :]
     reg = (s << 1) | b                   # K-bit register, newest bit = LSB
     out = np.stack(
-        [_parity(reg & p) for p in polys], axis=-1)  # (S, 2, n)
+        [_parity(reg & _bitrev(p, K)) for p in polys], axis=-1)  # (S, 2, n)
     nxt = reg & (S - 1)
     return out.astype(np.int32), nxt.astype(np.int32)
 
@@ -72,7 +83,7 @@ def conv_encode(bits, polys: tuple = DEFAULT_POLYS,
     reg = sum(cols)  # (T,) K-bit registers
     outs = []
     for p in polys:
-        v = jnp.bitwise_and(reg, p)
+        v = jnp.bitwise_and(reg, _bitrev(p, K))
         for sh in (16, 8, 4, 2, 1):
             v = v ^ (v >> sh)
         outs.append(v & 1)
@@ -92,6 +103,9 @@ def viterbi_decode(rx, polys: tuple = DEFAULT_POLYS,
     n = len(polys)
     out_tab, nxt_tab = _tables(tuple(polys), K)
     rx = jnp.asarray(rx)
+    if rx.shape[-1] % n:
+        raise ValueError(
+            f"coded length {rx.shape[-1]} is not a multiple of n={n}")
     T = rx.shape[-1] // n
     r = rx.reshape(T, n)
 
@@ -121,7 +135,9 @@ def viterbi_decode(rx, polys: tuple = DEFAULT_POLYS,
         # candidate metric reaching ns via predecessor choice c
         cand = pm[pred_j] + bm[pred_j, b_of_ns[:, None]]  # (S, 2)
         choice = jnp.argmin(cand, axis=-1).astype(jnp.int8)
-        return jnp.min(cand, axis=-1), choice
+        pm_next = jnp.min(cand, axis=-1)
+        # renormalize so metrics never outgrow f32 precision on long blocks
+        return pm_next - jnp.min(pm_next), choice
 
     pm_final, choices = jax.lax.scan(acs, pm0, r)
 

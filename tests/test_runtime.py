@@ -259,10 +259,7 @@ def test_udp_source_feeds_rx_chain():
           * np.exp(2j * np.pi * (0.2 / (2 * np.pi)) * np.arange(n))
           ).astype(np.complex64)
 
-    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
+    port = TestUdpSource()._free_port()
 
     chain = RxChain(RxChainConfig(carrier_freq=0.2, decimation=4,
                                   agc_mode="block", demod="fm"))
