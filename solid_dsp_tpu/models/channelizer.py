@@ -23,7 +23,8 @@ import numpy as np
 from ..design import firdes
 
 __all__ = ["channelizer_taps", "channelizer_init", "channelizer_apply",
-           "PolyphaseChannelizer"]
+           "PolyphaseChannelizer", "channelizer_synthesize",
+           "synthesis_init", "PolyphaseSynthesizer"]
 
 
 def channelizer_taps(num_channels: int, taps_per_branch: int = 8,
@@ -115,3 +116,70 @@ class PolyphaseChannelizer:
 
     def __repr__(self):
         return f"PolyphaseChannelizer [M={self.M}] [K={self.K}]"
+
+
+# --------------------------------------------------------------------------
+# synthesis bank: the transmit-side dual (M channels -> one wideband stream)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("num_channels",))
+def channelizer_synthesize(taps, tail_rows, Y, num_channels: int):
+    """Polyphase synthesis bank: combine M channel streams into one
+    wideband stream (the exact transpose of ``channelizer_apply``).
+
+    Y: (..., T, M) channel samples (channel m lands at +m/M of the output
+    rate); taps: the same prototype as analysis; tail_rows: (..., K, M)
+    carry of the previous block's branch inputs.  Returns (x, new_tail)
+    with x: (..., T*M).
+
+        w[t, r] = sum_m Y[t, m] e^{+2 pi i m r / M}   (one batched IDFT)
+        x[t*M + r] = sum_k h[k*M + r] * w[t - k, r]   (K shifted adds)
+
+    The K-tap branch filtering is built from K shifted slices — no
+    gathers, so it runs on the axon path too.
+    """
+    M = num_channels
+    K = taps.shape[-1] // M
+    H = taps[: K * M].reshape(K, M)
+    T = Y.shape[-2]
+    # batched IDFT across the channel axis (matches the analysis bank's
+    # +m r / M kernel); ifft includes 1/M, cancel it
+    w = jnp.fft.ifft(Y, axis=-1) * M  # (..., T, M)
+    w_ext = jnp.concatenate([tail_rows.astype(w.dtype), w], axis=-2)
+    acc = w_ext[..., K - 1: K - 1 + T, :] * H[0, :]
+    for k in range(1, K):
+        acc = acc + w_ext[..., K - 1 - k: K - 1 - k + T, :] * H[k, :]
+    x = acc.reshape(*Y.shape[:-2], T * M)
+    new_tail = w_ext[..., -(K - 1):, :] if K > 1 else w_ext[..., :0, :]
+    return x, new_tail
+
+
+def synthesis_init(num_channels: int, taps_per_branch: int,
+                   dtype=jnp.complex64, batch_shape: tuple = ()):
+    """Branch-input carry (K-1 rows of M)."""
+    return jnp.zeros((*batch_shape, taps_per_branch - 1, num_channels),
+                     dtype=dtype)
+
+
+class PolyphaseSynthesizer:
+    """Stateful M-channel synthesis bank (transmit-side channelizer)."""
+
+    def __init__(self, num_channels: int, taps_per_branch: int = 8,
+                 attenuation: float = 80.0, dtype=jnp.complex64):
+        self.M = int(num_channels)
+        self.K = int(taps_per_branch)
+        taps_np = channelizer_taps(self.M, self.K, attenuation)
+        self.taps = jnp.asarray(taps_np, dtype=dtype)
+        self._tail = synthesis_init(self.M, self.K, dtype)
+
+    def execute_block(self, Y):
+        Y = jnp.asarray(Y, self.taps.dtype)
+        x, self._tail = channelizer_synthesize(self.taps, self._tail, Y,
+                                               self.M)
+        return x
+
+    def reset(self):
+        self._tail = jnp.zeros_like(self._tail)
+
+    def __repr__(self):
+        return f"PolyphaseSynthesizer [M={self.M}] [K={self.K}]"
