@@ -9,7 +9,10 @@ gives the framework a liquid-dsp-class linear modem family:
 * matched filter + decimation receive path,
 * nearest-point slicing as ONE distance matmul over the constellation
   (TPU-native: |y - c|^2 argmin batches on the MXU for any M),
-* hard-decision bit demap + SER/BER helpers.
+* hard-decision bit demap + SER/BER helpers,
+* max-log soft demapping to bit LLRs (``demap_soft``) in the convention
+  of ``models.fec.viterbi_decode(soft=True)`` — positive favors bit 0 —
+  from the SAME per-point metric matrix the slicer computes.
 
 All transforms are pure block functions; carrier/timing recovery compose
 from models.qpsk (4th-power / Costas) and models.timing (Oerder-Meyr,
@@ -30,7 +33,7 @@ from ..ops import fir as fir_ops
 __all__ = [
     "psk_constellation", "qam_constellation", "constellation",
     "bits_to_symbols", "symbols_to_bits", "modulate_symbols",
-    "slice_symbols", "pulse_shape", "matched_filter",
+    "slice_symbols", "demap_soft", "pulse_shape", "matched_filter",
     "LinearModem",
 ]
 
@@ -114,6 +117,40 @@ def slice_symbols(y, points) -> jnp.ndarray:
     return jnp.argmax(metric, axis=-1).astype(jnp.int32)
 
 
+def demap_soft(y, points, noise_var=1.0) -> jnp.ndarray:
+    """Max-log bit LLRs from received symbols, one row per symbol.
+
+    LLR_i = ln P(b_i=0|y) - ln P(b_i=1|y)
+          ~ (min_{c: b_i=1} |y-c|^2 - min_{c: b_i=0} |y-c|^2) / noise_var
+    (max-log approximation, AWGN).  Positive favors bit 0 — the convention
+    ``models.fec.viterbi_decode(soft=True)`` consumes directly.
+
+    The |y|^2 term of |y-c|^2 is common to both hypotheses and cancels, so
+    the LLR reduces to differences of the SAME metric matrix the hard
+    slicer computes: m(c) = Re(y conj(c)) - |c|^2/2, giving
+    LLR_i = (2/noise_var) * (max_{b_i=0} m - max_{b_i=1} m) — one
+    (T, M) MXU-friendly product for all bits of all symbols.
+
+    Returns (T * k,) LLRs, bit order matching ``symbols_to_bits``
+    (MSB first within each symbol).
+    """
+    y = jnp.asarray(y)
+    c = jnp.asarray(points).astype(y.dtype)
+    m = int(c.shape[-1])
+    k = int(np.log2(m))
+    metric = (y[..., None] * jnp.conj(c)).real - 0.5 * (c * jnp.conj(c)).real
+    neg_inf = jnp.asarray(-np.inf, metric.dtype)
+    llrs = []
+    for i in range(k):                       # static, k <= 8
+        bit_i = (np.arange(m) >> (k - 1 - i)) & 1   # MSB-first bit i of c
+        mask1 = jnp.asarray(bit_i == 1)
+        m1 = jnp.max(jnp.where(mask1, metric, neg_inf), axis=-1)
+        m0 = jnp.max(jnp.where(mask1, neg_inf, metric), axis=-1)
+        llrs.append(m0 - m1)
+    scale = 2.0 / jnp.asarray(noise_var, metric.dtype)
+    return (jnp.stack(llrs, axis=-1) * scale).reshape(-1)
+
+
 def pulse_shape(iq_symbols, sps: int, delay_symbols: int = 6,
                 rolloff: float = 0.35, dtype=jnp.complex64):
     """Ideal RRC pulse shaping: explicit zero-stuff + MXU convolution.
@@ -165,14 +202,32 @@ class LinearModem:
         return pulse_shape(iq, self.sps, self.delay_symbols, self.rolloff,
                            self.dtype)
 
-    def demodulate(self, x):
+    def _symbol_estimates(self, x):
         y = matched_filter(jnp.asarray(x, self.dtype), self.sps,
                            self.delay_symbols, self.rolloff)
         # combined TX+RX RRC delay = 2 * delay_symbols * sps samples
         start = 2 * self.delay_symbols * self.sps
         y_sym = y[start::self.sps]
         # energy-normalize to the unit-average-energy constellations
-        y_sym = y_sym / jnp.sqrt(
+        return y_sym / jnp.sqrt(
             jnp.mean(jnp.real(y_sym * jnp.conj(y_sym))) + 1e-30)
+
+    def demodulate(self, x):
+        y_sym = self._symbol_estimates(x)
         syms = slice_symbols(y_sym, self.points)
         return symbols_to_bits(syms, self.k), syms
+
+    def demodulate_soft(self, x, noise_var=None):
+        """Bit LLRs (positive favors 0) for soft-decision decoding.
+
+        When ``noise_var`` is None it is estimated from the decision
+        residual: sigma^2 ~ E|y - c_hard|^2 (accurate above ~5 dB SNR,
+        and the max-log Viterbi path metric is scale-invariant anyway).
+        """
+        y_sym = self._symbol_estimates(x)
+        if noise_var is None:
+            c = jnp.asarray(self.points).astype(y_sym.dtype)
+            hard = c[slice_symbols(y_sym, self.points)]
+            r = y_sym - hard
+            noise_var = jnp.mean(jnp.real(r * jnp.conj(r))) + 1e-12
+        return demap_soft(y_sym, self.points, noise_var)

@@ -98,3 +98,86 @@ def test_modem_loopback_awgn_qam16_ser():
     n = min(len(got_syms), len(want)) - 13
     ser = np.mean(np.asarray(got_syms)[:n] != want[:n])
     assert ser < 0.01
+
+
+# ------------------------------------------------------- soft demapping
+
+def _brute_llr(y, pts, noise_var):
+    """Independent per-sample max-log LLR (full |y-c|^2 distances)."""
+    m = len(pts)
+    k = int(np.log2(m))
+    out = np.empty((len(y), k))
+    for t, yt in enumerate(y):
+        d2 = np.abs(yt - pts) ** 2
+        for i in range(k):
+            bit_i = (np.arange(m) >> (k - 1 - i)) & 1
+            out[t, i] = (d2[bit_i == 1].min() - d2[bit_i == 0].min()) \
+                / noise_var
+    return out.reshape(-1)
+
+
+@pytest.mark.parametrize("scheme,m", [("psk", 4), ("psk", 8),
+                                      ("qam", 16), ("qam", 64)])
+def test_demap_soft_matches_bruteforce(scheme, m):
+    rng = np.random.default_rng(3)
+    pts = lm.constellation(scheme, m)
+    y = (rng.normal(size=200) + 1j * rng.normal(size=200)) * 0.8
+    nv = 0.37
+    got = np.asarray(lm.demap_soft(jnp.asarray(y, jnp.complex128), pts, nv))
+    want = _brute_llr(y, pts, nv)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("scheme,m", [("psk", 4), ("qam", 16), ("qam", 64)])
+def test_demap_soft_sign_matches_hard_decisions(scheme, m):
+    rng = np.random.default_rng(4)
+    pts = lm.constellation(scheme, m)
+    k = int(np.log2(m))
+    y = (rng.normal(size=500) + 1j * rng.normal(size=500)) * 0.9
+    llr = np.asarray(lm.demap_soft(jnp.asarray(y, jnp.complex128), pts, 1.0))
+    hard_from_llr = (llr < 0).astype(np.int32)  # positive favors bit 0
+    syms = lm.slice_symbols(jnp.asarray(y), pts)
+    hard_bits = np.asarray(lm.symbols_to_bits(syms, k))
+    np.testing.assert_array_equal(hard_from_llr, hard_bits)
+
+
+def test_soft_viterbi_beats_hard_through_modem():
+    """End-to-end coded link: soft-decision decoding corrects more channel
+    errors than hard-decision at the same (low) SNR — the classic ~2 dB
+    soft-decision gain, asserted as strictly-fewer bit errors."""
+    from solid_dsp_tpu.models import fec
+
+    rng = np.random.default_rng(7)
+    code = fec.ConvCode()
+    n_info = 3000
+    info = rng.integers(0, 2, n_info)
+    coded = np.asarray(code.encode(info))
+
+    modem = lm.LinearModem("psk", 4, sps=4, dtype=jnp.complex128)
+    tx = np.asarray(modem.modulate(coded))
+
+    ebn0_db = 2.0  # low enough that hard decisions leave residual errors
+    # Es = mean|tx symbol|^2 = 1 at unit-energy constellation; per coded
+    # bit k=2, rate=1/2 -> Eb(info) = Es; sps spreads energy in time but
+    # symbol-instant samples keep unit power after matched filtering.
+    snr_symbol = 10 ** (ebn0_db / 10) * 2 * code.rate
+    sigma = np.sqrt(1.0 / (2 * snr_symbol)) * np.sqrt(modem.sps)
+    noise = sigma * (rng.normal(size=tx.shape) +
+                     1j * rng.normal(size=tx.shape))
+    rx = tx + noise
+    # flush the TX+RX shaping-filter group delay so every symbol lands
+    rx = np.concatenate(
+        [rx, np.zeros(2 * modem.delay_symbols * modem.sps, rx.dtype)])
+
+    hard_bits, _ = modem.demodulate(rx)
+    hard_bits = np.asarray(hard_bits)[: len(coded)]
+    llrs = np.asarray(modem.demodulate_soft(rx))[: len(coded)]
+
+    dec_hard = np.asarray(code.decode(jnp.asarray(hard_bits)))
+    dec_soft = np.asarray(code.decode(jnp.asarray(llrs), soft=True))
+
+    err_hard = int(np.sum(dec_hard != info))
+    err_soft = int(np.sum(dec_soft != info))
+    # sanity: the channel actually corrupted bits pre-decoder
+    assert np.sum(hard_bits != coded) > 50
+    assert err_soft < err_hard
