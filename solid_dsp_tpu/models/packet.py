@@ -1,0 +1,122 @@
+"""PacketModem: the full framed digital link in one object.
+
+Composes every layer the framework provides into a byte-in / byte-out
+packet radio — the capstone the reference's empty ``src/modulation/`` stub
+pointed at (SURVEY §2 #33):
+
+    TX: bytes -> CRC-32 tail -> additive scramble -> convolutional FEC
+        -> block interleave -> gray map (M-PSK/M-QAM) -> RRC pulse shape
+        -> [ZC, ZC] preamble + payload burst
+    RX: normalized preamble correlation (FrameSync) -> Moose CFO + common
+        phase correction -> RRC matched filter -> max-log LLRs
+        -> deinterleave -> soft Viterbi -> descramble -> CRC check
+
+Every receive-side stage is a pure block transform (jittable end to end);
+soft decisions flow from the demapper into the decoder, so the link keeps
+the ~2 dB soft-decision gain.  Frames carry a fixed payload size chosen at
+construction (static shapes for XLA); the CRC flag tells the caller
+whether the burst decoded cleanly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import bits as B
+from ..utils import sequences as seq
+from . import channel as ch  # noqa: F401  (re-exported convenience)
+from . import fec
+from . import framesync as fs
+from . import linear_mod as lm
+
+__all__ = ["PacketModem"]
+
+
+def _interleaver_dims(n: int) -> tuple:
+    """Most-square (rows, cols) factorization; (1, n) if prime."""
+    best = (1, n)
+    for r in range(2, int(np.sqrt(n)) + 1):
+        if n % r == 0:
+            best = (r, n // r)
+    return best
+
+
+class PacketModem:
+    """Fixed-size framed packet link over an M-PSK/M-QAM burst."""
+
+    def __init__(self, payload_bytes: int = 64, scheme: str = "psk",
+                 m: int = 4, sps: int = 4, preamble_len: int = 127,
+                 preamble_root: int = 5, rolloff: float = 0.35,
+                 delay_symbols: int = 6, threshold: float = 0.4,
+                 dtype=jnp.complex64):
+        self.payload_bytes = int(payload_bytes)
+        self.modem = lm.LinearModem(scheme, m, sps, delay_symbols,
+                                    rolloff, dtype)
+        self.code = fec.ConvCode()
+        self.n_info = 8 * self.payload_bytes + 32          # + CRC-32
+        self.n_coded = (self.n_info + self.code.K - 1) * 2
+        self.ileave = _interleaver_dims(self.n_coded)
+        k = self.modem.k
+        self.n_pad = (-self.n_coded) % k                   # map padding
+        self.n_symbols = (self.n_coded + self.n_pad) // k
+        self.flush = 2 * delay_symbols * sps               # RRC flush tail
+        self.payload_samples = self.n_symbols * sps + self.flush
+        p = seq.zadoff_chu(preamble_root, preamble_len)
+        self.sync = fs.FrameSync(p, self.payload_samples, threshold)
+        self.frame_samples = 2 * preamble_len + self.payload_samples
+        self.dtype = dtype
+
+    # ------------------------------------------------------------- TX
+
+    def _encode_bits(self, data: bytes) -> np.ndarray:
+        if len(data) != self.payload_bytes:
+            raise ValueError(
+                f"payload must be exactly {self.payload_bytes} bytes")
+        info = B._bytes_to_bits_msb_first(data)
+        c = B.crc32(info.astype(np.int8))
+        tail = ((c >> np.arange(32)) & 1).astype(np.int8)  # LSB-first wire
+        framed = np.concatenate([info, tail])
+        scrambled = np.asarray(B.additive_scramble(framed))
+        coded = np.asarray(self.code.encode(scrambled))
+        r, cdim = self.ileave
+        return np.asarray(fec.interleave(coded, r, cdim))
+
+    def transmit(self, data: bytes) -> jnp.ndarray:
+        """bytes -> one burst of ``frame_samples`` IQ samples."""
+        bits = self._encode_bits(data)
+        bits = np.concatenate([bits, np.zeros(self.n_pad, bits.dtype)])
+        syms = lm.bits_to_symbols(bits, self.modem.k)
+        iq = lm.modulate_symbols(syms, self.modem.points).astype(self.dtype)
+        shaped = lm.pulse_shape(iq, self.modem.sps,
+                                self.modem.delay_symbols,
+                                self.modem.rolloff, self.dtype)
+        shaped = jnp.concatenate(
+            [shaped, jnp.zeros(self.flush, self.dtype)])
+        pp = jnp.asarray(self.sync.full_preamble()).astype(self.dtype)
+        return jnp.concatenate([pp, shaped])
+
+    # ------------------------------------------------------------- RX
+
+    def receive(self, x):
+        """IQ containing one burst -> (bytes, info dict).
+
+        info: FrameSync telemetry + ``crc_ok``; on CRC failure the bytes
+        are the best-effort decode.
+        """
+        payload, info = self.sync.extract(jnp.asarray(x, self.dtype))
+        llr = np.asarray(self.modem.demodulate_soft(payload))
+        llr = llr[: self.n_coded]                 # drop map padding
+        r, cdim = self.ileave
+        llr = np.asarray(fec.deinterleave(jnp.asarray(llr), r, cdim))
+        dec = self.code.decode(jnp.asarray(llr), soft=True)
+        dec = np.asarray(dec)[: self.n_info]
+        plain = np.asarray(B.additive_scramble(dec))
+        payload_bits, crc_bits = plain[:-32], plain[-32:]
+        got = B.crc32(payload_bits.astype(np.int8))
+        sent = int(np.sum(np.left_shift(crc_bits.astype(np.uint64),
+                                        np.arange(32, dtype=np.uint64))))
+        data = np.packbits(payload_bits.astype(np.uint8)).tobytes()
+        out = dict(info)
+        out["crc_ok"] = bool(got == sent) and bool(info["found"])
+        return data, out

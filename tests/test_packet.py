@@ -1,0 +1,65 @@
+"""PacketModem end-to-end framed-link tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.models import channel as ch
+from solid_dsp_tpu.models.packet import PacketModem
+
+
+def _embed(burst, offset, n_total, rng, sigma):
+    x = np.zeros(n_total, complex)
+    x[offset: offset + len(burst)] = np.asarray(burst)
+    return x + sigma * (rng.normal(size=n_total) +
+                        1j * rng.normal(size=n_total))
+
+
+def test_packet_roundtrip_clean():
+    pm = PacketModem(payload_bytes=32, dtype=jnp.complex128)
+    data = bytes(range(32))
+    iq = pm.transmit(data)
+    assert iq.shape == (pm.frame_samples,)
+    got, info = pm.receive(iq)
+    assert info["crc_ok"] and got == data
+
+
+def test_packet_through_impaired_channel():
+    pm = PacketModem(payload_bytes=48, dtype=jnp.complex128)
+    rng = np.random.default_rng(0)
+    data = bytes(rng.integers(0, 256, 48, dtype=np.uint8))
+    iq = pm.transmit(data)
+    x = _embed(iq, 517, len(iq) + 1200, rng, sigma=0.0)
+    x = np.array(ch.apply_cfo(jnp.asarray(x), 6e-4, 1.1))
+    x += 0.09 * (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x)))
+    got, info = pm.receive(jnp.asarray(x))
+    assert info["crc_ok"], info
+    assert int(info["start"]) == 517
+    assert got == data
+
+
+def test_packet_crc_flags_garbage():
+    pm = PacketModem(payload_bytes=16, dtype=jnp.complex128)
+    rng = np.random.default_rng(1)
+    noise = rng.normal(size=pm.frame_samples + 300) \
+        + 1j * rng.normal(size=pm.frame_samples + 300)
+    got, info = pm.receive(jnp.asarray(noise))
+    assert not info["crc_ok"]
+
+
+def test_packet_qam16_roundtrip():
+    pm = PacketModem(payload_bytes=40, scheme="qam", m=16,
+                     dtype=jnp.complex128)
+    rng = np.random.default_rng(2)
+    data = bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+    x = _embed(pm.transmit(data), 91, pm.frame_samples + 400, rng,
+               sigma=0.02)
+    got, info = pm.receive(jnp.asarray(x))
+    assert info["crc_ok"] and got == data
+
+
+def test_packet_rejects_wrong_size():
+    pm = PacketModem(payload_bytes=8)
+    with pytest.raises(ValueError):
+        pm.transmit(b"short")
