@@ -28,6 +28,7 @@ from ..utils import sequences as seq
 from . import channel as ch  # noqa: F401  (re-exported convenience)
 from . import fec
 from . import framesync as fs
+from . import ldpc as ldpc_mod
 from . import linear_mod as lm
 
 __all__ = ["PacketModem"]
@@ -49,14 +50,28 @@ class PacketModem:
                  m: int = 4, sps: int = 4, preamble_len: int = 127,
                  preamble_root: int = 5, rolloff: float = 0.35,
                  delay_symbols: int = 6, threshold: float = 0.4,
+                 fec_scheme: str = "conv", ldpc_iters: int = 30,
                  dtype=jnp.complex64):
+        if fec_scheme not in ("conv", "ldpc"):
+            raise ValueError(f"unknown fec_scheme {fec_scheme!r}")
         self.payload_bytes = int(payload_bytes)
+        self.fec_scheme = fec_scheme
+        self.ldpc_iters = int(ldpc_iters)
         self.modem = lm.LinearModem(scheme, m, sps, delay_symbols,
                                     rolloff, dtype)
-        self.code = fec.ConvCode()
         self.n_info = 8 * self.payload_bytes + 32          # + CRC-32
-        self.n_coded = (self.n_info + self.code.K - 1) * 2
-        self.ileave = _interleaver_dims(self.n_coded)
+        if fec_scheme == "conv":
+            self.code = fec.ConvCode()
+            self.n_coded = (self.n_info + self.code.K - 1) * 2
+            self.ileave = _interleaver_dims(self.n_coded)
+        else:
+            # fixed-frame block code: pack into as many (648, 324) frames
+            # as the info (+ zero padding) needs; LDPC output is already
+            # interleaver-free (the graph scatters bursts by construction)
+            self.code = ldpc_mod.wifi_ldpc_648()
+            self.n_frames = -(-self.n_info // self.code.k)
+            self.n_coded = self.n_frames * self.code.n
+            self.ileave = (1, self.n_coded)
         k = self.modem.k
         self.n_pad = (-self.n_coded) % k                   # map padding
         self.n_symbols = (self.n_coded + self.n_pad) // k
@@ -78,6 +93,12 @@ class PacketModem:
         tail = ((c >> np.arange(32)) & 1).astype(np.int8)  # LSB-first wire
         framed = np.concatenate([info, tail])
         scrambled = np.asarray(B.additive_scramble(framed))
+        if self.fec_scheme == "ldpc":
+            padded = np.zeros(self.n_frames * self.code.k, np.int32)
+            padded[: self.n_info] = scrambled
+            cw = np.asarray(self.code.encode(
+                padded.reshape(self.n_frames, self.code.k)))
+            return cw.reshape(-1)
         coded = np.asarray(self.code.encode(scrambled))
         r, cdim = self.ileave
         return np.asarray(fec.interleave(coded, r, cdim))
@@ -107,10 +128,15 @@ class PacketModem:
         payload, info = self.sync.extract(jnp.asarray(x, self.dtype))
         llr = np.asarray(self.modem.demodulate_soft(payload))
         llr = llr[: self.n_coded]                 # drop map padding
-        r, cdim = self.ileave
-        llr = np.asarray(fec.deinterleave(jnp.asarray(llr), r, cdim))
-        dec = self.code.decode(jnp.asarray(llr), soft=True)
-        dec = np.asarray(dec)[: self.n_info]
+        if self.fec_scheme == "ldpc":
+            frames = jnp.asarray(llr).reshape(self.n_frames, self.code.n)
+            dec, _ok = self.code.decode(frames, n_iters=self.ldpc_iters)
+            dec = np.asarray(dec).reshape(-1)[: self.n_info]
+        else:
+            r, cdim = self.ileave
+            llr = np.asarray(fec.deinterleave(jnp.asarray(llr), r, cdim))
+            dec = self.code.decode(jnp.asarray(llr), soft=True)
+            dec = np.asarray(dec)[: self.n_info]
         plain = np.asarray(B.additive_scramble(dec))
         payload_bits, crc_bits = plain[:-32], plain[-32:]
         got = B.crc32(payload_bits.astype(np.int8))

@@ -63,3 +63,23 @@ def test_packet_rejects_wrong_size():
     pm = PacketModem(payload_bytes=8)
     with pytest.raises(ValueError):
         pm.transmit(b"short")
+
+
+def test_packet_ldpc_roundtrip_impaired():
+    pm = PacketModem(payload_bytes=64, fec_scheme="ldpc",
+                     dtype=jnp.complex128)
+    assert pm.n_coded % pm.code.n == 0
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    iq = pm.transmit(data)
+    x = _embed(iq, 233, len(iq) + 800, rng, sigma=0.0)
+    x = np.array(ch.apply_cfo(jnp.asarray(x), -4e-4, 0.6))
+    x += 0.12 * (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x)))
+    got, info = pm.receive(jnp.asarray(x))
+    assert info["crc_ok"], info
+    assert got == data
+
+
+def test_packet_fec_scheme_validation():
+    with pytest.raises(ValueError):
+        PacketModem(payload_bytes=8, fec_scheme="turbo")
