@@ -8,8 +8,16 @@ pointed at (SURVEY §2 #33):
         -> block interleave -> gray map (M-PSK/M-QAM) -> RRC pulse shape
         -> [ZC, ZC] preamble + payload burst
     RX: normalized preamble correlation (FrameSync) -> Moose CFO + common
-        phase correction -> RRC matched filter -> max-log LLRs
-        -> deinterleave -> soft Viterbi -> descramble -> CRC check
+        phase correction -> RRC matched filter -> pilot-aided phase
+        tracking -> max-log LLRs -> deinterleave -> soft decode
+        -> descramble -> CRC check
+
+Known QPSK pilot symbols are interspersed every ``pilot_every`` symbol
+slots; the receiver measures the phase at each pilot, unwraps, and
+linearly interpolates the trajectory across the data symbols — taking out
+the residual CFO left by the Moose preamble estimate, whose integrated
+drift otherwise dominates long-burst error rates (modulation-agnostic,
+unlike 4th-power retracking).
 
 Every receive-side stage is a pure block transform (jittable end to end);
 soft decisions flow from the demapper into the decoder, so the link keeps
@@ -51,7 +59,7 @@ class PacketModem:
                  preamble_root: int = 5, rolloff: float = 0.35,
                  delay_symbols: int = 6, threshold: float = 0.4,
                  fec_scheme: str = "conv", ldpc_iters: int = 30,
-                 dtype=jnp.complex64):
+                 pilot_every: int = 16, dtype=jnp.complex64):
         if fec_scheme not in ("conv", "ldpc"):
             raise ValueError(f"unknown fec_scheme {fec_scheme!r}")
         self.payload_bytes = int(payload_bytes)
@@ -74,7 +82,30 @@ class PacketModem:
             self.ileave = (1, self.n_coded)
         k = self.modem.k
         self.n_pad = (-self.n_coded) % k                   # map padding
-        self.n_symbols = (self.n_coded + self.n_pad) // k
+        self.n_data_symbols = (self.n_coded + self.n_pad) // k
+        # pilot layout: slot i is a pilot iff i % pilot_every == 0 (0
+        # disables); total slots solve T - ceil(T/Np) = n_data_symbols
+        self.pilot_every = int(pilot_every)
+        if self.pilot_every:
+            if self.pilot_every < 2:
+                raise ValueError("pilot_every must be >= 2 (or 0)")
+            T = self.n_data_symbols
+            while T - (-(-T // self.pilot_every)) < self.n_data_symbols:
+                T += 1
+            self.n_symbols = T
+            self.pilot_pos = np.arange(0, T, self.pilot_every)
+            mask = np.zeros(T, bool)
+            mask[self.pilot_pos] = True
+            self.data_pos = np.nonzero(~mask)[0]
+            pb = seq.m_sequence(10, seed=0x155)[: 2 * len(self.pilot_pos)]
+            ps = np.asarray(lm.bits_to_symbols(pb.astype(np.int32), 2))
+            self.pilot_syms = np.asarray(
+                lm.psk_constellation(4))[ps][: len(self.pilot_pos)]
+        else:
+            self.n_symbols = self.n_data_symbols
+            self.pilot_pos = np.zeros(0, np.int64)
+            self.data_pos = np.arange(self.n_symbols)
+            self.pilot_syms = np.zeros(0, complex)
         self.flush = 2 * delay_symbols * sps               # RRC flush tail
         self.payload_samples = self.n_symbols * sps + self.flush
         p = seq.zadoff_chu(preamble_root, preamble_len)
@@ -108,7 +139,13 @@ class PacketModem:
         bits = self._encode_bits(data)
         bits = np.concatenate([bits, np.zeros(self.n_pad, bits.dtype)])
         syms = lm.bits_to_symbols(bits, self.modem.k)
-        iq = lm.modulate_symbols(syms, self.modem.points).astype(self.dtype)
+        data_iq = np.asarray(
+            lm.modulate_symbols(syms, self.modem.points))
+        iq = np.zeros(self.n_symbols, complex)
+        iq[self.data_pos] = data_iq
+        if self.pilot_every:
+            iq[self.pilot_pos] = self.pilot_syms
+        iq = jnp.asarray(iq, self.dtype)
         shaped = lm.pulse_shape(iq, self.modem.sps,
                                 self.modem.delay_symbols,
                                 self.modem.rolloff, self.dtype)
@@ -126,7 +163,12 @@ class PacketModem:
         are the best-effort decode.
         """
         payload, info = self.sync.extract(jnp.asarray(x, self.dtype))
-        llr = np.asarray(self.modem.demodulate_soft(payload))
+        y_sym = self.modem._symbol_estimates(payload)
+        if self.pilot_every:
+            y_sym = self._pilot_phase_correct(y_sym)
+        y_data = y_sym[jnp.asarray(self.data_pos)]
+        llr = np.asarray(lm.demap_soft(
+            y_data, self.modem.points, self._noise_var(y_data)))
         llr = llr[: self.n_coded]                 # drop map padding
         if self.fec_scheme == "ldpc":
             frames = jnp.asarray(llr).reshape(self.n_frames, self.code.n)
@@ -146,3 +188,24 @@ class PacketModem:
         out = dict(info)
         out["crc_ok"] = bool(got == sent) and bool(info["found"])
         return data, out
+
+    def _noise_var(self, y_sym):
+        c = jnp.asarray(self.modem.points).astype(y_sym.dtype)
+        hard = c[lm.slice_symbols(y_sym, self.modem.points)]
+        r = y_sym - hard
+        return jnp.mean(jnp.real(r * jnp.conj(r))) + 1e-12
+
+    def _pilot_phase_correct(self, y_sym):
+        """De-rotate by the pilot-measured phase trajectory.
+
+        Phase at each pilot = angle(y conj(pilot)); unwrapped and linearly
+        interpolated across all symbol slots (edges extend flat), which
+        absorbs residual CFO + slow phase noise without any modulation
+        assumptions on the data symbols.
+        """
+        pil = jnp.asarray(self.pilot_syms).astype(y_sym.dtype)
+        ph = jnp.unwrap(jnp.angle(
+            y_sym[jnp.asarray(self.pilot_pos)] * jnp.conj(pil)))
+        traj = jnp.interp(jnp.arange(self.n_symbols, dtype=ph.dtype),
+                          jnp.asarray(self.pilot_pos, ph.dtype), ph)
+        return y_sym * jnp.exp(-1j * traj).astype(y_sym.dtype)

@@ -83,3 +83,37 @@ def test_packet_ldpc_roundtrip_impaired():
 def test_packet_fec_scheme_validation():
     with pytest.raises(ValueError):
         PacketModem(payload_bytes=8, fec_scheme="turbo")
+
+
+def test_pilot_tracking_rescues_phase_noise():
+    """A slowly drifting oscillator (Wiener phase noise) integrates to
+    large rotations over the burst; pilot-aided tracking follows it while
+    the pilot-free config loses the packet on the SAME waveform."""
+    import jax as _jax
+
+    rng = np.random.default_rng(9)
+    data = bytes(rng.integers(0, 256, 48, dtype=np.uint8))
+    pm_p = PacketModem(payload_bytes=48, pilot_every=16,
+                       dtype=jnp.complex128)
+    pm_n = PacketModem(payload_bytes=48, pilot_every=0,
+                       dtype=jnp.complex128)
+
+    def channel_fn(iq):
+        x = _embed(iq, 147, len(iq) + 500, rng, sigma=0.02)
+        return np.asarray(ch.phase_noise(_jax.random.PRNGKey(3),
+                                         jnp.asarray(x), 3e-3))
+
+    got_p, info_p = pm_p.receive(jnp.asarray(channel_fn(pm_p.transmit(data))))
+    got_n, info_n = pm_n.receive(jnp.asarray(channel_fn(pm_n.transmit(data))))
+    assert info_p["crc_ok"] and got_p == data
+    assert not info_n["crc_ok"]          # same impairment sinks it
+
+
+def test_pilot_layout_properties():
+    pm = PacketModem(payload_bytes=32, pilot_every=16)
+    # every 16th slot is a pilot, data capacity preserved exactly
+    assert len(pm.data_pos) == pm.n_data_symbols
+    assert set(pm.pilot_pos) | set(pm.data_pos) == set(range(pm.n_symbols))
+    assert np.all(pm.pilot_pos % 16 == 0)
+    with pytest.raises(ValueError):
+        PacketModem(payload_bytes=8, pilot_every=1)
