@@ -1,0 +1,113 @@
+"""Reed-Solomon GF(256) codec tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.models import rs
+
+
+@pytest.fixture(scope="module")
+def code():
+    return rs.rs_255_223()
+
+
+def test_dimensions(code):
+    assert (code.n, code.k, code.t) == (255, 223, 16)
+    short = rs.rs_204_188()
+    assert (short.n, short.k, short.t) == (204, 188, 8)
+
+
+def test_encode_systematic_and_valid(code):
+    rng = np.random.default_rng(0)
+    msg = rng.integers(0, 256, (4, code.k))
+    cw = np.asarray(code.encode(msg))
+    assert cw.shape == (4, code.n)
+    np.testing.assert_array_equal(cw[:, : code.k], msg)   # systematic
+    assert not np.asarray(code.syndromes(cw)).any()       # valid words
+
+
+def test_generator_poly_roots():
+    """g(alpha^j) = 0 for j = 1..2t — the defining property."""
+    exp, _ = rs._gf_tables()
+    g = np.asarray(rs._generator_poly(32), np.int32)
+    for j in range(1, 33):
+        assert int(rs._gf_poly_eval(g, np.int32(exp[j]))) == 0
+
+
+@pytest.mark.parametrize("n_err", [1, 2, 7, 15, 16])
+def test_corrects_up_to_t_errors(code, n_err):
+    rng = np.random.default_rng(n_err)
+    msg = rng.integers(0, 256, code.k)
+    cw = np.asarray(code.encode(msg))
+    bad = cw.copy()
+    pos = rng.choice(code.n, n_err, replace=False)
+    bad[pos] ^= rng.integers(1, 256, n_err)
+    dec, ok = code.decode(bad)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(dec), msg)
+
+
+def test_beyond_t_flagged(code):
+    rng = np.random.default_rng(99)
+    msg = rng.integers(0, 256, code.k)
+    cw = np.asarray(code.encode(msg))
+    fails = 0
+    for trial in range(5):
+        bad = cw.copy()
+        pos = rng.choice(code.n, 20, replace=False)
+        bad[pos] ^= rng.integers(1, 256, 20)
+        _, ok = code.decode(bad)
+        fails += int(not bool(ok))
+    # 20 errors exceed t=16: overwhelmingly detected (miscorrection odds
+    # are ~1e-9-scale; all 5 trials must flag)
+    assert fails == 5
+
+
+def test_batched_decode(code):
+    rng = np.random.default_rng(5)
+    msg = rng.integers(0, 256, (6, code.k))
+    cw = np.asarray(code.encode(msg))
+    bad = cw.copy()
+    bad[1, 10] ^= 0xAA                      # one block errored
+    bad[4, 200] ^= 0x01
+    bad[4, 7] ^= 0xFF
+    dec, ok = code.decode(bad)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(dec), msg)
+
+
+def test_shortened_code_roundtrip():
+    code = rs.rs_204_188()
+    rng = np.random.default_rng(6)
+    msg = rng.integers(0, 256, code.k)
+    cw = np.asarray(code.encode(msg))
+    assert not np.asarray(code.syndromes(cw)).any()
+    bad = cw.copy()
+    pos = rng.choice(code.n, code.t, replace=False)
+    bad[pos] ^= rng.integers(1, 256, code.t)
+    dec, ok = code.decode(bad)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(dec), msg)
+
+
+def test_burst_error_correction(code):
+    """16 consecutive corrupted bytes — the outer-code raison d'etre."""
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 256, code.k)
+    cw = np.asarray(code.encode(msg))
+    bad = cw.copy()
+    bad[50:66] ^= rng.integers(1, 256, 16)
+    dec, ok = code.decode(bad)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(dec), msg)
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        rs.RSCode(shorten=223)
+    with pytest.raises(ValueError):
+        rs.RSCode(nroots=33)
+    code = rs.rs_255_223()
+    with pytest.raises(ValueError):
+        code.encode(np.zeros(10, np.int32))
