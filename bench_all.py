@@ -296,12 +296,72 @@ def bench_fft_nonpow2():
     return out
 
 
+def bench_ldpc():
+    """Batched min-sum LDPC decode (matmul-routed message passing)."""
+    from solid_dsp_tpu.models import ldpc
+
+    rng = np.random.default_rng(0)
+    out = []
+    # 512 frames x (648, 324), 25 iterations
+    code = ldpc.wifi_ldpc_648()
+    F = 512
+    info = rng.integers(0, 2, (F, code.k))
+    cw = np.asarray(code.encode(info)).astype(np.float32)
+    llr = jnp.asarray((1.0 - 2.0 * cw) * 2.0
+                      + rng.normal(size=cw.shape).astype(np.float32))
+    dec = jax.jit(lambda l: code.decode(l, n_iters=25))
+    y = dec(llr)
+    jax.block_until_ready(y)
+    dt = _best_of(lambda _: dec(llr), None)
+    bps = F * code.k / dt
+    out.append({"metric": "ldpc_decode_648_25it",
+                "value": round(bps / 1e6, 1), "unit": "Minfobits/s",
+                "vs_baseline": round(bps / 1e9, 3)})
+    return out
+
+
+def bench_modem_frontend():
+    """LLR demap + preamble correlation (the always-on receive path)."""
+    from solid_dsp_tpu.models import framesync as fs
+    from solid_dsp_tpu.models import linear_mod as lm
+    from solid_dsp_tpu.utils import sequences as seq
+
+    rng = np.random.default_rng(0)
+    out = []
+    # max-log LLR soft demap, 64-QAM (worst of the shipped orders)
+    pts = lm.constellation("qam", 64)
+    T = 1 << 21
+    ysym = jnp.asarray((rng.standard_normal(T) + 1j * rng.standard_normal(T)
+                        ).astype(np.complex64))
+    dm = jax.jit(lambda a: lm.demap_soft(a, pts, 0.1))
+    jax.block_until_ready(dm(ysym))
+    dt = _best_of(lambda _: dm(ysym), None)
+    out.append({"metric": "llr_demap_qam64",
+                "value": round(T / dt / 1e6, 1), "unit": "Msymbols/s",
+                "vs_baseline": round(T / dt / 1e9, 3)})
+
+    # normalized preamble correlation over a long capture
+    p = seq.zadoff_chu(5, 127)
+    L = 1 << 22
+    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
+                     ).astype(np.complex64))
+    pc = jax.jit(lambda a: fs.preamble_correlate(a, jnp.asarray(
+        p.astype(np.complex64)))[0])
+    jax.block_until_ready(pc(x))
+    dt = _best_of(lambda _: pc(x), None)
+    out.append({"metric": "preamble_correlate_127",
+                "value": round(L / dt / 1e6, 1), "unit": "Msamples/s",
+                "vs_baseline": round(L / dt / 1e9, 3)})
+    return out
+
+
 def main():
     for fn in (bench_rx_chain, bench_rx_chain_ci16_ingest,
                bench_rx_chain_parity_parallel,
                bench_rx_chain_parity_scan, bench_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
-               bench_fft_nonpow2, bench_frontend_ops):
+               bench_fft_nonpow2, bench_frontend_ops,
+               bench_modem_frontend, bench_ldpc):
         try:
             res = fn()
             for row in (res if isinstance(res, list) else [res]):

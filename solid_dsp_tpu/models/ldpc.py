@@ -7,10 +7,13 @@ embarrassingly parallel — exactly the workload this framework exists for.
 TPU formulation of belief propagation (normalized min-sum):
 
 * H is laid out densely per check: a (C, d_max) matrix of variable
-  indices + validity mask.  Every message update is then a regular-shape
-  gather / elementwise / small-axis reduction — no sequential loops, no
-  ragged segments; one ``lax.scan`` carries the check-to-variable
-  messages across iterations.
+  indices + validity mask.  Message routing between variables and edge
+  slots is expressed as multiplication by the one-hot edge-incidence
+  matrix A ((C*d_max, N)): variable-total scatter-add is ``R @ A`` and
+  the per-edge gather is ``S @ A.T`` — both MXU matmuls, which sidesteps
+  backend gather/scatter limits (the tunneled axon TPU rejects large
+  gathers) AND keeps the hot loop in the systolic array.  One
+  ``lax.scan`` carries the check-to-variable messages across iterations.
 * The exclude-self check minimum is the classic min1/min2 trick: argmin
   along the degree axis (d_max <= 8ish) picks which of the two smallest
   magnitudes each edge sees, and the sign product excludes self by one
@@ -147,6 +150,14 @@ class _Layout:
             mask[c, : len(idx)] = True
         self.vmat = vmat
         self.mask = mask
+        # one-hot edge incidence (C*d_max, N): row e = slot, col = its
+        # variable (zero row for padding slots).  Routing matmuls ride
+        # the MXU and avoid backend gather/scatter paths entirely.
+        A = np.zeros((self.C * self.d_max, self.N), np.float32)
+        flat_v = vmat.reshape(-1)
+        flat_m = mask.reshape(-1)
+        A[np.arange(self.C * self.d_max)[flat_m], flat_v[flat_m]] = 1.0
+        self.A = A
 
 
 @lru_cache(maxsize=8)
@@ -185,20 +196,26 @@ def ldpc_encode(info_bits, H) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("n_iters", "h_key", "alpha"))
 def _decode_jit(llr, h_key, n_iters: int, alpha: float):
     lay = _layout_cached(h_key)
-    vmat = jnp.asarray(lay.vmat)
     mask = jnp.asarray(lay.mask)
+    A = jnp.asarray(lay.A)                       # (C*d_max, N) one-hot
     llr = jnp.asarray(llr, jnp.float32)
     batch = llr.shape[:-1]
     R0 = jnp.zeros(batch + (lay.C, lay.d_max), jnp.float32)
 
     big = jnp.float32(np.inf)
+    slot_shape = batch + (lay.C, lay.d_max)
+
+    def to_slots(x):                             # S (..., N) -> (..., C, d)
+        return (x @ A.T).reshape(slot_shape)
+
+    def from_slots(r):                           # (..., C, d) -> (..., N)
+        return r.reshape(batch + (lay.C * lay.d_max,)) @ A
 
     def iteration(R, _):
-        # variable totals S_v = llr + sum of incoming R
-        S = llr + jnp.zeros_like(llr).at[..., vmat].add(
-            jnp.where(mask, R, 0.0))
-        # variable -> check messages (exclude self)
-        Q = S[..., vmat] - R
+        # variable totals S_v = llr + sum of incoming R (scatter = matmul)
+        S = llr + from_slots(jnp.where(mask, R, 0.0))
+        # variable -> check messages (exclude self); gather = matmul
+        Q = to_slots(S) - R
         a = jnp.where(mask, jnp.abs(Q), big)
         s = jnp.where(mask & (Q < 0), jnp.float32(-1), jnp.float32(1))
         amin = jnp.argmin(a, axis=-1, keepdims=True)
@@ -213,11 +230,11 @@ def _decode_jit(llr, h_key, n_iters: int, alpha: float):
         return R_new, None
 
     R, _ = jax.lax.scan(iteration, R0, None, length=n_iters)
-    posterior = llr + jnp.zeros_like(llr).at[..., vmat].add(
-        jnp.where(mask, R, 0.0))
+    posterior = llr + from_slots(jnp.where(mask, R, 0.0))
     bits = (posterior < 0).astype(jnp.int32)
-    # syndrome: every check XOR-sums to 0
-    chk = jnp.sum(jnp.where(mask, bits[..., vmat], 0), axis=-1) & 1
+    # syndrome: every check XOR-sums to 0 (same routing matmul)
+    slot_bits = to_slots(bits.astype(jnp.float32)).astype(jnp.int32)
+    chk = jnp.sum(jnp.where(mask, slot_bits, 0), axis=-1) & 1
     ok = jnp.all(chk == 0, axis=-1)
     return bits, ok
 

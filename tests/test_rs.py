@@ -111,3 +111,38 @@ def test_validation():
     code = rs.rs_255_223()
     with pytest.raises(ValueError):
         code.encode(np.zeros(10, np.int32))
+
+
+def test_concatenated_rs_over_conv_dvb_style():
+    """DVB-style concatenation: RS(204,188) outer + convolutional inner.
+
+    A burst of inner-decoder errors (simulated by corrupting a contiguous
+    bit span that survives Viterbi as clustered byte errors) is cleaned by
+    the outer RS pass — the architecture's whole purpose."""
+    import jax.numpy as jnp
+    from solid_dsp_tpu.models import fec
+
+    rng = np.random.default_rng(11)
+    outer = rs.rs_204_188()
+    inner = fec.ConvCode()
+
+    msg = rng.integers(0, 256, outer.k)
+    cw_bytes = np.asarray(outer.encode(msg))          # (204,) bytes
+    bits = ((cw_bytes[:, None] >> np.arange(7, -1, -1)) & 1).reshape(-1)
+    coded = np.asarray(inner.encode(jnp.asarray(bits)))
+
+    # channel: random bit errors + one long burst the inner code cannot
+    # fully clean
+    bad = coded.copy()
+    flips = rng.choice(len(bad), 40, replace=False)
+    bad[flips] ^= 1
+    bad[500:560] ^= 1                                  # 60-bit burst
+    dec_bits = np.asarray(inner.decode(jnp.asarray(bad)))
+
+    inner_bit_errs = int(np.sum(dec_bits != bits))
+    rx_bytes = (dec_bits.reshape(-1, 8)
+                << np.arange(7, -1, -1)).sum(-1)
+    got, ok = outer.decode(rx_bytes)
+    assert inner_bit_errs > 0          # the inner decoder did leave errors
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(got), msg)
