@@ -419,3 +419,72 @@ def test_rx_chain_impairment_correction_stage():
     # EMA state carried: second block uses blended estimates
     chain.execute_block(r)
     assert bool(chain.state.impair["primed"])
+
+
+# ------------------------------------------------- FM broadcast stereo
+
+def test_fm_stereo_decode_separation():
+    """Distinct L/R tones through the MPX roundtrip: >= 40 dB channel
+    separation and exact tone amplitudes in the steady-state region."""
+    from solid_dsp_tpu.models import fm as fm_mod
+
+    fs = 192000.0
+    n = np.arange(1 << 16)
+    L = np.sin(2 * np.pi * 1000 / fs * n)
+    R = np.sin(2 * np.pi * 2500 / fs * n)
+    mpx = fm_mod.fm_stereo_mpx(jnp.asarray(L), jnp.asarray(R), fs)
+    l_out, r_out, pilot = fm_mod.fm_stereo_decode(mpx, fs)
+    l_out, r_out = np.asarray(l_out), np.asarray(r_out)
+    assert abs(float(pilot) - 0.1) < 0.005       # pilot level recovered
+
+    sl = slice(2000, -2000)                      # skip filter transients
+    def tone_pow(x, f):
+        return np.abs(np.mean(
+            x[sl] * np.exp(-2j * np.pi * f / fs * n[sl]))) ** 2
+
+    assert abs(tone_pow(l_out, 1000) - 0.25) < 0.01   # A=1 -> (A/2)^2
+    assert abs(tone_pow(r_out, 2500) - 0.25) < 0.01
+    sep_l = 10 * np.log10(tone_pow(l_out, 1000)
+                          / max(tone_pow(l_out, 2500), 1e-30))
+    sep_r = 10 * np.log10(tone_pow(r_out, 2500)
+                          / max(tone_pow(r_out, 1000), 1e-30))
+    assert sep_l > 40 and sep_r > 40
+
+
+def test_fm_stereo_mono_compatibility():
+    """L == R collapses to pure mono: decoded channels match, and the
+    38 kHz subcarrier region carries (near) nothing."""
+    from solid_dsp_tpu.models import fm as fm_mod
+
+    fs = 192000.0
+    n = np.arange(1 << 15)
+    audio = np.sin(2 * np.pi * 700 / fs * n)
+    mpx = np.asarray(fm_mod.fm_stereo_mpx(
+        jnp.asarray(audio), jnp.asarray(audio), fs))
+    spec = np.abs(np.fft.rfft(mpx))
+    freqs = np.fft.rfftfreq(len(mpx), 1 / fs)
+    sub = spec[(freqs > 30000) & (freqs < 46000)].max()
+    assert sub < 1e-4 * spec.max()   # leakage skirts only
+    l_out, r_out, _ = fm_mod.fm_stereo_decode(jnp.asarray(mpx), fs)
+    np.testing.assert_allclose(np.asarray(l_out)[3000:-3000],
+                               np.asarray(r_out)[3000:-3000], atol=2e-3)
+
+
+def test_deemphasis_response():
+    """One-pole de-emphasis: unity DC gain, -3 dB at 1/(2 pi tau)."""
+    from solid_dsp_tpu.models import fm as fm_mod
+
+    fs = 192000.0
+    tau = 75e-6
+    f3 = 1.0 / (2 * np.pi * tau)                 # ~2122 Hz
+    n = np.arange(1 << 15)
+    for f, want_db, tol in ((50.0, 0.0, 0.1), (f3, -3.01, 0.25),
+                            (15000.0, -17.1, 0.7)):
+        x = np.sin(2 * np.pi * f / fs * n)
+        y, _ = fm_mod.deemphasis_apply(
+            fm_mod.deemphasis_init(jnp.float64), jnp.asarray(x), tau * fs)
+        y = np.asarray(y)[5000:]
+        amp = 2 * np.abs(np.mean(y * np.exp(-2j * np.pi * f / fs
+                                            * n[5000:])))
+        got_db = 20 * np.log10(amp)
+        assert abs(got_db - want_db) < tol, (f, got_db, want_db)
