@@ -302,13 +302,13 @@ def bench_ldpc():
 
     rng = np.random.default_rng(0)
     out = []
-    # 512 frames x (648, 324), 25 iterations
+    # 512 frames x (648, 324), 25 iterations.  Fixed-iteration min-sum has
+    # data-independent runtime, so host-made random LLRs suffice — and the
+    # tunneled chip must not round-trip big arrays (device->host fetches
+    # of the encoded words can wedge the axon client).
     code = ldpc.wifi_ldpc_648()
     F = 512
-    info = rng.integers(0, 2, (F, code.k))
-    cw = np.asarray(code.encode(info)).astype(np.float32)
-    llr = jnp.asarray((1.0 - 2.0 * cw) * 2.0
-                      + rng.normal(size=cw.shape).astype(np.float32))
+    llr = jnp.asarray(rng.normal(size=(F, code.n)).astype(np.float32) * 3.0)
     dec = jax.jit(lambda l: code.decode(l, n_iters=25))
     y = dec(llr)
     jax.block_until_ready(y)

@@ -139,6 +139,14 @@ class _Layout:
         self.pivot_cols = piv
         self.free_cols = free
         self.F = R[:, free].astype(np.int8)
+        # codeword assembly / extraction as selection matmuls (the
+        # tunneled TPU backend rejects big scatters/gathers)
+        E_free = np.zeros((self.K, self.N), np.int32)
+        E_free[np.arange(self.K), free] = 1
+        E_piv = np.zeros((self.C, self.N), np.int32)
+        E_piv[np.arange(self.C), piv] = 1
+        self.E_free = E_free
+        self.E_piv = E_piv
         # decoder: dense per-check adjacency
         deg = H.sum(axis=1)
         self.d_max = int(deg.max())
@@ -185,10 +193,9 @@ def ldpc_encode(info_bits, H) -> jnp.ndarray:
     if b.shape[-1] != lay.K:
         raise ValueError(f"expected {lay.K} info bits, got {b.shape[-1]}")
     par = (b @ jnp.asarray(lay.F.T, jnp.int32)) & 1
-    out = jnp.zeros(b.shape[:-1] + (lay.N,), jnp.int32)
-    out = out.at[..., jnp.asarray(lay.free_cols)].set(b)
-    out = out.at[..., jnp.asarray(lay.pivot_cols)].set(par)
-    return out
+    # scatter-free assembly: place info/parity via selection matmuls
+    return (b @ jnp.asarray(lay.E_free)
+            + par @ jnp.asarray(lay.E_piv))
 
 
 # ------------------------------------------------------------- decoding
@@ -218,13 +225,15 @@ def _decode_jit(llr, h_key, n_iters: int, alpha: float):
         Q = to_slots(S) - R
         a = jnp.where(mask, jnp.abs(Q), big)
         s = jnp.where(mask & (Q < 0), jnp.float32(-1), jnp.float32(1))
-        amin = jnp.argmin(a, axis=-1, keepdims=True)
-        min1 = jnp.take_along_axis(a, amin, axis=-1)
-        a2 = jnp.where(
-            jnp.arange(lay.d_max) == amin, big, a)
-        min2 = jnp.min(a2, axis=-1, keepdims=True)
+        # min1/min2 with NO gather ops (take_along_axis is a gather the
+        # tunneled TPU backend rejects): first-occurrence argmin as a
+        # cumsum-gated equality mask, min2 by masking it out
+        min1 = jnp.min(a, axis=-1, keepdims=True)
+        eq = (a == min1)
+        is_min = eq & (jnp.cumsum(eq, axis=-1) == 1)
+        min2 = jnp.min(jnp.where(is_min, big, a), axis=-1, keepdims=True)
         stot = jnp.prod(s, axis=-1, keepdims=True)
-        mag = jnp.where(jnp.arange(lay.d_max) == amin, min2, min1)
+        mag = jnp.where(is_min, min2, min1)
         R_new = jnp.where(mask, jnp.float32(alpha) * stot * s * mag,
                           jnp.float32(0))
         return R_new, None
@@ -252,9 +261,9 @@ def ldpc_decode(llr, H, n_iters: int = 25, alpha: float = 0.75):
 
 
 def ldpc_extract_info(codeword_bits, H) -> jnp.ndarray:
-    """Pull the systematic (free-column) info bits back out."""
+    """Pull the systematic (free-column) info bits back out (matmul)."""
     lay = _layout(H)
-    return jnp.asarray(codeword_bits)[..., jnp.asarray(lay.free_cols)]
+    return jnp.asarray(codeword_bits, jnp.int32) @ jnp.asarray(lay.E_free.T)
 
 
 class LDPCCode:
