@@ -6,6 +6,14 @@ north star: 1 Gsample/s complex per chip (the reference publishes no numbers
 — SURVEY.md §6).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+TIMING METHODOLOGY (utils/benchtime.py): the tunneled PJRT client's
+``block_until_ready`` can acknowledge before the device finishes, which
+inflates naive loop timing past hardware speed-of-light.  We instead time
+k chained iterations (each consumes the previous state, so the device
+cannot overlap or elide them) ending in ONE scalar device->host fetch,
+for several k, and report the least-squares slope of T(k) — the true
+per-iteration device time with the tunnel round-trip in the intercept.
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ def _run_with_retries(fn, attempts: int = 3, sleep_s: float = 30.0):
 
 def main() -> None:
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    from solid_dsp_tpu.utils.benchtime import measure_step
 
     cfg = RxChainConfig(
         carrier_freq=0.2,
@@ -47,7 +56,7 @@ def main() -> None:
     )
     init, apply = make_rx_chain(cfg)
 
-    L = 1 << 22  # 4M samples per block
+    L = 1 << 24  # 16M samples per block
     k = np.arange(L)
     x = jnp.asarray(
         0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k),
@@ -55,31 +64,20 @@ def main() -> None:
     )
     state = _run_with_retries(init)
 
-    # warmup / compile
-    def _warm():
-        out, st = apply(state, x)
-        jax.block_until_ready((out, st))
-    _run_with_retries(_warm)
+    @jax.jit
+    def g(st):
+        out, st2 = apply(st, x)
+        return jnp.sum(out), st2
 
-    # The tunneled-TPU environment shows large run-to-run throughput
-    # variance (observed 19-34 Gs/s for identical configs); best-of-trials
-    # reports the hardware's capability rather than tunnel weather.
-    iters, trials = 10, 3
-    best_dt = float("inf")
-    st = state
-    for _ in range(trials):
-        def _trial(st=st):
-            t0 = time.perf_counter()
-            s = st
-            for _ in range(iters):
-                out, s = apply(s, x)
-            jax.block_until_ready((out, s))
-            return time.perf_counter() - t0, s
+    def step(carry):
+        _, st = carry
+        chk, st2 = g(st)
+        return chk, (chk, st2)
 
-        dt, st = _run_with_retries(_trial)
-        best_dt = min(best_dt, dt)
-
-    sps = L * iters / best_dt
+    r = _run_with_retries(
+        lambda: measure_step(step, (jnp.zeros(()), state),
+                             ks=(2, 10, 18), reps=2, warmup=3))
+    sps = L / r["t_iter"]
     print(json.dumps({
         "metric": "rx_chain_throughput",
         "value": round(sps / 1e6, 3),

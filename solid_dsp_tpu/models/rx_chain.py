@@ -70,20 +70,27 @@ def rx_chain_init(cfg: RxChainConfig) -> ChainState:
     # numpy, not jnp: a zero-sized device array is an eager TPU op that the
     # axon backend rejects (UNIMPLEMENTED), and all we want is the dtype.
     rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
-    parts = dict(
-        nco_theta=jnp.uint32(0),
-        fir_tail=fir_ops.fir_init(cfg.fir_taps, dtype=cfg.dtype),
-        fir_phase=jnp.int32(0),
-        agc=agc_ops.agc_init(rdtype),
-        fm_prev=fm_mod.fm_demod_init(cfg.dtype),
-    )
-    if cfg.impairment_bw > 0.0:
-        parts["impair"] = {
-            "dc": jnp.zeros((), cfg.dtype),
-            "k": jnp.zeros((), cfg.dtype),
-            "primed": jnp.asarray(False),
-        }
-    return ChainState(**parts)
+
+    # Built under ONE jit call: the axon tunnel's eager path rejects some
+    # scalar primitives (convert_element_type) even when compiled
+    # executables run fine, so state construction must never run op-by-op.
+    def build() -> ChainState:
+        parts = dict(
+            nco_theta=jnp.uint32(0),
+            fir_tail=fir_ops.fir_init(cfg.fir_taps, dtype=cfg.dtype),
+            fir_phase=jnp.int32(0),
+            agc=agc_ops.agc_init(rdtype),
+            fm_prev=fm_mod.fm_demod_init(cfg.dtype),
+        )
+        if cfg.impairment_bw > 0.0:
+            parts["impair"] = {
+                "dc": jnp.zeros((), cfg.dtype),
+                "k": jnp.zeros((), cfg.dtype),
+                "primed": jnp.asarray(False),
+            }
+        return ChainState(**parts)
+
+    return jax.jit(build)()
 
 
 def make_rx_chain(cfg: RxChainConfig):
