@@ -1,4 +1,12 @@
-"""Filter analysis: group delay, frequency response."""
+"""Filter analysis: group delay, frequency response, spectral estimation."""
+
+from .spectral import (  # noqa: F401
+    frame_signal,
+    stft,
+    spectrogram,
+    welch_psd,
+    goertzel_bank,
+)
 
 from .group_delay import fir_group_delay, iir_group_delay, fir_group_delay_band  # noqa: F401
 from .freq_response import (  # noqa: F401

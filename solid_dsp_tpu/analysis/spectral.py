@@ -1,0 +1,152 @@
+"""Spectral estimation: STFT, spectrogram, Welch PSD, Goertzel tone bank.
+
+The reference stops at single-shot FFT plans (src/fft/mod.rs) — it has no
+spectral-estimation layer at all.  This module supplies the standard one,
+formulated TPU-first:
+
+* framing is GATHER-FREE: when ``hop`` divides ``nfft`` the frame matrix
+  is built from ``nfft//hop`` statically-shifted reshapes (XLA fuses the
+  stack into the downstream FFT's input read) — no strided gather, which
+  the tunneled TPU backend rejects and which wastes HBM bandwidth
+  everywhere else,
+* every estimate is one batched op over the frame axis (batched FFT /
+  one MXU matmul), never a Python loop over frames,
+* the Goertzel bank is expressed as its mathematical equivalent — a
+  direct (frames × nfft) @ (nfft × K) complex matmul against K probe
+  vectors — because K selected DFT bins on the MXU beat K sequential
+  Goertzel recurrences by orders of magnitude on this hardware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["frame_signal", "stft", "spectrogram", "welch_psd",
+           "goertzel_bank"]
+
+
+def _check_frame_args(nfft: int, hop: int) -> None:
+    if hop <= 0 or nfft <= 0:
+        raise ValueError("nfft and hop must be positive")
+    if hop > nfft:
+        raise ValueError(f"hop ({hop}) must not exceed nfft ({nfft})")
+    if nfft % hop:
+        raise ValueError(
+            f"gather-free framing requires hop ({hop}) to divide "
+            f"nfft ({nfft})")
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def frame_signal(x: jnp.ndarray, nfft: int, hop: int) -> jnp.ndarray:
+    """Overlapping frames (F, nfft) of a 1-D signal, gather-free.
+
+    F = (len(x) - nfft) // hop + 1.  Built as ``nfft//hop`` shifted
+    length-hop reshapes stacked on a new axis: pure static slices +
+    reshapes, so XLA lowers it to cheap layout ops instead of a strided
+    gather.
+    """
+    _check_frame_args(nfft, hop)
+    n = x.shape[-1]
+    if n < nfft:
+        raise ValueError(f"signal length {n} < nfft {nfft}")
+    F = (n - nfft) // hop + 1
+    k = nfft // hop
+    # chunk view: frame f = chunks[f : f + k] flattened, where chunks are
+    # consecutive hop-length pieces starting at offset 0
+    usable = (F - 1) * hop + nfft
+    chunks = x[..., :usable]
+    # pieces[j] = chunks shifted by j*hop, viewed as (F, hop)
+    pieces = [
+        jax.lax.dynamic_slice_in_dim(
+            chunks, j * hop, (F - 1) * hop + hop, axis=-1
+        ).reshape(*x.shape[:-1], F, hop)
+        for j in range(k)
+    ]
+    return jnp.concatenate(pieces, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def stft(x: jnp.ndarray, nfft: int = 1024, hop: int = 512,
+         window: str = "hann") -> jnp.ndarray:
+    """Short-time Fourier transform: (F, nfft) complex frames.
+
+    Window taps come from design.windows (host-side numpy constants, so
+    nothing here fetches device arrays at trace time).
+    """
+    frames = frame_signal(x, nfft, hop)
+    w = _window_taps(window, nfft)
+    wc = jnp.asarray(w).astype(
+        frames.dtype if jnp.issubdtype(frames.dtype, jnp.complexfloating)
+        else frames.real.dtype)
+    return jnp.fft.fft(frames * wc, axis=-1)
+
+
+def _window_taps(window: str, nfft: int) -> np.ndarray:
+    from ..design import windows as win
+
+    fns = {
+        "hann": win.hann,
+        "hamming": win.hamming,
+        "blackman_harris": win.blackman_harris,
+        "flattop": win.flattop,
+        "rect": lambda n: np.ones(n),
+    }
+    if window not in fns:
+        raise ValueError(f"unknown window {window!r} "
+                         f"(have {sorted(fns)})")
+    return np.asarray(fns[window](nfft), dtype=np.float64)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def spectrogram(x: jnp.ndarray, nfft: int = 1024, hop: int = 512,
+                window: str = "hann") -> jnp.ndarray:
+    """Power spectrogram |STFT|² in dB, shape (F, nfft)."""
+    S = stft(x, nfft, hop, window)
+    p = jnp.real(S * jnp.conj(S))
+    return 10.0 * jnp.log10(jnp.maximum(p, 1e-30))
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window", "onesided"))
+def welch_psd(x: jnp.ndarray, nfft: int = 1024, hop: int = 512,
+              window: str = "hann", fs: float = 1.0,
+              onesided: bool = False) -> jnp.ndarray:
+    """Welch-averaged power spectral density.
+
+    Mean of per-frame periodograms with the standard window-power
+    normalization 1/(fs · Σw²); ``onesided=True`` folds a real signal's
+    spectrum to nfft//2+1 bins (doubling all but DC/Nyquist).
+    """
+    S = stft(x, nfft, hop, window)
+    w = _window_taps(window, nfft)
+    norm = 1.0 / (fs * float(np.sum(w * w)))
+    p = jnp.mean(jnp.real(S * jnp.conj(S)), axis=-2) * norm
+    if onesided:
+        half = nfft // 2 + 1
+        p1 = p[..., :half]
+        scale = jnp.ones((half,), p.dtype).at[1:].set(2.0)
+        if nfft % 2 == 0:
+            scale = scale.at[-1].set(1.0)
+        p = p1 * scale
+    return p
+
+
+@partial(jax.jit, static_argnames=("freqs", "frame_len"))
+def goertzel_bank(x: jnp.ndarray, freqs: tuple, frame_len: int = 256):
+    """Per-frame complex amplitude at K probe frequencies (cycles/sample).
+
+    Mathematically the Goertzel algorithm evaluated at arbitrary (not
+    necessarily bin-centered) frequencies; computed as ONE complex matmul
+    frames @ probes — (F, N) @ (N, K) — which is the MXU-native form of
+    K parallel Goertzel filters.  Returns (F, K) complex, normalized by
+    2/N so a unit-amplitude tone at a probe frequency reads ~1.0.
+    """
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    n = np.arange(frame_len)[:, None]
+    probes = np.exp(-2j * np.pi * n * freqs[None, :]) * (2.0 / frame_len)
+    frames = frame_signal(x, frame_len, frame_len)
+    cdt = jnp.promote_types(frames.dtype, jnp.complex64)
+    return frames.astype(cdt) @ jnp.asarray(probes).astype(cdt)

@@ -1,0 +1,103 @@
+"""Spectral estimation vs independent numpy models (loop framing + direct
+DFT sums — a different mechanism from the reshape/batched-FFT paths)."""
+
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.analysis import spectral
+
+
+def _frames_loop(x, nfft, hop):
+    F = (len(x) - nfft) // hop + 1
+    return np.stack([x[f * hop: f * hop + nfft] for f in range(F)])
+
+
+@pytest.mark.parametrize("nfft,hop", [(64, 64), (64, 32), (128, 16)])
+def test_frame_signal_matches_loop(nfft, hop):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1000)
+    got = np.asarray(spectral.frame_signal(x, nfft, hop))
+    want = _frames_loop(x, nfft, hop)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_frame_signal_rejects_non_dividing_hop():
+    with pytest.raises(ValueError, match="divide"):
+        spectral.frame_signal(np.zeros(256), 64, 48)
+
+
+@pytest.mark.parametrize("window", ["hann", "hamming", "rect"])
+def test_stft_matches_direct_dft(window):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(512) + 1j * rng.standard_normal(512)
+    nfft, hop = 64, 32
+    S = np.asarray(spectral.stft(x, nfft, hop, window))
+    w = spectral._window_taps(window, nfft)
+    frames = _frames_loop(x, nfft, hop) * w
+    # direct O(N^2) DFT sums
+    n = np.arange(nfft)
+    W = np.exp(-2j * np.pi * np.outer(n, n) / nfft)
+    want = frames @ W.T
+    np.testing.assert_allclose(S, want, rtol=1e-9, atol=1e-9)
+
+
+def test_welch_psd_tone_and_parseval():
+    """A unit tone concentrates power at its bin; total PSD integrates to
+    the signal power (Parseval, rect window, non-overlapping frames)."""
+    nfft = 256
+    k = np.arange(16 * nfft)
+    f0 = 16 / nfft  # bin-centered
+    x = np.exp(2j * np.pi * f0 * k)
+    p = np.asarray(spectral.welch_psd(x, nfft, nfft, "rect"))
+    assert p.argmax() == 16
+    # Parseval: sum(psd) * (fs/nfft) == mean |x|^2 == 1
+    np.testing.assert_allclose(p.sum() / nfft, 1.0, rtol=1e-5)
+
+
+def test_welch_psd_onesided_folding():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(4096)
+    nfft = 128
+    p2 = np.asarray(spectral.welch_psd(x, nfft, 64, "hann"))
+    p1 = np.asarray(spectral.welch_psd(x, nfft, 64, "hann", onesided=True))
+    assert p1.shape == (nfft // 2 + 1,)
+    # power conservation: onesided total == twosided total
+    np.testing.assert_allclose(p1[0] + p1[-1] + p1[1:-1].sum() / 2 * 2,
+                               p2.sum(), rtol=1e-5)
+
+
+def test_spectrogram_db_peak():
+    nfft = 128
+    k = np.arange(8 * nfft)
+    x = np.exp(2j * np.pi * (24 / nfft) * k)
+    sg = np.asarray(spectral.spectrogram(x, nfft, nfft, "hann"))
+    assert sg.shape[0] == 8
+    assert (sg.argmax(axis=-1) == 24).all()
+
+
+def test_goertzel_bank_vs_direct():
+    """Off-bin probe frequencies vs per-sample Goertzel-style direct sums."""
+    rng = np.random.default_rng(3)
+    N, F = 200, 5
+    freqs = (0.1, 0.123, 0.37)
+    x = rng.standard_normal(N * F)
+    got = np.asarray(spectral.goertzel_bank(x, freqs, N))
+    assert got.shape == (F, len(freqs))
+    n = np.arange(N)
+    for fi, f0 in enumerate(freqs):
+        probe = np.exp(-2j * np.pi * f0 * n) * (2.0 / N)
+        for fr in range(F):
+            want = np.sum(x[fr * N:(fr + 1) * N] * probe)
+            np.testing.assert_allclose(got[fr, fi], want, rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_goertzel_bank_tone_amplitude():
+    """Unit tone at a probe frequency reads ~1.0 (the 2/N scaling)."""
+    N = 256
+    k = np.arange(4 * N)
+    f0 = 0.19
+    x = np.cos(2 * np.pi * f0 * k)
+    got = np.asarray(spectral.goertzel_bank(x, (f0,), N))
+    np.testing.assert_allclose(np.abs(got), 1.0, rtol=1e-2)
