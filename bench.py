@@ -64,14 +64,17 @@ def main() -> None:
     )
     state = _run_with_retries(init)
 
+    # x is a runtime ARGUMENT, not a jit closure: embedding a committed
+    # device array as a constant forces a device->host fetch that poisons
+    # the tunneled client.
     @jax.jit
-    def g(st):
+    def g(st, x):
         out, st2 = apply(st, x)
         return jnp.sum(out), st2
 
     def step(carry):
         _, st = carry
-        chk, st2 = g(st)
+        chk, st2 = g(st, x)
         return chk, (chk, st2)
 
     r = _run_with_retries(

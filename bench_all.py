@@ -72,14 +72,17 @@ def _tone(L):
 
 
 def _chain_step(apply, x):
+    # x is passed as a runtime ARGUMENT, never closed over inside jit:
+    # embedding a committed device array as an MLIR constant forces a
+    # device->host fetch that poisons the axon tunnel client.
     @jax.jit
-    def g(st):
+    def g(st, x):
         out, st2 = apply(st, x)
         return jnp.sum(out), st2
 
     def step(carry):
         chk, st = carry
-        c2, st2 = g(st)
+        c2, st2 = g(st, x)
         return c2, (c2, st2)
 
     return step
@@ -89,12 +92,12 @@ def _stateless_step(f, x):
     """Thread the checksum INTO the next call's input so iterations form a
     true device-side dependency chain (no reordering/elision)."""
     @jax.jit
-    def g(chk):
+    def g(chk, x):
         y = f(x + (0.0 * chk).astype(x.dtype))
         return jnp.sum(jnp.abs(y))
 
     def step(chk):
-        c2 = g(chk)
+        c2 = g(chk, x)
         return c2, c2
 
     return step
@@ -206,13 +209,13 @@ def bench_channelizer():
     taps = np.asarray(channelizer_taps(M, K), dtype=np.complex64)
 
     @jax.jit
-    def g(tail):
+    def g(tail, x):
         Y, tail2 = channelizer_apply(taps, tail, x, M)
         return jnp.sum(jnp.abs(Y)), tail2
 
     def step(carry):
         chk, tail = carry
-        c2, tail2 = g(tail)
+        c2, tail2 = g(tail, x)
         return c2, (c2, tail2)
 
     tail = channelizer_init(M, K, jnp.complex64)
@@ -231,13 +234,13 @@ def bench_iir_bank():
                      + 1j * rng.standard_normal((T, C))).astype(np.complex64))
 
     @jax.jit
-    def g(st):
+    def g(st, x):
         y, st2 = iir_bank_apply(jnp.asarray(sos), st, x)
         return jnp.sum(jnp.abs(y)), st2
 
     def step(carry):
         chk, st = carry
-        c2, st2 = g(st)
+        c2, st2 = g(st, x)
         return c2, (c2, st2)
 
     st = iir_bank_init(2, C)
@@ -275,16 +278,17 @@ def bench_fused_halo_channelizer():
     rng = np.random.default_rng(0)
     x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
                      ).astype(np.complex64))
-    tail0 = jnp.zeros((K, M), jnp.complex64)
+    tail0 = np.zeros((K, M), np.complex64)
 
     @jax.jit
-    def g(chk):
-        y = jnp.fft.fft(apply_fused(tail0, x + (0.0 * chk).astype(x.dtype))[0],
-                        axis=-1)
+    def g(chk, x):
+        y = jnp.fft.fft(
+            apply_fused(jnp.asarray(tail0),
+                        x + (0.0 * chk).astype(x.dtype))[0], axis=-1)
         return jnp.sum(jnp.abs(y))
 
     def step(chk):
-        c2 = g(chk)
+        c2 = g(chk, x)
         return c2, c2
 
     t = _measure(step, jnp.zeros(()))
@@ -304,19 +308,23 @@ def bench_frontend_ops():
                      ).astype(np.complex64))
     out = []
 
-    # CIC via its equivalent-FIR boxcar^N conv (the shipped fast path)
-    taps = jnp.asarray(np.asarray(cic_kernel(8, 4)), jnp.float32)
-    pad = jnp.zeros((taps.shape[-1] - 1,), x.dtype)
+    # CIC via its equivalent-FIR boxcar^N conv (the shipped fast path).
+    # Constants stay NUMPY so jit embeds host-side values, not committed
+    # device arrays (whose embedding poisons the tunnel client).
+    taps = np.asarray(cic_kernel(8, 4), np.float32)
+    pad = np.zeros((taps.shape[-1] - 1,), np.complex64)
     step = _stateless_step(
-        lambda a: conv1d_mxu(jnp.concatenate([pad, a]), taps, stride=8), x)
+        lambda a: conv1d_mxu(jnp.concatenate([jnp.asarray(pad), a]),
+                             jnp.asarray(taps), stride=8), x)
     t = _measure(step, jnp.zeros(()))
     out.append(_row("cic_decim_R8N4", L / t))
 
     # halfband decimate-by-2 stage (phase-split kernel)
-    hb = jnp.asarray(firdes_halfband(8, 60.0), jnp.float32)
-    hb_tail = jnp.zeros((hb.shape[-1] - 1,), x.dtype)
+    hb = np.asarray(firdes_halfband(8, 60.0), np.float32)
+    hb_tail = np.zeros((hb.shape[-1] - 1,), np.complex64)
     step = _stateless_step(
-        lambda a: halfband_decimate(hb, hb_tail, a)[0], x)
+        lambda a: halfband_decimate(jnp.asarray(hb), jnp.asarray(hb_tail),
+                                    a)[0], x)
     t = _measure(step, jnp.zeros(()))
     out.append(_row("halfband_decim2_m8", L / t))
 

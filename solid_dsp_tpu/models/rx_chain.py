@@ -67,30 +67,32 @@ class RxChainConfig:
 
 
 def rx_chain_init(cfg: RxChainConfig) -> ChainState:
-    # numpy, not jnp: a zero-sized device array is an eager TPU op that the
-    # axon backend rejects (UNIMPLEMENTED), and all we want is the dtype.
+    # Built ENTIRELY host-side in numpy, then shipped with one device_put:
+    # the axon tunnel intermittently rejects eager scalar primitives AND
+    # zero-input compiled executables (UNIMPLEMENTED, and a failed call
+    # poisons the whole client) — while plain host->device transfers stay
+    # reliable.  State construction must therefore never run device ops.
     rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
-
-    # Built under ONE jit call: the axon tunnel's eager path rejects some
-    # scalar primitives (convert_element_type) even when compiled
-    # executables run fine, so state construction must never run op-by-op.
-    def build() -> ChainState:
-        parts = dict(
-            nco_theta=jnp.uint32(0),
-            fir_tail=fir_ops.fir_init(cfg.fir_taps, dtype=cfg.dtype),
-            fir_phase=jnp.int32(0),
-            agc=agc_ops.agc_init(rdtype),
-            fm_prev=fm_mod.fm_demod_init(cfg.dtype),
-        )
-        if cfg.impairment_bw > 0.0:
-            parts["impair"] = {
-                "dc": jnp.zeros((), cfg.dtype),
-                "k": jnp.zeros((), cfg.dtype),
-                "primed": jnp.asarray(False),
-            }
-        return ChainState(**parts)
-
-    return jax.jit(build)()
+    parts = dict(
+        nco_theta=np.uint32(0),
+        fir_tail=np.zeros((max(cfg.fir_taps - 1, 0),), dtype=cfg.dtype),
+        fir_phase=np.int32(0),
+        agc={
+            "gain": np.ones((), rdtype),
+            "energy": np.ones((), rdtype),
+            "lock": np.zeros((), np.bool_),
+            "mode": np.asarray(agc_ops.SquelchMode.DISABLED, np.int32),
+            "timer": np.zeros((), np.int32),
+        },
+        fm_prev=np.ones((), dtype=cfg.dtype),
+    )
+    if cfg.impairment_bw > 0.0:
+        parts["impair"] = {
+            "dc": np.zeros((), cfg.dtype),
+            "k": np.zeros((), cfg.dtype),
+            "primed": np.zeros((), np.bool_),
+        }
+    return jax.device_put(ChainState(**parts))
 
 
 def make_rx_chain(cfg: RxChainConfig):
