@@ -28,6 +28,12 @@ __all__ = [
     "stable",
     "pll_active_lag",
     "pll_active_proportional_integral",
+    "butterworth_zpk",
+    "chebyshev1_zpk",
+    "chebyshev2_zpk",
+    "zpk_to_sos",
+    "iirdes_sos",
+    "sos_to_iir_coeffs",
 ]
 
 
@@ -217,3 +223,204 @@ def pll_active_proportional_integral(
     t1, num = _pll_common(bandwidth, damping_factor, loop_gain)
     den = np.array([t1 / 2.0, -t1, t1 / 2.0])
     return num, den
+
+
+# --------------------------------------------------------------------------
+# Complete analog-prototype designers (beyond the reference)
+# --------------------------------------------------------------------------
+# The reference ships only the bilinear MACHINERY (mod.rs:109-212) and PLL
+# loop filters — it has no Butterworth/Chebyshev designers at all, and its
+# per-pole DC-gain normalization (bilinear_analog_to_digital above) cannot
+# express band-pass filters (the DC zero makes the (1-z) factor vanish).
+# These designers use the standard zpk pipeline instead: normalized analog
+# prototype -> lp2{lp,hp,bp,bs} frequency transform (pre-warped) ->
+# bilinear -> second-order sections.
+
+
+def butterworth_zpk(order: int):
+    """Analog Butterworth prototype (zeros, poles, gain), cutoff 1 rad/s."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    k = np.arange(order)
+    poles = np.exp(1j * np.pi * (2 * k + order + 1) / (2 * order))
+    return np.zeros(0, np.complex128), poles.astype(np.complex128), 1.0
+
+
+def chebyshev1_zpk(order: int, ripple_db: float = 1.0):
+    """Analog Chebyshev type-I prototype: equiripple passband."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    if ripple_db <= 0:
+        raise ValueError("ripple_db must be positive")
+    eps = np.sqrt(10.0 ** (ripple_db / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    poles = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    gain = np.real(np.prod(-poles))
+    if order % 2 == 0:
+        gain /= np.sqrt(1.0 + eps * eps)
+    return np.zeros(0, np.complex128), poles.astype(np.complex128), float(gain)
+
+
+def chebyshev2_zpk(order: int, stopband_db: float = 40.0):
+    """Analog Chebyshev type-II (inverse) prototype: equiripple stopband."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    if stopband_db <= 0:
+        raise ValueError("stopband_db must be positive")
+    eps = 1.0 / np.sqrt(10.0 ** (stopband_db / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    lp_poles = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    poles = 1.0 / lp_poles
+    # zeros on the imaginary axis at the stopband ripple frequencies
+    m = k[np.abs(np.cos(theta)) > 1e-12]
+    zeros = 1j / np.cos(np.pi * (2 * m + 1) / (2 * order))
+    gain = np.real(np.prod(-poles) / np.prod(-zeros))
+    return zeros.astype(np.complex128), poles.astype(np.complex128), float(gain)
+
+
+def _lp2lp_zpk(z, p, k, wo):
+    degree = p.size - z.size
+    return z * wo, p * wo, k * wo ** degree
+
+
+def _lp2hp_zpk(z, p, k, wo):
+    degree = p.size - z.size
+    zh = np.append(wo / z if z.size else np.zeros(0, np.complex128),
+                   np.zeros(degree, np.complex128))
+    ph = wo / p
+    kh = k * np.real(np.prod(-z) / np.prod(-p))
+    return zh, ph, kh
+
+
+def _quad_split(r, wo):
+    """Each root r -> the pair r ± sqrt(r² − wo²) (band transform split)."""
+    s = np.sqrt(r * r - wo * wo + 0j)
+    return np.concatenate([r + s, r - s])
+
+
+def _lp2bp_zpk(z, p, k, wo, bw):
+    degree = p.size - z.size
+    zb = _quad_split(z * 0.5 * bw, wo) if z.size else np.zeros(
+        0, np.complex128)
+    zb = np.append(zb, np.zeros(degree, np.complex128))
+    pb = _quad_split(p * 0.5 * bw, wo)
+    kb = k * bw ** degree
+    return zb, pb, kb
+
+
+def _lp2bs_zpk(z, p, k, wo, bw):
+    degree = p.size - z.size
+    zi = (0.5 * bw) / z if z.size else np.zeros(0, np.complex128)
+    pi = (0.5 * bw) / p
+    zb = np.append(_quad_split(zi, wo),
+                   np.tile(np.array([1j * wo, -1j * wo]), degree))
+    pb = _quad_split(pi, wo)
+    kb = k * np.real(np.prod(-z) / np.prod(-p)) if z.size else \
+        k * np.real(np.prod(1.0 / (-p)))
+    return zb, pb, kb
+
+
+def _bilinear_zpk(z, p, k):
+    """Standard bilinear s->z with fs=1/2 (prototype frequencies already
+    pre-warped via tan(π·f)): z_d = (1+s)/(1-s); excess zeros -> z=-1."""
+    degree = p.size - z.size
+    zd = (1.0 + z) / (1.0 - z) if z.size else np.zeros(0, np.complex128)
+    pd = (1.0 + p) / (1.0 - p)
+    zd = np.append(zd, -np.ones(degree, np.complex128))
+    kd = k * np.real(np.prod(1.0 - z) / np.prod(1.0 - p))
+    return zd, pd, kd
+
+
+def _conj_pairs(roots, tol=1e-8):
+    """Group roots into conjugate pairs (+ singleton reals), sorted by
+    descending modulus so the most selective sections come first."""
+    roots = np.asarray(roots, np.complex128)
+    reals = sorted([r for r in roots if abs(r.imag) <= tol * (1 + abs(r))],
+                   key=lambda r: -abs(r))
+    upper = sorted([r for r in roots if r.imag > tol * (1 + abs(r))],
+                   key=lambda r: -abs(r))
+    pairs = [(u, np.conj(u)) for u in upper]
+    while len(reals) >= 2:
+        pairs.append((reals.pop(0), reals.pop(0)))
+    if reals:
+        pairs.append((reals.pop(0),))
+    return sorted(pairs, key=lambda pr: -max(abs(r) for r in pr))
+
+
+def zpk_to_sos(z, p, k) -> np.ndarray:
+    """Digital zeros/poles/gain -> (S, 6) second-order sections
+    [b0 b1 b2 a0 a1 a2], overall gain folded into the first section."""
+    z = np.asarray(z, np.complex128)
+    p = np.asarray(p, np.complex128)
+    if z.size > p.size:
+        raise ValueError("more zeros than poles")
+    zp = _conj_pairs(z)
+    pp = _conj_pairs(p)
+    sos = []
+    for i, ppair in enumerate(pp):
+        zpair = zp[i] if i < len(zp) else ()
+        a = np.real(np.poly(list(ppair)))
+        b = np.real(np.poly(list(zpair))) if zpair else np.array([1.0])
+        a = np.pad(a, (0, 3 - a.size))
+        b = np.pad(b, (0, 3 - b.size))
+        sos.append(np.concatenate([b, a]))
+    out = np.asarray(sos, np.float64)
+    if out.size == 0:
+        raise ValueError("empty design")
+    out[0, :3] *= float(np.real(k))
+    return out
+
+
+_PROTOTYPES = {
+    "butterworth": lambda order, rip, att: butterworth_zpk(order),
+    "chebyshev1": lambda order, rip, att: chebyshev1_zpk(order, rip),
+    "chebyshev2": lambda order, rip, att: chebyshev2_zpk(order, att),
+}
+
+
+def iirdes_sos(design: str, order: int, cutoff: float, cutoff2: float = 0.0,
+               bandtype: str = BandType.LOWPASS, ripple_db: float = 1.0,
+               stopband_db: float = 40.0) -> np.ndarray:
+    """Design a digital IIR filter as second-order sections.
+
+    design: "butterworth" | "chebyshev1" | "chebyshev2"; cutoff (and
+    cutoff2 for band filters) in cycles/sample (0, 0.5).  Returns (S, 6)
+    [b0 b1 b2 1 a1 a2] rows, most selective section first.  Feed to
+    ``sos_to_iir_coeffs`` for ops.iir.IIRFilter(SECOND_ORDER).
+    """
+    if design not in _PROTOTYPES:
+        raise ValueError(f"unknown design {design!r} "
+                         f"(have {sorted(_PROTOTYPES)})")
+    if not 0.0 < cutoff < 0.5:
+        raise ValueError("cutoff must be in (0, 0.5) cycles/sample")
+    z, p, k = _PROTOTYPES[design](order, ripple_db, stopband_db)
+    if bandtype == BandType.LOWPASS:
+        z, p, k = _lp2lp_zpk(z, p, k, np.tan(np.pi * cutoff))
+    elif bandtype == BandType.HIGHPASS:
+        z, p, k = _lp2hp_zpk(z, p, k, np.tan(np.pi * cutoff))
+    elif bandtype in (BandType.BANDPASS, BandType.BANDSTOP):
+        if not cutoff < cutoff2 < 0.5:
+            raise ValueError("band design needs cutoff < cutoff2 < 0.5")
+        w1, w2 = np.tan(np.pi * cutoff), np.tan(np.pi * cutoff2)
+        wo, bw = np.sqrt(w1 * w2), w2 - w1
+        tf = _lp2bp_zpk if bandtype == BandType.BANDPASS else _lp2bs_zpk
+        z, p, k = tf(z, p, k, wo, bw)
+    else:
+        raise ValueError(f"unknown band type {bandtype!r}")
+    zd, pd, kd = _bilinear_zpk(z, p, k)
+    sos = zpk_to_sos(zd, pd, kd)
+    # normalize a0 = 1 per section (it already is, np.poly is monic)
+    return sos
+
+
+def sos_to_iir_coeffs(sos: np.ndarray):
+    """(S, 6) sections -> flattened (feed_forward, feed_back) triples for
+    ops.iir.IIRFilter(..., iirtype=SECOND_ORDER)."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("expected (S, 6) second-order sections")
+    return sos[:, :3].reshape(-1).copy(), sos[:, 3:].reshape(-1).copy()
