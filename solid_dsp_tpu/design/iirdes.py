@@ -29,6 +29,7 @@ __all__ = [
     "pll_active_lag",
     "pll_active_proportional_integral",
     "butterworth_zpk",
+    "elliptic_zpk",
     "chebyshev1_zpk",
     "chebyshev2_zpk",
     "zpk_to_sos",
@@ -375,10 +376,93 @@ def zpk_to_sos(z, p, k) -> np.ndarray:
     return out
 
 
+
+
+# ---- Jacobi elliptic machinery (Landen iterations; design-time numpy) ----
+
+def _landen_seq(k, tol=1e-14):
+    ks = []
+    while k > tol and len(ks) < 60:
+        k = (k / (1.0 + np.sqrt(1.0 - k * k))) ** 2
+        ks.append(k)
+    return np.asarray(ks)
+
+
+def _cde(u, k):
+    """Jacobi cd(u*K(k), k), complex-capable (descending Landen)."""
+    ks = _landen_seq(k)
+    w = np.cos(np.asarray(u) * np.pi / 2.0 + 0j)
+    for kn in ks[::-1]:
+        w = (1.0 + kn) * w / (1.0 + kn * w * w)
+    return w
+
+
+def _sne(u, k):
+    """Jacobi sn(u*K(k), k), complex-capable."""
+    ks = _landen_seq(k)
+    w = np.sin(np.asarray(u) * np.pi / 2.0 + 0j)
+    for kn in ks[::-1]:
+        w = (1.0 + kn) * w / (1.0 + kn * w * w)
+    return w
+
+
+def _asne(w, k):
+    """Inverse sn (principal branch), complex-capable (ascending Landen)."""
+    ks = _landen_seq(k)
+    w = np.asarray(w, np.complex128)
+    kprev = k
+    for kn in ks:
+        w = 2.0 * w / ((1.0 + kn) * (1.0 + np.sqrt(1.0 - kprev ** 2 * w * w)))
+        kprev = kn
+    return 2.0 / np.pi * np.arcsin(w)
+
+
+def _ellipdeg(N, k1):
+    """Degree equation: selectivity k for order N and discrimination k1."""
+    L = N // 2
+    ui = (2 * np.arange(1, L + 1) - 1.0) / N
+    kc = np.sqrt(1.0 - k1 * k1)
+    kp = kc ** N * np.prod(np.real(_sne(ui, kc))) ** 4
+    return np.sqrt(1.0 - kp * kp)
+
+
+def elliptic_zpk(order: int, ripple_db: float = 1.0,
+                 stopband_db: float = 40.0):
+    """Analog elliptic (Cauer) prototype: equiripple passband AND stopband.
+
+    Passband edge at 1 rad/s with |H| = 10^(-ripple_db/20) there; the
+    sharpest possible transition for a given order.
+    """
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    if ripple_db <= 0 or stopband_db <= ripple_db:
+        raise ValueError("need 0 < ripple_db < stopband_db")
+    eps_p = np.sqrt(10.0 ** (ripple_db / 10.0) - 1.0)
+    eps_s = np.sqrt(10.0 ** (stopband_db / 10.0) - 1.0)
+    k1 = eps_p / eps_s
+    k = _ellipdeg(order, k1)
+    L, r = order // 2, order % 2
+    ui = (2 * np.arange(1, L + 1) - 1.0) / order
+    zeros_half = 1j / (k * _cde(ui, k))
+    v0 = -1j * _asne(1j / eps_p, k1) / order
+    poles_half = 1j * _cde(ui - 1j * v0, k)
+    zeros = np.concatenate([zeros_half, np.conj(zeros_half)])
+    poles = np.concatenate([poles_half, np.conj(poles_half)])
+    if r:
+        poles = np.append(poles, 1j * _sne(1j * v0, k))
+    gain = np.abs(np.prod(poles) / np.prod(zeros)) if zeros.size else \
+        np.abs(np.prod(poles))
+    if r == 0:
+        gain *= 10.0 ** (-ripple_db / 20.0)
+    return (zeros.astype(np.complex128), poles.astype(np.complex128),
+            float(np.real(gain)))
+
+
 _PROTOTYPES = {
     "butterworth": lambda order, rip, att: butterworth_zpk(order),
     "chebyshev1": lambda order, rip, att: chebyshev1_zpk(order, rip),
     "chebyshev2": lambda order, rip, att: chebyshev2_zpk(order, att),
+    "elliptic": lambda order, rip, att: elliptic_zpk(order, rip, att),
 }
 
 

@@ -11,6 +11,8 @@ DESIGNS = [
     ("butterworth", lambda N, Wn, bt: ss.butter(N, Wn, bt, output="sos")),
     ("chebyshev1", lambda N, Wn, bt: ss.cheby1(N, 1.0, Wn, bt, output="sos")),
     ("chebyshev2", lambda N, Wn, bt: ss.cheby2(N, 40.0, Wn, bt, output="sos")),
+    ("elliptic", lambda N, Wn, bt: ss.ellip(N, 1.0, 40.0, Wn, bt,
+                                            output="sos")),
 ]
 
 
@@ -56,7 +58,8 @@ def test_all_designs_stable_and_run():
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal(256)
-    for design in ("butterworth", "chebyshev1", "chebyshev2"):
+    for design in ("butterworth", "chebyshev1", "chebyshev2",
+                   "elliptic"):
         sos = iirdes.iirdes_sos(design, 5, 0.12)
         for row in sos:
             assert iirdes.stable(row[:3], row[3:])
@@ -70,10 +73,29 @@ def test_all_designs_stable_and_run():
 
 def test_validation_errors():
     with pytest.raises(ValueError, match="unknown design"):
-        iirdes.iirdes_sos("elliptic", 4, 0.1)
+        iirdes.iirdes_sos("bessel", 4, 0.1)
     with pytest.raises(ValueError, match="cutoff"):
         iirdes.iirdes_sos("butterworth", 4, 0.6)
     with pytest.raises(ValueError, match="band design"):
         iirdes.iirdes_sos("butterworth", 4, 0.2, 0.1, bandtype="bandpass")
     with pytest.raises(ValueError, match="order"):
         iirdes.butterworth_zpk(0)
+
+
+def test_elliptic_equiripple_bands():
+    """Both bands equiripple: passband floor at -rp; stopband cap at -rs
+    beyond the analytic stopband edge atan(tan(pi*fc)/k)/pi."""
+    rp, rs, fc = 0.5, 50.0, 0.1
+    sos = iirdes.iirdes_sos("elliptic", 5, fc, ripple_db=rp,
+                            stopband_db=rs)
+    w, H = ss.sosfreqz(sos, worN=8192)
+    mag = 20 * np.log10(np.abs(H) + 1e-30)
+    passband = mag[w <= 2 * np.pi * fc * 0.995]
+    assert passband.min() >= -rp - 1e-3
+    assert passband.max() <= 1e-3
+    eps_p = np.sqrt(10 ** (rp / 10) - 1)
+    eps_s = np.sqrt(10 ** (rs / 10) - 1)
+    k = iirdes._ellipdeg(5, eps_p / eps_s)
+    f_stop = np.arctan(np.tan(np.pi * fc) / k) / np.pi
+    stop = mag[w >= 2 * np.pi * f_stop * 1.001]
+    assert stop.max() <= -rs + 1e-3
