@@ -19,29 +19,49 @@ per-iteration device time with the tunnel round-trip in the intercept.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_SPS = 1.0e9  # north-star: 1 Gsample/s per chip
 
 
-def _run_with_retries(fn, attempts: int = 3, sleep_s: float = 30.0):
-    """The axon TPU tunnel intermittently returns UNIMPLEMENTED for ordinary
-    ops (observed after rapid client reconnects / mid-stall kills); a quiet
-    retry succeeds.  Benchmarks must not die to that."""
-    for i in range(attempts):
+def _supervise() -> None:
+    """Process-level retry: one failed op poisons the whole PJRT client
+    over the axon tunnel, so retrying means a FRESH process (fresh client)
+    after a cool-down, not a try/except in this one.  Prints the child's
+    single JSON line on success."""
+    for attempt in range(4):
+        env = dict(os.environ, BENCH_CHILD="1")
         try:
-            return fn()
-        except Exception:
-            if i == attempts - 1:
-                raise
-            time.sleep(sleep_s)
+            out = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired:
+            time.sleep(150)
+            continue
+        for line in out.stdout.splitlines():
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if "metric" in row and "value" in row:
+                print(line)
+                return
+        if attempt < 3:
+            time.sleep(150)
+    print(json.dumps({"metric": "rx_chain_throughput", "value": 0.0,
+                      "unit": "Msamples/s", "vs_baseline": 0.0,
+                      "error": "tunnel unavailable after 4 attempts"}))
 
 
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
     from solid_dsp_tpu.utils.benchtime import measure_step
 
@@ -62,7 +82,7 @@ def main() -> None:
         0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k),
         dtype=jnp.complex64,
     )
-    state = _run_with_retries(init)
+    state = init()
 
     # x is a runtime ARGUMENT, not a jit closure: embedding a committed
     # device array as a constant forces a device->host fetch that poisons
@@ -77,9 +97,8 @@ def main() -> None:
         chk, st2 = g(st, x)
         return chk, (chk, st2)
 
-    r = _run_with_retries(
-        lambda: measure_step(step, (jnp.zeros(()), state),
-                             ks=(2, 10, 18), reps=2, warmup=3))
+    r = measure_step(step, (jnp.zeros(()), state),
+                     ks=(2, 10, 18), reps=2, warmup=3)
     sps = L / r["t_iter"]
     print(json.dumps({
         "metric": "rx_chain_throughput",
@@ -90,4 +109,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        _supervise()
