@@ -75,3 +75,125 @@ def test_optax_trainer_reduces_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0] / 5
     assert losses[-1] < 0.05
+
+
+# ---------------------------------------------------------------- r2: RLS
+
+
+def _per_sample_rls_taps(x, d, n, lam, delta):
+    """Independent per-sample RLS via direct normal-equation accumulation
+    (complex128): R <- lam R + conj(v) v^T, p <- lam p + conj(v) d."""
+    R = delta * np.eye(n, dtype=np.complex128)
+    p = np.zeros(n, dtype=np.complex128)
+    xp = np.concatenate([np.zeros(n - 1, np.complex128),
+                         x.astype(np.complex128)])
+    for t in range(len(x)):
+        v = xp[t: t + n]                       # window, newest last
+        R = lam * R + np.outer(np.conj(v), v)
+        p = lam * p + np.conj(v) * d[t]
+    return np.linalg.solve(R, p)
+
+
+def test_rls_block_form_matches_per_sample_reference():
+    """The MXU block normal-equation accumulation is algebraically equal to
+    per-sample exponentially-weighted RLS at block boundaries."""
+    from solid_dsp_tpu.models.equalizer import make_rls
+
+    rng = np.random.default_rng(11)
+    n, lam, delta = 7, 0.995, 1e-2
+    x = (rng.standard_normal(600) + 1j * rng.standard_normal(600))
+    d = (rng.standard_normal(600) + 1j * rng.standard_normal(600))
+
+    init, step = make_rls(n, lam, delta, dtype=jnp.complex128)
+    R, p, tail = init()
+    B = 200
+    for b in range(3):
+        _, R, p, tail = step(R, p, tail,
+                             jnp.asarray(x[b * B:(b + 1) * B]),
+                             jnp.asarray(d[b * B:(b + 1) * B]))
+    w_block = np.asarray(jnp.linalg.solve(R, p))
+    w_ref = _per_sample_rls_taps(x, d, n, lam, delta)
+    np.testing.assert_allclose(w_block, w_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_rls_converges_faster_than_lms():
+    from solid_dsp_tpu.models.equalizer import RLSEqualizer
+
+    h = np.array([1.0, 0.0, 0.35 - 0.2j, 0.0, -0.1j])
+    tx = _qpsk_syms(4000, seed=2)
+    rx = _channel(tx, h).astype(np.complex64)
+    n, B, delay = 11, 500, 11 // 2
+    d_all = np.roll(tx, delay)
+
+    rls = RLSEqualizer(ntaps=n, lam=0.9999)
+    lms = LMSEqualizer(ntaps=n, mu=0.1)
+    mse_rls, mse_lms = [], []
+    for b in range(len(tx) // B):
+        x = rx[b * B:(b + 1) * B]
+        d = d_all[b * B:(b + 1) * B]
+        mse_rls.append(float(np.mean(np.abs(
+            np.asarray(rls.execute_block(x, d)) - d) ** 2)))
+        mse_lms.append(float(np.mean(np.abs(
+            np.asarray(lms.execute_block(x, d)) - d) ** 2)))
+    # RLS reaches its floor within the FIRST block (incl. startup transient)
+    assert mse_rls[0] < 0.02
+    assert mse_rls[0] < mse_lms[0] / 5
+    assert mse_rls[-1] < 0.01
+
+
+def test_nlms_scale_invariance():
+    """Same dimensionless mu converges for inputs scaled by 1000x."""
+    from solid_dsp_tpu.models.equalizer import eq_init, nlms_step
+
+    h = np.array([1.0, 0.3 + 0.1j, -0.15])
+    tx = _qpsk_syms(8000, seed=7)
+    n, B, delay = 9, 500, 9 // 2
+    d_all = np.roll(tx, delay)
+
+    finals = []
+    for scale in (1.0, 1000.0):
+        rx = (_channel(tx, h) * scale).astype(np.complex64)
+        taps, tail = eq_init(n)
+        mse = None
+        for b in range(len(tx) // B):
+            x = jnp.asarray(rx[b * B:(b + 1) * B])
+            d = jnp.asarray(d_all[b * B:(b + 1) * B] * scale, jnp.complex64)
+            y, taps, tail = nlms_step(taps, tail, x, d, mu=0.5)
+            mse = float(np.mean(np.abs(np.asarray(y) - np.asarray(d)) ** 2))
+        finals.append(mse / scale**2)
+        assert mse / scale**2 < 0.05, f"scale={scale}"
+    # the normalized trajectories are identical regardless of input scale
+    assert abs(finals[0] - finals[1]) < 1e-4 * finals[0] + 1e-9
+
+
+def test_cma_blind_then_decision_directed():
+    """CMA opens the eye with no training symbols; DD-LMS finishes the job.
+    QPSK through multipath; check modulus error then phase-aligned SER."""
+    from solid_dsp_tpu.models.equalizer import CMAEqualizer
+    from solid_dsp_tpu.models.linear_mod import psk_constellation
+
+    h = np.array([1.0, 0.0, 0.3 - 0.15j, 0.0, -0.08j])
+    tx = _qpsk_syms(30000, seed=4)
+    rx = _channel(tx, h).astype(np.complex64)
+    n, B = 11, 1000
+    points = psk_constellation(4)  # already (+-1 +-1j)/sqrt2
+
+    eq = CMAEqualizer(ntaps=n, mu=0.2, r2=1.0)
+    nb = len(tx) // B
+    for b in range(nb // 2):                       # blind phase
+        y = eq.execute_block(rx[b * B:(b + 1) * B])
+    for b in range(nb // 2, nb):                   # decision-directed phase
+        y = np.asarray(eq.execute_block(rx[b * B:(b + 1) * B],
+                                        points=points))
+    # modulus restored
+    assert float(np.mean((np.abs(y) ** 2 - 1.0) ** 2)) < 0.05
+    # align delay + phase (CMA leaves both ambiguous), then slice
+    last_tx = tx[(nb - 1) * B: nb * B]
+    best = (1e9, None)
+    for dly in range(n + 1):
+        ref = np.roll(tx, dly)[(nb - 1) * B: nb * B]
+        rot = np.mean(y * np.conj(ref))
+        if abs(rot) > 1e-9:
+            err = float(np.mean(np.abs(y / (rot / abs(rot)) - ref) ** 2))
+            best = min(best, (err, dly))
+    assert best[0] < 0.1, f"post-CMA MSE {best}"
