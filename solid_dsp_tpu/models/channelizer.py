@@ -58,13 +58,16 @@ def channelizer_apply(taps, tail, x, num_channels: int):
     H = taps[: K * M].reshape(K, M)  # H[k, r] = h[k*M + r]
 
     x_ext = jnp.concatenate([tail, x], axis=-1)
-    base = K * M - 1
-    t = jnp.arange(T)[:, None, None]
-    k = jnp.arange(K)[None, :, None]
-    r = jnp.arange(M)[None, None, :]
-    idx = base + (t - k) * M - r  # (T, K, M), all >= 0 by construction
-    V = x_ext[..., idx]  # (..., T, K, M)
-    z = jnp.einsum("...tkr,kr->...tr", V, H.astype(x.dtype))
+    # Gather-free commutator form: with base = K*M - 1 the branch input
+    #   x_ext[base + (t-k)*M - r]  ==  P[t-k+K-1, M-1-r]
+    # where P[u, q] = x_ext[u*M + q] is a plain reshape.  K static slices
+    # of P replace the (T, K, M) gather (axon-unfriendly and HBM-wasteful).
+    P = x_ext[..., : (T + K - 1) * M].reshape(*x_ext.shape[:-1], T + K - 1, M)
+    Pq = jnp.flip(P, axis=-1)  # Pq[u, r] = P[u, M-1-r]
+    Hx = H.astype(x.dtype)
+    z = Hx[0] * Pq[..., K - 1: K - 1 + T, :]
+    for k in range(1, K):
+        z = z + Hx[k] * Pq[..., K - 1 - k: K - 1 - k + T, :]
     # a +c/M tone contributes e^{-2 pi i c r / M} across branches, so the
     # channel-m extractor is the INVERSE DFT kernel e^{+2 pi i m r / M}
     Y = jnp.fft.ifft(z, axis=-1) * M
