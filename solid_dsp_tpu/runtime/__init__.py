@@ -303,3 +303,10 @@ class UdpSource:
     def dropped(self) -> int:
         """Datagrams dropped because the ring was full."""
         return int(_lib.sdsp_udp_dropped(self._ptr))
+
+
+# SigMF interop sits on read_iq/write_iq, so it imports from this module —
+# bind it at the end to avoid a circular import at package load.
+from .sigmf import read_sigmf, sigmf_paths, write_sigmf  # noqa: E402
+
+__all__ += ["read_sigmf", "write_sigmf", "sigmf_paths"]
