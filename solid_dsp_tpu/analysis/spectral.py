@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["frame_signal", "stft", "spectrogram", "welch_psd",
+           "csd", "coherence", "cepstrum",
            "goertzel_bank"]
 
 
@@ -150,3 +151,59 @@ def goertzel_bank(x: jnp.ndarray, freqs: tuple, frame_len: int = 256):
     frames = frame_signal(x, frame_len, frame_len)
     cdt = jnp.promote_types(frames.dtype, jnp.complex64)
     return frames.astype(cdt) @ jnp.asarray(probes).astype(cdt)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def csd(x: jnp.ndarray, y: jnp.ndarray, nfft: int = 1024, hop: int = 512,
+        window: str = "hann", fs: float = 1.0) -> jnp.ndarray:
+    """Welch-averaged cross-spectral density P_xy(f) = E[X(f) conj(Y(f))].
+
+    Same segmentation/normalization as welch_psd, so csd(x, x) equals
+    welch_psd(x).  The phase of P_xy gives the per-frequency delay/transfer
+    phase between the two channels.
+    """
+    Sx = stft(x, nfft, hop, window)
+    Sy = stft(y, nfft, hop, window)
+    w = _window_taps(window, nfft)
+    norm = 1.0 / (fs * float(np.sum(w * w)))
+    return jnp.mean(Sx * jnp.conj(Sy), axis=-2) * norm
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+def coherence(x: jnp.ndarray, y: jnp.ndarray, nfft: int = 1024,
+              hop: int = 512, window: str = "hann") -> jnp.ndarray:
+    """Magnitude-squared coherence C_xy(f) = |P_xy|^2 / (P_xx P_yy) in [0, 1].
+
+    1.0 where y is a (noiseless) LTI response of x; requires >1 averaged
+    segment to be meaningful (a single segment is identically 1).
+    """
+    Sx = stft(x, nfft, hop, window)
+    Sy = stft(y, nfft, hop, window)
+    pxy = jnp.mean(Sx * jnp.conj(Sy), axis=-2)
+    pxx = jnp.mean(jnp.real(Sx * jnp.conj(Sx)), axis=-2)
+    pyy = jnp.mean(jnp.real(Sy * jnp.conj(Sy)), axis=-2)
+    return jnp.real(pxy * jnp.conj(pxy)) / jnp.maximum(pxx * pyy, 1e-30)
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def cepstrum(x: jnp.ndarray, kind: str = "real") -> jnp.ndarray:
+    """Cepstral analysis of one frame (last axis).
+
+    ``kind="real"``:  IFFT(log |X|)            — echo/pitch detection;
+    ``kind="power"``: |IFFT(log |X|^2)|^2      — classic power cepstrum.
+    An echo at delay D puts a peak at quefrency D; a minimum-phase
+    deconvolution lifter follows directly.
+    """
+    X = jnp.fft.fft(x, axis=-1)
+    logmag = jnp.log(jnp.maximum(jnp.abs(X), 1e-30))
+    if kind == "real":
+        return jnp.real(jnp.fft.ifft(logmag.astype(jnp.complex64)
+                                     if x.dtype != jnp.float64
+                                     else logmag.astype(jnp.complex128),
+                                     axis=-1))
+    if kind == "power":
+        c = jnp.fft.ifft((2.0 * logmag).astype(
+            jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64),
+            axis=-1)
+        return jnp.real(c * jnp.conj(c))
+    raise ValueError(f"unknown cepstrum kind {kind!r} (real|power)")

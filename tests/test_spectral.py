@@ -1,6 +1,7 @@
 """Spectral estimation vs independent numpy models (loop framing + direct
 DFT sums — a different mechanism from the reshape/batched-FFT paths)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -101,3 +102,65 @@ def test_goertzel_bank_tone_amplitude():
     x = np.cos(2 * np.pi * f0 * k)
     got = np.asarray(spectral.goertzel_bank(x, (f0,), N))
     np.testing.assert_allclose(np.abs(got), 1.0, rtol=1e-2)
+
+
+# --------------------------------------------- r2: csd / coherence / cepstrum
+
+
+def test_csd_self_equals_welch_psd():
+    from solid_dsp_tpu.analysis.spectral import csd, welch_psd
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(
+        np.complex64)
+    p1 = np.asarray(welch_psd(jnp.asarray(x), nfft=512, hop=256))
+    p2 = np.asarray(csd(jnp.asarray(x), jnp.asarray(x), nfft=512, hop=256))
+    np.testing.assert_allclose(np.real(p2), p1, rtol=1e-5, atol=1e-9)
+    assert float(np.max(np.abs(np.imag(p2)))) < 1e-6 * float(np.max(p1))
+
+
+def test_csd_phase_slope_measures_delay():
+    from solid_dsp_tpu.analysis.spectral import csd
+    rng = np.random.default_rng(1)
+    d = 5
+    x = rng.standard_normal(16384).astype(np.float32)
+    y = np.roll(x, d)  # y[n] = x[n-d]
+    P = np.asarray(csd(jnp.asarray(x), jnp.asarray(y), nfft=256, hop=128))
+    # angle(P_xy(f_k)) = +2 pi k d / nfft for small k
+    for k in (1, 2, 3, 5, 8):
+        expect = 2 * np.pi * k * d / 256
+        got = np.angle(P[k])
+        assert abs((got - expect + np.pi) % (2 * np.pi) - np.pi) < 0.05, k
+
+
+def test_coherence_lti_vs_independent():
+    from solid_dsp_tpu.analysis.spectral import coherence
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(65536) + 1j * rng.standard_normal(65536)
+         ).astype(np.complex64)
+    h = np.array([1.0, -0.4 + 0.2j, 0.1], np.complex64)
+    y_lti = np.convolve(x, h)[: len(x)].astype(np.complex64)
+    z = (rng.standard_normal(65536) + 1j * rng.standard_normal(65536)
+         ).astype(np.complex64)
+
+    c_lti = np.asarray(coherence(jnp.asarray(x), jnp.asarray(y_lti),
+                                 nfft=256, hop=128))
+    c_ind = np.asarray(coherence(jnp.asarray(x), jnp.asarray(z),
+                                 nfft=256, hop=128))
+    assert float(np.median(c_lti)) > 0.98
+    assert float(np.median(c_ind)) < 0.05
+    assert np.all(c_lti <= 1.0 + 1e-6) and np.all(c_ind >= 0.0)
+
+
+def test_cepstrum_echo_peak():
+    from solid_dsp_tpu.analysis.spectral import cepstrum
+    N, D, a = 1024, 37, 0.4
+    x = np.zeros(N, np.float32)
+    x[0] = 1.0
+    x[D] = a
+    c = np.asarray(cepstrum(jnp.asarray(x), kind="real"))
+    q = int(np.argmax(c[1: N // 2])) + 1
+    assert q == D
+    # series coefficient for log|X| at quefrency D is a/2
+    assert abs(c[D] - a / 2) < 0.1 * (a / 2)
+    cp = np.asarray(cepstrum(jnp.asarray(x), kind="power"))
+    assert int(np.argmax(cp[1: N // 2])) + 1 == D
