@@ -403,6 +403,8 @@ def bench_modem_frontend():
 
 
 def main():
+    import sys
+    picks = [a for a in sys.argv[1:] if not a.startswith("-")]
     for fn in (bench_hbm_control, bench_rx_chain, bench_rx_chain_stream,
                bench_rx_chain_ci16_ingest,
                bench_rx_chain_parity_parallel,
@@ -410,6 +412,8 @@ def main():
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
                bench_modem_frontend, bench_ldpc):
+        if picks and not any(p in fn.__name__ for p in picks):
+            continue
         try:
             res = fn()
             for row in (res if isinstance(res, list) else [res]):

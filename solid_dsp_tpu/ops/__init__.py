@@ -12,5 +12,6 @@ from . import agc  # noqa: F401
 from . import fft  # noqa: F401
 from . import autocorr  # noqa: F401
 from . import trig_transforms  # noqa: F401
+from . import kalman  # noqa: F401
 
 # pallas_kernels imported lazily (pulls in Mosaic machinery)
