@@ -6,7 +6,12 @@ from .spectral import (  # noqa: F401
     spectrogram,
     welch_psd,
     goertzel_bank,
+    csd,
+    coherence,
+    cepstrum,
 )
+
+from .snr import snr_m2m4, evm, noise_floor, tone_snr  # noqa: F401
 
 from .group_delay import fir_group_delay, iir_group_delay, fir_group_delay_band  # noqa: F401
 from .freq_response import (  # noqa: F401
