@@ -8,8 +8,9 @@ reference's fir/pfb.rs, extended with the DFT across branches:
     Y[t, m] = sum_r z[t, r] e^{+2 pi i m r / M}   (one batched IDFT per step)
 
 Channel m is the band centered at +m/M of the input rate, decimated by M.
-The whole block is ONE gather + ONE einsum (MXU) + ONE batched FFT; the
-channel axis is the natural shard axis for multi-chip (parallel.sharded).
+The whole block is ONE reshape + K shifted multiply-adds + ONE batched
+FFT (gather-free commutator form); the channel axis is the natural shard
+axis for multi-chip (parallel.sharded).
 """
 
 from __future__ import annotations
@@ -55,30 +56,34 @@ def channelizer_apply(taps, tail, x, num_channels: int):
     if L % M:
         raise ValueError("block length must be a multiple of the channel count")
     T = L // M
-    H = taps[: K * M].reshape(K, M)  # H[k, r] = h[k*M + r]
-
     x_ext = jnp.concatenate([tail, x], axis=-1)
-    # Gather-free commutator form: with base = K*M - 1 the branch input
-    #   x_ext[base + (t-k)*M - r]  ==  P[t-k+K-1, M-1-r]
-    # where P[u, q] = x_ext[u*M + q] is a plain reshape.  K static slices
-    # of P replace the (T, K, M) gather (axon-unfriendly and HBM-wasteful).
+    # Gather-free commutator form.  With base = K*M - 1 and the reshape
+    # P[u, q] = x_ext[u*M + q], the branch sum
+    #   z[t, r] = sum_k H[k, r] x_ext[base + (t-k)*M - r],  H[k,r]=taps[k*M+r]
+    # becomes, substituting q = M-1-r and k' = K-1-k,
+    #   z2[t, q] = sum_k' G[k', q] P[t + k', q]
+    # where G = reverse(taps[:K*M]).reshape(K, M) — ONE tiny 1-D tap
+    # reversal absorbs both index flips, and K static slices of P replace
+    # the (T, K, M) gather (axon-unfriendly and HBM-wasteful).  The output
+    # DFT over r then reads, with w = e^{+2 pi i / M} (a +c/M tone puts
+    # e^{-2 pi i c r / M} across branches, so channel m extracts with
+    # the inverse-DFT kernel w^{m r}):
+    #   Y[t, m] = sum_r z[t,r] w^{m r} = w^{-m} * FFT_q(z2)[m].
     P = x_ext[..., : (T + K - 1) * M].reshape(*x_ext.shape[:-1], T + K - 1, M)
-    Pq = jnp.flip(P, axis=-1)  # Pq[u, r] = P[u, M-1-r]
-    Hx = H.astype(x.dtype)
-    z = Hx[0] * Pq[..., K - 1: K - 1 + T, :]
+    G = taps[: K * M][::-1].reshape(K, M).astype(x.dtype)
+    z2 = G[0] * P[..., 0:T, :]
     for k in range(1, K):
-        z = z + Hx[k] * Pq[..., K - 1 - k: K - 1 - k + T, :]
-    # a +c/M tone contributes e^{-2 pi i c r / M} across branches, so the
-    # channel-m extractor is the INVERSE DFT kernel e^{+2 pi i m r / M}
-    Y = jnp.fft.ifft(z, axis=-1) * M
+        z2 = z2 + G[k] * P[..., k: k + T, :]
+    phase = np.exp(-2j * np.pi * np.arange(M) / M)
+    Y = jnp.fft.fft(z2, axis=-1) * jnp.asarray(phase).astype(z2.dtype)
     return Y, x_ext[..., -(K * M - 1):]
 
 
 class PolyphaseChannelizer:
     """Stateful M-channel analysis channelizer.
 
-    ``backend="xla"`` (default) uses the fused gather+einsum formulation —
-    measured at HBM speed-of-light on v5e (see ops/pallas_kernels.py notes);
+    ``backend="xla"`` (default) uses the gather-free commutator
+    formulation (reshape + K static slices + batched FFT);
     ``backend="pallas"`` routes through the hand-written Mosaic kernel.
     """
 
