@@ -95,10 +95,12 @@ def dpd_learn(pa_fn, x, order: int = 5, memory: int = 3,
     from the lowest-envelope decile), and LS-fits the postdistorter
     (y/g -> PA input); the fit is copied as the next predistorter.
 
-    The PA must be operated inside its invertible range (peak envelope
-    below the AM/AM maximum — for Saleh, r < 1/sqrt(beta_a)); past
-    saturation no predistorter exists and the fit diverges.  Back off the
-    drive or crest-factor-reduce first.
+    The PA must be operated inside its linearizable range: besides AM/AM
+    monotonicity (Saleh: r < 1/sqrt(beta_a)), the linear target must be
+    reachable — peak_in * g <= max PA output envelope (Saleh:
+    alpha_a / (2 sqrt(beta_a)), so peak_in <= ~0.466).  Past either bound
+    no predistorter exists and the fit degrades sharply.  Back off the
+    drive or crest-factor-reduce first (models/cfr.py).
     """
     x = jnp.asarray(x)
     order, memory = int(order), int(memory)
