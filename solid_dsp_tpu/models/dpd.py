@@ -25,7 +25,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["mp_basis", "mp_fit", "mp_apply", "dpd_learn", "saleh_pa",
            "Predistorter"]

@@ -31,8 +31,6 @@ shard over a ('channel', 'time') mesh like everything else.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
