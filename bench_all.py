@@ -402,6 +402,74 @@ def bench_modem_frontend():
     return out
 
 
+def bench_tx_dsp():
+    """r2 additions: memory-polynomial DPD apply + CFR clip-and-filter."""
+    from solid_dsp_tpu.models.cfr import band_mask, cfr_icf
+    from solid_dsp_tpu.models.dpd import mp_apply
+
+    out = []
+    L = _size(22)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.2 * (rng.standard_normal(L) + 1j * rng.standard_normal(L)
+                           ).astype(np.complex64))
+    K, Q = 7, 3
+    c = jnp.asarray(np.r_[1.0, np.full(K * Q - 1, 1e-3)].astype(np.complex64))
+    step = _stateless_step(lambda a: mp_apply(c, a, K, Q), x)
+    t = _measure(step, jnp.zeros(()))
+    out.append(_row("dpd_mp_apply_k7q3", L / t))
+
+    mask = jnp.asarray(band_mask(L, 0.25))
+    thr = 0.35
+    step = _stateless_step(lambda a: cfr_icf(a, thr, mask, iters=4), x)
+    t = _measure(step, jnp.zeros(()))
+    out.append(_row("cfr_icf_4iter", L / t))
+    return out
+
+
+def bench_tracking():
+    """r2 additions: parallel LTI Kalman tracker + block-RLS equalizer."""
+    from solid_dsp_tpu.models.equalizer import make_rls
+    from solid_dsp_tpu.ops.kalman import cv_model, kalman_lti_apply, \
+        steady_state_gain
+
+    out = []
+    L = _size(22)
+    rng = np.random.default_rng(1)
+    K, F = steady_state_gain(*cv_model(1.0, 0.05, 1.0))
+    z = jnp.asarray(rng.standard_normal(L).astype(np.float32))
+    x0 = jnp.zeros(2, jnp.float32)
+    Kf = jnp.asarray(K, jnp.float32)
+    Ff = jnp.asarray(F, jnp.float32)
+    step = _stateless_step(
+        lambda a: kalman_lti_apply(x0, a, Kf, Ff, method="parallel")[0], z)
+    t = _measure(step, jnp.zeros(()))
+    out.append(_row("kalman_lti_parallel_2state", L / t))
+
+    Lr = _size(20)
+    n = 32
+    init, rstep = make_rls(n, 0.9999, 1e-2)
+    R0, p0, tail0 = init()
+    xr = jnp.asarray((rng.standard_normal(Lr) + 1j * rng.standard_normal(Lr)
+                      ).astype(np.complex64))
+    d = jnp.asarray((rng.standard_normal(Lr) + 1j * rng.standard_normal(Lr)
+                     ).astype(np.complex64))
+
+    @jax.jit
+    def g(carry, xr, d):
+        chk, R, p, tail = carry
+        y, R2, p2, tail2 = rstep(R, p, tail,
+                                 xr + (0.0 * chk).astype(xr.dtype), d)
+        return jnp.sum(jnp.abs(y)), R2, p2, tail2
+
+    def step(carry):
+        c2, R2, p2, tail2 = g(carry, xr, d)
+        return c2, (c2, R2, p2, tail2)
+
+    t = _measure(step, (jnp.zeros(()), R0, p0, tail0))
+    out.append(_row("rls_equalizer_32tap", Lr / t))
+    return out
+
+
 def main():
     import sys
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -411,7 +479,8 @@ def main():
                bench_rx_chain_parity_scan, bench_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
-               bench_modem_frontend, bench_ldpc):
+               bench_modem_frontend, bench_ldpc, bench_tx_dsp,
+               bench_tracking):
         if picks and not any(p in fn.__name__ for p in picks):
             continue
         try:
