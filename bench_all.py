@@ -402,6 +402,26 @@ def bench_modem_frontend():
     return out
 
 
+def bench_polar():
+    from solid_dsp_tpu.models.polar import PolarCode
+
+    code = PolarCode(256, 128)
+    B = 64 if SMOKE else 2048
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (B, 128)).astype(np.int32)
+    x = np.asarray(code.encode(jnp.asarray(bits)))
+    llr = jnp.asarray(((1 - 2.0 * x) * 4
+                       + rng.standard_normal(x.shape)).astype(np.float32))
+    frozen = jnp.asarray(code.frozen_mask)
+
+    from solid_dsp_tpu.models.polar import polar_decode_bp
+    step = _stateless_step(
+        lambda l: polar_decode_bp(l, frozen, n_iters=15)[0].astype(
+            jnp.float32), llr)
+    t = _measure(step, jnp.zeros(()))
+    return _row("polar_bp_decode_256_15it", B * 128 / t, "Minfobits/s")
+
+
 def bench_tx_dsp():
     """r2 additions: memory-polynomial DPD apply + CFR clip-and-filter."""
     from solid_dsp_tpu.models.cfr import band_mask, cfr_icf
@@ -479,7 +499,7 @@ def main():
                bench_rx_chain_parity_scan, bench_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
-               bench_modem_frontend, bench_ldpc, bench_tx_dsp,
+               bench_modem_frontend, bench_ldpc, bench_polar, bench_tx_dsp,
                bench_tracking):
         if picks and not any(p in fn.__name__ for p in picks):
             continue

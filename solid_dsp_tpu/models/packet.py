@@ -59,8 +59,9 @@ class PacketModem:
                  preamble_root: int = 5, rolloff: float = 0.35,
                  delay_symbols: int = 6, threshold: float = 0.4,
                  fec_scheme: str = "conv", ldpc_iters: int = 30,
-                 pilot_every: int = 16, dtype=jnp.complex64):
-        if fec_scheme not in ("conv", "ldpc"):
+                 polar_iters: int = 40, pilot_every: int = 16,
+                 dtype=jnp.complex64):
+        if fec_scheme not in ("conv", "ldpc", "polar"):
             raise ValueError(f"unknown fec_scheme {fec_scheme!r}")
         self.payload_bytes = int(payload_bytes)
         self.fec_scheme = fec_scheme
@@ -73,10 +74,15 @@ class PacketModem:
             self.n_coded = (self.n_info + self.code.K - 1) * 2
             self.ileave = _interleaver_dims(self.n_coded)
         else:
-            # fixed-frame block code: pack into as many (648, 324) frames
-            # as the info (+ zero padding) needs; LDPC output is already
-            # interleaver-free (the graph scatters bursts by construction)
-            self.code = ldpc_mod.wifi_ldpc_648()
+            # fixed-frame block codes pack into as many (n, k) frames as
+            # the info (+ zero padding) needs; both graphs scatter bursts
+            # by construction, so no extra interleaver
+            if fec_scheme == "ldpc":
+                self.code = ldpc_mod.wifi_ldpc_648()
+            else:
+                from . import polar as polar_mod
+                self.code = polar_mod.PolarCode(256, 128,
+                                                n_iters=int(polar_iters))
             self.n_frames = -(-self.n_info // self.code.k)
             self.n_coded = self.n_frames * self.code.n
             self.ileave = (1, self.n_coded)
@@ -124,7 +130,7 @@ class PacketModem:
         tail = ((c >> np.arange(32)) & 1).astype(np.int8)  # LSB-first wire
         framed = np.concatenate([info, tail])
         scrambled = np.asarray(B.additive_scramble(framed))
-        if self.fec_scheme == "ldpc":
+        if self.fec_scheme in ("ldpc", "polar"):
             padded = np.zeros(self.n_frames * self.code.k, np.int32)
             padded[: self.n_info] = scrambled
             cw = np.asarray(self.code.encode(
@@ -170,9 +176,11 @@ class PacketModem:
         llr = np.asarray(lm.demap_soft(
             y_data, self.modem.points, self._noise_var(y_data)))
         llr = llr[: self.n_coded]                 # drop map padding
-        if self.fec_scheme == "ldpc":
+        if self.fec_scheme in ("ldpc", "polar"):
             frames = jnp.asarray(llr).reshape(self.n_frames, self.code.n)
-            dec, _ok = self.code.decode(frames, n_iters=self.ldpc_iters)
+            iters = (self.ldpc_iters if self.fec_scheme == "ldpc"
+                     else self.code.n_iters)
+            dec, _ok = self.code.decode(frames, n_iters=iters)
             dec = np.asarray(dec).reshape(-1)[: self.n_info]
         else:
             r, cdim = self.ileave

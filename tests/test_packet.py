@@ -117,3 +117,18 @@ def test_pilot_layout_properties():
     assert np.all(pm.pilot_pos % 16 == 0)
     with pytest.raises(ValueError):
         PacketModem(payload_bytes=8, pilot_every=1)
+
+
+def test_packet_polar_roundtrip_impaired():
+    pm = PacketModem(payload_bytes=64, fec_scheme="polar",
+                     dtype=jnp.complex128)
+    assert pm.n_coded % pm.code.n == 0
+    rng = np.random.default_rng(9)
+    data = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    iq = pm.transmit(data)
+    x = _embed(iq, 233, len(iq) + 800, rng, sigma=0.0)
+    x = np.array(ch.apply_cfo(jnp.asarray(x), -4e-4, 0.6))
+    x += 0.12 * (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x)))
+    got, info = pm.receive(jnp.asarray(x))
+    assert info["crc_ok"], info
+    assert got == data
