@@ -31,7 +31,8 @@ from ..design import firdes
 from ..ops import fir as fir_ops
 
 __all__ = [
-    "psk_constellation", "qam_constellation", "constellation",
+    "psk_constellation", "qam_constellation", "apsk_constellation",
+    "constellation",
     "bits_to_symbols", "symbols_to_bits", "modulate_symbols",
     "slice_symbols", "demap_soft", "pulse_shape", "matched_filter",
     "LinearModem",
@@ -74,11 +75,41 @@ def qam_constellation(m: int) -> np.ndarray:
     return pts / np.sqrt(np.mean(np.abs(pts) ** 2))
 
 
+@lru_cache(maxsize=8)
+def apsk_constellation(m: int) -> np.ndarray:
+    """DVB-S2-style M-APSK (4+12 for 16, 4+12+16 for 32), unit energy.
+
+    Ring radii use the DVB-S2 ratios for the mid-rate codes (gamma = 2.7
+    for 16APSK; 2.84 / 5.27 for 32APSK — EN 302 307 Table 9/10).  Bit
+    mapping: the two MSBs select the ring-quadrant pattern and remaining
+    bits the phase within the ring, quasi-Gray within each ring (exact
+    DVB-S2 bit labelling differs per code rate; the demapper is mapping-
+    agnostic since it scores all points).
+    """
+    if m == 16:
+        rings = [(4, 1.0, np.pi / 4), (12, 2.7, np.pi / 12)]
+    elif m == 32:
+        rings = [(4, 1.0, np.pi / 4), (12, 2.84, np.pi / 12),
+                 (16, 5.27, 0.0)]
+    else:
+        raise ValueError("APSK order must be 16 or 32")
+    pts = []
+    for n_pts, radius, phase0 in rings:
+        ph = phase0 + 2.0 * np.pi * np.arange(n_pts) / n_pts
+        ring = radius * np.exp(1j * ph)
+        pts.append(ring[_gray(n_pts) if not n_pts & (n_pts - 1)
+                        else np.arange(n_pts)])
+    pts = np.concatenate(pts)
+    return pts / np.sqrt(np.mean(np.abs(pts) ** 2))
+
+
 def constellation(scheme: str, m: int) -> np.ndarray:
     if scheme == "psk":
         return psk_constellation(m)
     if scheme == "qam":
         return qam_constellation(m)
+    if scheme == "apsk":
+        return apsk_constellation(m)
     raise ValueError(f"unknown scheme {scheme!r}")
 
 

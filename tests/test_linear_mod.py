@@ -181,3 +181,52 @@ def test_soft_viterbi_beats_hard_through_modem():
     # sanity: the channel actually corrupted bits pre-decoder
     assert np.sum(hard_bits != coded) > 50
     assert err_soft < err_hard
+
+
+# ------------------------------------------------------------- r2: APSK
+
+
+def test_apsk_constellation_geometry():
+    from solid_dsp_tpu.models.linear_mod import apsk_constellation
+    for m, n_rings in ((16, 2), (32, 3)):
+        pts = apsk_constellation(m)
+        assert len(pts) == m and len(set(np.round(pts, 9))) == m
+        assert abs(np.mean(np.abs(pts) ** 2) - 1.0) < 1e-12
+        radii = np.unique(np.round(np.abs(pts), 9))
+        assert len(radii) == n_rings
+    # DVB-S2 ring ratio gamma = 2.7 for 16APSK
+    pts = apsk_constellation(16)
+    radii = np.unique(np.round(np.abs(pts), 9))
+    assert abs(radii[1] / radii[0] - 2.7) < 1e-6
+    with pytest.raises(ValueError):
+        apsk_constellation(64)
+
+
+def test_apsk_modem_roundtrip_awgn():
+    from solid_dsp_tpu.models.linear_mod import LinearModem
+    rng = np.random.default_rng(0)
+    mdm = LinearModem(scheme="apsk", m=16, sps=4)
+    bits = rng.integers(0, 2, 4 * 500).astype(np.int32)
+    iq = mdm.modulate(jnp.asarray(bits))
+    noisy = np.asarray(iq) + 0.02 * (rng.standard_normal(len(iq))
+                                     + 1j * rng.standard_normal(len(iq)))
+    out, _syms = mdm.demodulate(jnp.asarray(noisy.astype(np.complex64)))
+    out = np.asarray(out)
+    n = min(len(out), len(bits))       # RRC tail truncates final symbols
+    assert n > 1900 and np.mean(out[:n] != bits[:n]) == 0.0
+
+
+def test_apsk_soft_demap_sign_consistency():
+    """demap_soft hard decisions (LLR sign) agree with the slicer."""
+    from solid_dsp_tpu.models.linear_mod import (apsk_constellation,
+                                                 demap_soft, slice_symbols,
+                                                 symbols_to_bits)
+    rng = np.random.default_rng(1)
+    pts = apsk_constellation(32)
+    y = jnp.asarray((pts[rng.integers(0, 32, 400)]
+                     + 0.02 * (rng.standard_normal(400)
+                               + 1j * rng.standard_normal(400))
+                     ).astype(np.complex64))
+    hard = np.asarray(symbols_to_bits(slice_symbols(y, pts), 5))
+    soft = np.asarray(demap_soft(y, pts, 0.01))
+    np.testing.assert_array_equal((soft < 0).astype(np.int32), hard)
