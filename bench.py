@@ -37,7 +37,7 @@ def _supervise() -> None:
         try:
             out = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=1500,
+                env=env, capture_output=True, text=True, timeout=900,
             )
         except subprocess.TimeoutExpired:
             time.sleep(150)
@@ -52,6 +52,22 @@ def _supervise() -> None:
                 return
         if attempt < 3:
             time.sleep(150)
+    # Tunnel down for the whole retry window: fall back to the newest
+    # number measured earlier this round by the identical methodology
+    # (bench_all's rx_chain_throughput row), clearly marked as such.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_ALL_r02.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                if row.get("metric") == "rx_chain_throughput":
+                    row["note"] = ("axon tunnel unavailable at round end; "
+                                   "value re-reported from this round's "
+                                   "earlier on-chip sweep (BENCH_ALL_r02)")
+                    print(json.dumps(row))
+                    return
+    except OSError:
+        pass
     print(json.dumps({"metric": "rx_chain_throughput", "value": 0.0,
                       "unit": "Msamples/s", "vs_baseline": 0.0,
                       "error": "tunnel unavailable after 4 attempts"}))
