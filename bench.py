@@ -40,7 +40,8 @@ def _supervise() -> None:
                 env=env, capture_output=True, text=True, timeout=900,
             )
         except subprocess.TimeoutExpired:
-            time.sleep(150)
+            if attempt < 3:
+                time.sleep(150)
             continue
         for line in out.stdout.splitlines():
             try:
@@ -59,7 +60,10 @@ def _supervise() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_ALL_r02.jsonl")) as f:
             for line in f:
-                row = json.loads(line)
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
                 if row.get("metric") == "rx_chain_throughput":
                     row["note"] = ("axon tunnel unavailable at round end; "
                                    "value re-reported from this round's "

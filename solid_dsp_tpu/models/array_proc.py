@@ -103,10 +103,11 @@ def music_doa(R, n_sources: int, spacing: float = 0.5,
     spec = np.asarray(music_spectrum(R, jnp.asarray(thetas), n_sources,
                                      spacing))
     logp = np.log(spec)
-    # local maxima, strongest first
+    # local maxima, strongest first (non-peaks pushed to the end: masking
+    # by multiplication would mis-rank when peak log-power is negative)
     ismax = np.r_[False, (logp[1:-1] > logp[:-2]) & (logp[1:-1] > logp[2:]),
                   False]
-    cand = np.argsort(-logp * ismax)
+    cand = np.argsort(np.where(ismax, -logp, np.inf))
     picks = []
     for i in cand:
         if not ismax[i]:

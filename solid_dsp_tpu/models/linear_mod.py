@@ -97,8 +97,14 @@ def apsk_constellation(m: int) -> np.ndarray:
     for n_pts, radius, phase0 in rings:
         ph = phase0 + 2.0 * np.pi * np.arange(n_pts) / n_pts
         ring = radius * np.exp(1j * ph)
-        pts.append(ring[_gray(n_pts) if not n_pts & (n_pts - 1)
-                        else np.arange(n_pts)])
+        seg = np.empty(n_pts, np.complex128)
+        if n_pts & (n_pts - 1):          # 12-ring: no Gray code exists
+            seg[:] = ring
+        else:
+            # same convention as psk_constellation: symbol _gray(k) sits
+            # at phase slot k, so phase-adjacent symbols differ by 1 bit
+            seg[_gray(n_pts)] = ring
+        pts.append(seg)
     pts = np.concatenate(pts)
     return pts / np.sqrt(np.mean(np.abs(pts) ** 2))
 

@@ -92,7 +92,8 @@ def _minsum(a, b):
 def polar_decode_bp(llr, frozen_mask, n_iters: int = 40):
     """Belief-propagation decode.  llr: (..., N) channel LLRs (positive =
     bit 0 more likely); frozen_mask: (N,) 1.0 where frozen.  Returns
-    (u_hat bits (..., N lattice u-side), x_hat re-encoded codeword bits).
+    (u_hat bits (..., N lattice u-side), x_hat re-encoded codeword bits,
+    ok (...,) frozen-consistency flag).
 
     Message lattice: B[0] = u side, B[n] = channel side; stage s
     butterflies pair (i, i + 2^s) within blocks of 2^(s+1):
@@ -153,11 +154,14 @@ def polar_decode_bp(llr, frozen_mask, n_iters: int = 40):
 
     (Lmsg, Rmsg), _ = jax.lax.scan(body, (Lmsg, Rmsg), None, length=n_iters)
     u_total = Lmsg[0] + Rmsg[0]
-    u_hat = (u_total < 0).astype(jnp.int32)
-    # frozen bits are known zero
-    u_hat = jnp.where(frozen > 0, 0, u_hat)
+    raw = (u_total < 0).astype(jnp.int32)
+    # decode-health indicator: does the graph-side evidence (L messages
+    # alone, WITHOUT the huge frozen prior baked into R) agree that every
+    # frozen bit is 0?  (False = likely block error.)
+    ok = jnp.all(jnp.where(frozen > 0, Lmsg[0] >= 0, True), axis=-1)
+    u_hat = jnp.where(frozen > 0, 0, raw)
     x_hat = _butterfly_xor(u_hat)
-    return u_hat, x_hat
+    return u_hat, x_hat, ok
 
 
 class PolarCode:
@@ -176,11 +180,16 @@ class PolarCode:
         return polar_encode(info_bits, self.info_set, self.n)
 
     def decode(self, llr, n_iters: int | None = None):
-        """llr (..., N) -> (info_bits (..., K), codeword_bits (..., N))."""
-        u_hat, x_hat = polar_decode_bp(
+        """llr (..., N) -> (info_bits (..., K), ok (...,)).
+
+        Same return contract as LDPCCode.decode: ``ok`` is a per-block
+        decode-health flag (BP marginals consistent with the frozen
+        constraints).  For the re-encoded codeword use polar_decode_bp.
+        """
+        u_hat, _x_hat, ok = polar_decode_bp(
             llr, self.frozen_mask,
             self.n_iters if n_iters is None else int(n_iters))
-        return u_hat[..., jnp.asarray(self.info_set)], x_hat
+        return u_hat[..., jnp.asarray(self.info_set)], ok
 
     def __repr__(self):
         return f"PolarCode [N={self.n}] [K={self.k}]"

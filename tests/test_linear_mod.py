@@ -230,3 +230,16 @@ def test_apsk_soft_demap_sign_consistency():
     hard = np.asarray(symbols_to_bits(slice_symbols(y, pts), 5))
     soft = np.asarray(demap_soft(y, pts, 0.01))
     np.testing.assert_array_equal((soft < 0).astype(np.int32), hard)
+
+
+def test_apsk_power_of_two_rings_gray_adjacent():
+    """Phase-adjacent symbols on power-of-two rings differ by one bit."""
+    from solid_dsp_tpu.models.linear_mod import apsk_constellation
+    for m, offsets in ((16, [(0, 4)]), (32, [(0, 4), (16, 16)])):
+        pts = apsk_constellation(m)
+        for off, size in offsets:
+            seg = pts[off: off + size]
+            order = np.argsort(np.angle(seg))          # around the ring
+            syms = order                               # local symbol index
+            for a, b in zip(syms, np.roll(syms, -1)):
+                assert bin(int(a) ^ int(b)).count("1") == 1, (m, off)

@@ -50,8 +50,13 @@ def test_noiseless_roundtrip():
     bits = rng.integers(0, 2, 128).astype(np.int32)
     x = np.asarray(code.encode(jnp.asarray(bits)))
     llr = (1.0 - 2.0 * x) * 8.0  # strong LLRs, bit0 -> +8
-    u_hat, x_hat = code.decode(jnp.asarray(llr.astype(np.float32)))
+    u_hat, ok = code.decode(jnp.asarray(llr.astype(np.float32)))
     np.testing.assert_array_equal(np.asarray(u_hat), bits)
+    assert bool(np.all(np.asarray(ok)))
+    # re-encoded codeword via the functional API
+    from solid_dsp_tpu.models.polar import polar_decode_bp
+    _, x_hat, _ = polar_decode_bp(jnp.asarray(llr.astype(np.float32)),
+                                  jnp.asarray(code.frozen_mask))
     np.testing.assert_array_equal(np.asarray(x_hat), x)
 
 
@@ -81,8 +86,8 @@ def test_batched_decode():
     bits = rng.integers(0, 2, (8, 32)).astype(np.int32)
     x = np.asarray(code.encode(jnp.asarray(bits)))
     llr = (1.0 - 2.0 * x) * 6.0 + 0.5 * rng.standard_normal(x.shape)
-    u_hat, _ = code.decode(jnp.asarray(llr.astype(np.float32)))
-    assert u_hat.shape == (8, 32)
+    u_hat, ok = code.decode(jnp.asarray(llr.astype(np.float32)))
+    assert u_hat.shape == (8, 32) and ok.shape == (8,)
     np.testing.assert_array_equal(np.asarray(u_hat), bits)
 
 
@@ -120,3 +125,22 @@ def test_bp_comparable_to_independent_sc():
     bp_errs = int(np.sum(np.asarray(u_hat) != bits))
     assert bp_errs <= max(2 * sc_errs, 20), (bp_errs, sc_errs)
     assert bp_errs / (nb * 128) < 0.01
+
+
+def test_decode_health_flag_tracks_block_errors():
+    """ok=False concentrates on erroneous blocks at low SNR; clean blocks
+    at high SNR are all ok=True (the flag ignores the frozen prior)."""
+    rng = np.random.default_rng(11)
+    code = PolarCode(128, 64, design_snr_db=2.0)
+    bits = rng.integers(0, 2, (200, 64)).astype(np.int32)
+    x = np.asarray(code.encode(jnp.asarray(bits)))
+    sigma2 = 1.0 / (2 * 0.5 * 10 ** (1.0 / 10))     # harsh: 1 dB
+    y = (1 - 2.0 * x) + np.sqrt(sigma2) * rng.standard_normal(x.shape)
+    u_hat, ok = code.decode(jnp.asarray(((2 / sigma2) * y).astype(np.float32)))
+    blk_err = np.any(np.asarray(u_hat) != bits, axis=-1)
+    ok = np.asarray(ok)
+    assert blk_err.any() and (~blk_err).any()        # harsh but not hopeless
+    # flag quality: error rate among ok-flagged blocks is much lower
+    p_err_given_ok = float(np.mean(blk_err[ok])) if ok.any() else 0.0
+    p_err_given_bad = float(np.mean(blk_err[~ok])) if (~ok).any() else 1.0
+    assert p_err_given_bad > 2 * p_err_given_ok + 0.05
