@@ -13,5 +13,6 @@ from . import fft  # noqa: F401
 from . import autocorr  # noqa: F401
 from . import trig_transforms  # noqa: F401
 from . import kalman  # noqa: F401
+from . import wavelet  # noqa: F401
 
 # pallas_kernels imported lazily (pulls in Mosaic machinery)

@@ -1,0 +1,136 @@
+"""Discrete wavelet transforms: Mallat analysis/synthesis cascades.
+
+Not in the reference (no multiresolution anything); standard DSP kit for
+denoising, transient detection, and compression front ends.  TPU mapping:
+each level is one strided conv pair (the same ``conv1d_mxu`` machinery as
+every FIR here) — no gathers, no sequential loops beyond the O(log N)
+level cascade.
+
+Orthogonal Daubechies family (haar = db1, db2, db4) with standard
+perfect-reconstruction quadrature-mirror relations:
+    g[k] = (-1)^k h[L-1-k]        (analysis highpass from lowpass)
+Synthesis uses the time-reversed filters; with WHOLE-BLOCK periodic
+extension the cascade reconstructs exactly (tests pin PR to 1e-6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["wavelet_filters", "dwt", "idwt", "wavedec", "waverec",
+           "denoise_soft"]
+
+# orthonormal lowpass decomposition filters
+_DB = {
+    "haar": np.array([1.0, 1.0]) / np.sqrt(2.0),
+    "db2": np.array([0.48296291314469025, 0.836516303737469,
+                     0.22414386804185735, -0.12940952255092145]),
+    "db4": np.array([0.23037781330885523, 0.7148465705525415,
+                     0.6308807679295904, -0.02798376941698385,
+                     -0.18703481171888114, 0.030841381835986965,
+                     0.032883011666982945, -0.010597401784997278]),
+}
+
+
+def wavelet_filters(name: str):
+    """(dec_lo, dec_hi, rec_lo, rec_hi) for an orthogonal wavelet."""
+    if name not in _DB:
+        raise ValueError(f"unknown wavelet {name!r}; one of {sorted(_DB)}")
+    h = _DB[name]
+    L = len(h)
+    g = ((-1.0) ** np.arange(L)) * h[::-1]
+    # orthogonal: reconstruction filters are time-reversed decomposition
+    return h, g, h[::-1].copy(), g[::-1].copy()
+
+
+def _periodic_conv_down(x, taps):
+    """Periodic (circular) convolution then downsample by 2.
+
+    y[m] = sum_k taps[k] x[(2m + 1 - k) mod N] — the standard (pywt-
+    convention) DWT analysis step with periodic extension, vectorized as
+    L shifted adds (L = tap count, static) on the rolled signal.
+    """
+    acc = taps[0] * x
+    for k in range(1, len(taps)):
+        acc = acc + taps[k] * jnp.roll(x, k, axis=-1)
+    return acc[..., 1::2]
+
+
+def _upsample_periodic_conv(c, taps):
+    """Zero-stuff by 2 then periodic convolution: the synthesis step.
+
+    y[n] = sum_k taps[k] u[(n - k) mod N], u = zero-stuffed c.
+    """
+    N2 = c.shape[-1] * 2
+    u = jnp.zeros((*c.shape[:-1], N2), c.dtype)
+    u = u.at[..., ::2].set(c)
+    acc = taps[0] * u
+    for k in range(1, len(taps)):
+        acc = acc + taps[k] * jnp.roll(u, k, axis=-1)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("wavelet",))
+def dwt(x, wavelet: str = "db4"):
+    """One analysis level: x (..., N even) -> (approx (..., N/2), detail)."""
+    h, g, _, _ = wavelet_filters(wavelet)
+    hd = jnp.asarray(h[::-1].copy(), x.dtype)   # conv kernel = reversed taps
+    gd = jnp.asarray(g[::-1].copy(), x.dtype)
+    return _periodic_conv_down(x, hd), _periodic_conv_down(x, gd)
+
+
+@partial(jax.jit, static_argnames=("wavelet",))
+def idwt(ca, cd, wavelet: str = "db4"):
+    """Inverse of one level: (approx, detail) -> signal (..., 2*len)."""
+    h, g, rl, rh = wavelet_filters(wavelet)
+    del h, g
+    a = _upsample_periodic_conv(ca, jnp.asarray(rl[::-1].copy(), ca.dtype))
+    d = _upsample_periodic_conv(cd, jnp.asarray(rh[::-1].copy(), cd.dtype))
+    L = len(rl)
+    # align: circular round-trip group delay is L-2 with the odd-phase
+    # (pywt-convention) analysis downsampling
+    return jnp.roll(a + d, -(L - 2), axis=-1)
+
+
+def wavedec(x, wavelet: str = "db4", levels: int = 3):
+    """Multi-level analysis: returns [cA_L, cD_L, ..., cD_1]."""
+    coeffs = []
+    a = jnp.asarray(x)
+    for _ in range(levels):
+        if a.shape[-1] % 2:
+            raise ValueError("signal length must be divisible by 2^levels")
+        a, d = dwt(a, wavelet)
+        coeffs.append(d)
+    coeffs.append(a)
+    return coeffs[::-1]
+
+
+def waverec(coeffs, wavelet: str = "db4"):
+    """Inverse of ``wavedec``."""
+    a = coeffs[0]
+    for d in coeffs[1:]:
+        a = idwt(a, d, wavelet)
+    return a
+
+
+def denoise_soft(x, wavelet: str = "db4", levels: int = 3,
+                 threshold=None):
+    """Wavelet soft-threshold denoising (VisuShrink default).
+
+    threshold defaults to sigma * sqrt(2 ln N) with sigma estimated from
+    the finest detail level's median absolute deviation / 0.6745.
+    """
+    coeffs = wavedec(x, wavelet, levels)
+    d1 = coeffs[-1]
+    if threshold is None:
+        sigma = jnp.median(jnp.abs(d1), axis=-1) / 0.6745
+        threshold = sigma * np.sqrt(2.0 * np.log(x.shape[-1]))
+    thr = jnp.asarray(threshold)
+    out = [coeffs[0]]
+    for d in coeffs[1:]:
+        out.append(jnp.sign(d) * jnp.maximum(jnp.abs(d) - thr, 0.0))
+    return waverec(out, wavelet)
