@@ -29,6 +29,7 @@ __all__ = [
     "firdes_notch",
     "firdes_doppler",
     "firdes_rrcos",
+    "firdes_savgol",
     "firdes_ls",
     "firdes_equiripple",
     "firdes_hilbert",
@@ -418,3 +419,32 @@ def firdes_equiripple(ntaps: int, bands, desired, weights=None,
         w = w * np.power(env + 1e-12, beta)
         w = w / np.max(w) * np.max(w0)  # keep conditioning sane
     return _coeffs_to_taps(coeffs, ntaps)
+
+
+def firdes_savgol(window_length: int, polyorder: int,
+                  deriv: int = 0) -> np.ndarray:
+    """Savitzky-Golay FIR taps: least-squares polynomial smoothing (or
+    differentiation) over a centered odd-length window.
+
+    The filter output at the window center equals the value (or the
+    ``deriv``-th derivative, unit sample spacing) of the best-fit
+    degree-``polyorder`` polynomial.  Closed form: with the Vandermonde
+    A[i, j] = x_i^j over centered abscissae x_i, the taps are
+    deriv! * row ``deriv`` of (A^T A)^{-1} A^T.  New capability (no
+    smoothing/differentiator designer anywhere in the reference).
+
+    Returned taps are in the same newest-last convention as the other
+    designers here — apply with ops.fir (group delay (W-1)/2 samples).
+    """
+    W, p, d = int(window_length), int(polyorder), int(deriv)
+    if W < 1 or W % 2 == 0:
+        raise ValueError("window_length must be odd and >= 1")
+    if not 0 <= p < W:
+        raise ValueError("need 0 <= polyorder < window_length")
+    if not 0 <= d <= p:
+        raise ValueError("need 0 <= deriv <= polyorder")
+    import math
+
+    x = np.arange(W, dtype=np.float64) - (W - 1) / 2.0
+    A = x[:, None] ** np.arange(p + 1)[None, :]
+    return np.linalg.pinv(A)[d] * float(math.factorial(d))

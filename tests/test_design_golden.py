@@ -351,3 +351,39 @@ class TestLsEquirippleDesign:
         h = firdes.firdes_ls(64, self.BANDS, self.DESIRED)
         assert len(h) == 65
         np.testing.assert_allclose(h, h[::-1], atol=1e-12)  # linear phase
+
+
+# ------------------------------------------------------- r2: Savitzky-Golay
+
+
+def test_savgol_matches_scipy():
+    from scipy.signal import savgol_coeffs
+
+    from solid_dsp_tpu.design.firdes import firdes_savgol
+    for W, p, d in [(5, 2, 0), (9, 3, 0), (11, 4, 1), (7, 3, 2)]:
+        mine = firdes_savgol(W, p, d)
+        # scipy returns convolution order (reversed) with use="conv"
+        ref = savgol_coeffs(W, p, deriv=d, use="dot")
+        np.testing.assert_allclose(mine, ref, atol=1e-12, err_msg=f"{W,p,d}")
+
+
+def test_savgol_smoother_preserves_polynomials():
+    """A degree-p polynomial passes through unchanged at the center."""
+    from solid_dsp_tpu.design.firdes import firdes_savgol
+    t = np.linspace(-1, 1, 101)
+    sig = 1.0 - 2 * t + 0.5 * t**2 + 0.3 * t**3
+    taps = firdes_savgol(11, 3)
+    sm = np.convolve(sig, taps[::-1], mode="valid")
+    np.testing.assert_allclose(sm, sig[5:-5], atol=1e-12)
+
+
+def test_savgol_validation():
+    import pytest
+
+    from solid_dsp_tpu.design.firdes import firdes_savgol
+    with pytest.raises(ValueError):
+        firdes_savgol(8, 2)
+    with pytest.raises(ValueError):
+        firdes_savgol(5, 5)
+    with pytest.raises(ValueError):
+        firdes_savgol(5, 2, deriv=3)
