@@ -1,0 +1,160 @@
+"""ADS-B / Mode S (1090 MHz) decoder: PPM demod, preamble detect, CRC-24.
+
+A real-world end-to-end showcase for the framework's detection stack —
+outside the reference's scope, standard equipment in any SDR suite.  Mode S
+extended squitter (DF17): 8 us preamble (pulses at 0, 1, 3.5, 4.5 us) then
+112 pulse-position-modulated bits (1 us per bit: energy in the first half
+-> 1, second half -> 0).  Parity: the last 24 bits are the remainder of
+the first 88 by the Mode S generator 0x1FFF409 (for DF17 the AP field is
+the parity itself, so a clean frame has remainder 0).
+
+TPU mapping: CRC-24 is ONE (88, 24) GF(2) matmul (batched over frames);
+PPM demod is a reshape + half-energy compare; preamble detection is a
+normalized correlation of the power envelope against the 16-chip preamble
+mask (conv1d_mxu) — no gathers, no per-bit loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fir import conv1d_mxu
+
+__all__ = ["MODE_S_GENERATOR", "crc24_remainder", "encode_df17",
+           "ppm_modulate", "ppm_demod_frame", "detect_preambles", "decode"]
+
+MODE_S_GENERATOR = 0x1FFF409          # 25-bit: x^24 + ... + 1
+_PREAMBLE_CHIPS = np.array([1, 0, 1, 0, 0, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0],
+                           np.float64)  # 0.5 us chips over the 8 us preamble
+
+
+def _crc_matrix(n_data: int = 88) -> np.ndarray:
+    """R (n_data, 24): remainder = bits @ R mod 2 (bits wire-order)."""
+    R = np.zeros((n_data, 24), np.int64)
+    for i in range(n_data):
+        # x^(n_data - 1 - i + 24) mod g, computed by long division
+        deg = n_data - 1 - i + 24
+        r = 1 << deg
+        for d in range(deg, 23, -1):
+            if r >> d & 1:
+                r ^= MODE_S_GENERATOR << (d - 24)
+        R[i] = [(r >> (23 - b)) & 1 for b in range(24)]
+    return R
+
+
+_R88 = _crc_matrix(88)
+# checking matrix for the full frame: message * x^24 mod g == 0 iff the
+# frame is valid (x^24 is coprime to g, so the extra factor keeps zeros)
+_R112 = _crc_matrix(112)
+
+
+@jax.jit
+def crc24_remainder(bits112) -> jnp.ndarray:
+    """(..., 112) wire-order bits -> (..., 24) parity remainder (all zero
+    for a valid DF17 frame) — one GF(2) matmul."""
+    b = jnp.asarray(bits112, jnp.int32)
+    return (b @ jnp.asarray(_R112, jnp.int32)) & 1
+
+
+def encode_df17(icao: int, me_bits) -> np.ndarray:
+    """Build a 112-bit DF17 frame: DF=17, CA=5, ICAO24, 56-bit ME, parity."""
+    me = np.asarray(me_bits, np.int64).reshape(56)
+    head = [(17 >> (4 - i)) & 1 for i in range(5)] + \
+           [(5 >> (2 - i)) & 1 for i in range(3)]
+    icao_bits = [(int(icao) >> (23 - i)) & 1 for i in range(24)]
+    data = np.asarray(head + icao_bits + me.tolist(), np.int64)
+    parity = data @ _R88 % 2
+    return np.concatenate([data, parity]).astype(np.int32)
+
+
+def ppm_modulate(bits112, sps: int = 2) -> np.ndarray:
+    """Frame bits -> unit-amplitude power envelope (preamble + PPM data).
+
+    ``sps`` = samples per 0.5 us chip (2 chips per bit).
+    """
+    b = np.asarray(bits112, np.int64).reshape(-1)
+    chips = np.empty(2 * len(b), np.float64)
+    chips[0::2] = b            # first half-bit pulse for a 1
+    chips[1::2] = 1 - b        # second half for a 0
+    all_chips = np.concatenate([_PREAMBLE_CHIPS, chips])
+    return np.repeat(all_chips, sps).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("sps",))
+def ppm_demod_frame(power, sps: int = 2):
+    """(..., 224*sps) data-section power -> ((..., 112) bits, confidence).
+
+    confidence = mean |E1 - E2| / (E1 + E2) over bits — 1.0 for clean PPM.
+    """
+    p = jnp.asarray(power)
+    v = p.reshape(*p.shape[:-1], 112, 2, sps).sum(axis=-1)
+    e1, e2 = v[..., 0], v[..., 1]
+    bits = (e1 > e2).astype(jnp.int32)
+    conf = jnp.mean(jnp.abs(e1 - e2) / (e1 + e2 + 1e-20), axis=-1)
+    return bits, conf
+
+
+@partial(jax.jit, static_argnames=("sps",))
+def preamble_score(power, sps: int = 2) -> jnp.ndarray:
+    """Normalized preamble correlation of the power envelope.
+
+    score[t] = (energy in the 4 preamble pulse chips) / (energy in the
+    whole 16-chip window) starting at sample t; ~0.95+ at a true preamble
+    (the 4 on-chips hold nearly all window energy), ~4/16 on noise.
+    """
+    p = jnp.asarray(power)
+    mask = np.repeat(_PREAMBLE_CHIPS, sps)
+    # conv1d_mxu computes a sliding correlation (sum_i k[i] a[t+i]), so
+    # the mask goes in wire order, NOT reversed
+    on = conv1d_mxu(p, jnp.asarray(mask, p.dtype))
+    total = conv1d_mxu(p, jnp.ones(len(mask), p.dtype))
+    return on / (total + 1e-20)
+
+
+def detect_preambles(power, sps: int = 2, threshold: float = 0.7,
+                     limit: int = 64) -> np.ndarray:
+    """Start indices of detected frames (host-side peak picking)."""
+    score = np.asarray(preamble_score(jnp.asarray(power), sps))
+    n_pre = 16 * sps
+    frame = n_pre + 224 * sps
+    cand = np.nonzero(score > threshold)[0]
+    starts = []
+    for t in cand:
+        if len(starts) >= limit:
+            break
+        if starts and t - starts[-1] < frame:
+            # keep the better-scoring start within one frame span
+            if score[t] > score[starts[-1]]:
+                starts[-1] = int(t)
+            continue
+        if int(t) + frame <= len(np.asarray(power)):
+            starts.append(int(t))
+    return np.asarray(starts, np.int64)
+
+
+def decode(x, sps: int = 2, threshold: float = 0.7) -> list:
+    """IQ or power stream -> list of decoded frames.
+
+    Each entry: dict(start, df, icao, bits, crc_ok, confidence).  ``x``
+    complex IQ is converted to power; real input is used as-is.
+    """
+    x = np.asarray(x)
+    power = (np.abs(x) ** 2).astype(np.float32) if np.iscomplexobj(x) \
+        else x.astype(np.float32)
+    out = []
+    n_pre = 16 * sps
+    for t in detect_preambles(power, sps, threshold):
+        seg = jnp.asarray(power[t + n_pre: t + n_pre + 224 * sps])
+        bits, conf = ppm_demod_frame(seg, sps)
+        bits = np.asarray(bits)
+        rem = np.asarray(crc24_remainder(jnp.asarray(bits)))
+        df = int(bits[:5] @ (1 << np.arange(4, -1, -1)))
+        icao = int(bits[8:32] @ (1 << np.arange(23, -1, -1, dtype=np.int64)))
+        out.append({"start": int(t), "df": df, "icao": icao,
+                    "bits": bits, "crc_ok": not rem.any(),
+                    "confidence": float(conf)})
+    return out
