@@ -9,6 +9,8 @@ chain.  The other subcommands expose the framework as a usable SDR tool:
 * ``spectrum`` — windowed-FFT spectral analysis of a recording (config 2)
 * ``bench``    — the headline throughput benchmark (same as bench.py)
 * ``tx``       — synthesize an IQ recording with the transmit chain
+* ``adsb``     — decode ADS-B / Mode S frames from a recording
+* ``ais``      — decode AIS bursts from a GMSK baseband recording
 """
 
 from __future__ import annotations
@@ -161,6 +163,52 @@ def _cmd_tx(args) -> int:
     return 0
 
 
+def _cmd_adsb(args) -> int:
+    import numpy as np
+
+    from .models import adsb
+    from .runtime import read_iq
+
+    x = read_iq(args.input, fmt=args.format)
+    frames = adsb.decode(np.asarray(x), sps=args.sps,
+                         threshold=args.threshold)
+    for fr in frames:
+        if fr["crc_ok"] or args.all:
+            print(json.dumps({
+                "start": fr["start"], "df": fr["df"],
+                "icao": f"{fr['icao']:06X}", "crc_ok": fr["crc_ok"],
+                "confidence": round(fr["confidence"], 3)}))
+    print(json.dumps({"frames": len(frames),
+                      "crc_ok": sum(f["crc_ok"] for f in frames)}),
+          file=sys.stderr)
+    return 0
+
+
+def _cmd_ais(args) -> int:
+    import numpy as np
+
+    from .models import ais
+    from .runtime import read_iq
+
+    x = read_iq(args.input, fmt=args.format)
+    frames = ais.ais_receive(np.asarray(x), sps=args.sps)
+    n_ok = 0
+    for payload, ok in frames:
+        if not ok and not args.all:
+            continue
+        n_ok += bool(ok)
+        row = {"crc_ok": bool(ok), "bits": int(len(payload))}
+        if len(payload) >= 168:
+            try:
+                row.update(ais.parse_type123(payload[:168]))
+            except Exception:
+                pass
+        print(json.dumps(row))
+    print(json.dumps({"frames": len(frames), "crc_ok": n_ok}),
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="solid_dsp_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -207,6 +255,20 @@ def main(argv=None) -> int:
                    choices=["cf32", "ci16", "ci8", "cf64"])
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_tx)
+
+    for name, fn, help_ in (("adsb", _cmd_adsb,
+                             "decode ADS-B / Mode S frames (power or IQ)"),
+                            ("ais", _cmd_ais,
+                             "decode AIS bursts (GMSK baseband IQ)")):
+        a = sub.add_parser(name, help=help_)
+        a.add_argument("input")
+        a.add_argument("--format", default="cf32",
+                       choices=["cf32", "ci16", "ci8", "cf64"])
+        a.add_argument("--sps", type=int, default=2 if name == "adsb" else 8)
+        a.add_argument("--threshold", type=float, default=0.7)
+        a.add_argument("--all", action="store_true",
+                       help="also print CRC-failed frames")
+        a.set_defaults(fn=fn)
 
     args = p.parse_args(argv)
     return args.fn(args)

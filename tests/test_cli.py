@@ -85,3 +85,27 @@ def test_tx_rx_cli_roundtrip(tmp_path, capsys):
     best = max(abs(np.corrcoef(a, msg[512 - l: 512 - l + len(a)])[0, 1])
                for l in range(0, 40))
     assert best > 0.9, best
+
+
+def test_cli_adsb_and_ais(tmp_path, capsys):
+    from solid_dsp_tpu.models import adsb, ais
+
+    rng = np.random.default_rng(0)
+    # ADS-B recording
+    f = adsb.encode_df17(0x4840D6, rng.integers(0, 2, 56))
+    env = adsb.ppm_modulate(f, 2)
+    x = np.zeros(4000, np.complex64)
+    x[500: 500 + len(env)] = env
+    pa = str(tmp_path / "adsb.cf32")
+    write_iq(pa, x)
+    assert main(["adsb", pa]) == 0
+    out = capsys.readouterr().out
+    assert '"icao": "4840D6"' in out and '"crc_ok": true' in out
+    # AIS recording
+    iq = ais.ais_transmit(ais.build_type1_payload(123456789, 1.0, 2.0), 8)
+    pb = str(tmp_path / "ais.cf32")
+    write_iq(pb, np.concatenate([np.zeros(200, np.complex64),
+                                 iq.astype(np.complex64)]))
+    assert main(["ais", pb]) == 0
+    out = capsys.readouterr().out
+    assert '"mmsi": 123456789' in out
