@@ -33,7 +33,12 @@ _PREAMBLE_CHIPS = np.array([1, 0, 1, 0, 0, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0],
 
 
 def _crc_matrix(n_data: int = 88) -> np.ndarray:
-    """R (n_data, 24): remainder = bits @ R mod 2 (bits wire-order)."""
+    """R (n_data, 24): remainder = bits @ R mod 2 (bits wire-order).
+
+    Fixed-width batched companion of utils.bits.crc_compute (which folds
+    arbitrary-length streams via chunked scans); here frames are a fixed
+    112 bits, so ONE precomputed matrix batches over frames.
+    """
     R = np.zeros((n_data, 24), np.int64)
     for i in range(n_data):
         # x^(n_data - 1 - i + 24) mod g, computed by long division
@@ -118,9 +123,11 @@ def preamble_score(power, sps: int = 2) -> jnp.ndarray:
 def detect_preambles(power, sps: int = 2, threshold: float = 0.7,
                      limit: int = 64) -> np.ndarray:
     """Start indices of detected frames (host-side peak picking)."""
+    power = np.asarray(power)
     score = np.asarray(preamble_score(jnp.asarray(power), sps))
     n_pre = 16 * sps
     frame = n_pre + 224 * sps
+    n = len(power)
     cand = np.nonzero(score > threshold)[0]
     starts = []
     for t in cand:
@@ -131,7 +138,7 @@ def detect_preambles(power, sps: int = 2, threshold: float = 0.7,
             if score[t] > score[starts[-1]]:
                 starts[-1] = int(t)
             continue
-        if int(t) + frame <= len(np.asarray(power)):
+        if int(t) + frame <= n:
             starts.append(int(t))
     return np.asarray(starts, np.int64)
 

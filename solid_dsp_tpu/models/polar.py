@@ -58,7 +58,7 @@ def polar_construct(n: int, k: int, design_snr_db: float = 2.0) -> np.ndarray:
     return info
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _butterfly_xor(x: jnp.ndarray) -> jnp.ndarray:
     """Apply the full F^{(x)n} butterfly: log2(N) stages of paired XORs.
 

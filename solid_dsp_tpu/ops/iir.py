@@ -39,6 +39,7 @@ import numpy as np
 from ..analysis.freq_response import iir_frequency_response
 from ..analysis.group_delay import iir_group_delay
 from .fir import fir_apply, fir_init
+from .linrec import affine_scan
 
 __all__ = [
     "iir_init",
@@ -140,15 +141,7 @@ def _w_recurrence_parallel(a_tail: jnp.ndarray, w_state: jnp.ndarray, x: jnp.nda
     # fold the incoming state into the first element: s[0] = A w_state + v[0]
     vs = vs.at[0].add(A @ w_state.astype(x.dtype))
 
-    def combine(left, right):
-        A1, v1 = left
-        A2, v2 = right
-        return (
-            jnp.matmul(A2, A1, precision="highest"),
-            jnp.einsum("...ij,...j->...i", A2, v1) + v2,
-        )
-
-    _, s = jax.lax.associative_scan(combine, (As, vs))
+    s = affine_scan(As, vs, precision="highest")
     w_seq = s[:, 0]
     # state vector is [w[n], w[n-1], ...] = s[-1] directly (companion form)
     return w_seq, s[-1]

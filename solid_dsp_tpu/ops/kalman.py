@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .linrec import affine_scan
+
 __all__ = ["kalman_init", "kalman_apply", "steady_state_gain",
            "kalman_lti_apply", "alpha_beta_gains", "AlphaBetaTracker",
            "cv_model"]
@@ -98,13 +100,6 @@ def steady_state_gain(A, C, Q, R, iters: int = 10_000, tol: float = 1e-12):
     return K, F
 
 
-def _affine_combine(left, right):
-    """Compose affine maps: (F2, b2) ∘ (F1, b1) = (F2 F1, F2 b1 + b2)."""
-    F1, b1 = left
-    F2, b2 = right
-    return F2 @ F1, jnp.einsum("...ij,...j->...i", F2, b1) + b2
-
-
 @partial(jax.jit, static_argnames=("method",))
 def kalman_lti_apply(x0, Z, K, F, method: str = "parallel"):
     """Steady-state (LTI) Kalman filter:  x_k = F x_{k-1} + K z_k.
@@ -115,8 +110,9 @@ def kalman_lti_apply(x0, Z, K, F, method: str = "parallel"):
     shardable); ``"scan"`` is the sequential reference path.
     """
     F = jnp.asarray(F)
-    K = jnp.atleast_2d(jnp.asarray(K).T).T if jnp.asarray(K).ndim == 1 \
-        else jnp.asarray(K)
+    K = jnp.asarray(K)
+    if K.ndim == 1:
+        K = K[:, None]                      # (n,) -> (n, 1): one measurement
     Z2 = Z[:, None] if Z.ndim == 1 else Z
     B = Z2 @ K.T                                   # (T, n) inputs K z_k
 
@@ -131,7 +127,7 @@ def kalman_lti_apply(x0, Z, K, F, method: str = "parallel"):
     Fs = jnp.broadcast_to(F, (T, *F.shape))
     # absorb the initial state into the first step's offset
     B0 = B.at[0].add(F @ x0)
-    _, X = jax.lax.associative_scan(_affine_combine, (Fs, B0))
+    X = affine_scan(Fs, B0)
     return X, X[-1]
 
 

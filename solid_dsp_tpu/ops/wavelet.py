@@ -86,8 +86,7 @@ def dwt(x, wavelet: str = "db4"):
 @partial(jax.jit, static_argnames=("wavelet",))
 def idwt(ca, cd, wavelet: str = "db4"):
     """Inverse of one level: (approx, detail) -> signal (..., 2*len)."""
-    h, g, rl, rh = wavelet_filters(wavelet)
-    del h, g
+    _, _, rl, rh = wavelet_filters(wavelet)
     a = _upsample_periodic_conv(ca, jnp.asarray(rl[::-1].copy(), ca.dtype))
     d = _upsample_periodic_conv(cd, jnp.asarray(rh[::-1].copy(), cd.dtype))
     L = len(rl)
