@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "noise_blanker",
     "estimate_dc", "estimate_iq_imbalance", "correct",
     "apply_iq_imbalance", "image_rejection_db", "ImpairmentCorrector",
 ]
@@ -151,3 +152,21 @@ class ImpairmentCorrector:
     def __repr__(self):
         return (f"ImpairmentCorrector [dc={self.dc:.2g}] [k={self.k:.2g}] "
                 f"[bw={self.bandwidth}]")
+
+
+@jax.jit
+def noise_blanker(x, k: float = 6.0):
+    """Impulse-noise blanker: zero samples whose envelope exceeds
+    ``k`` * (robust scale), the classic SDR front-end defense against
+    ignition/lightning/radar impulses.
+
+    The scale is the median absolute envelope / 0.6745-ish for a complex
+    signal — robust to the impulses themselves (a mean-based threshold
+    would be dragged up by the very spikes it should remove).  Returns
+    (cleaned, blanked_fraction).
+    """
+    r = jnp.abs(x)
+    scale = jnp.median(r, axis=-1, keepdims=True)
+    keep = r <= k * jnp.maximum(scale, 1e-30)
+    y = jnp.where(keep, x, 0.0)
+    return y, 1.0 - jnp.mean(keep.astype(jnp.float32), axis=-1)

@@ -79,3 +79,29 @@ def test_tone_image_suppression():
     # NOTE: a pure tone is NOT proper (E[s^2] spins at 2f but averages to
     # ~0 over many cycles), so blind estimation still works
     assert image_dbc(y) < -40.0
+
+
+def test_noise_blanker_removes_impulses():
+    from solid_dsp_tpu.models.impairments import noise_blanker
+    rng = np.random.default_rng(0)
+    n = 1 << 14
+    x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         / np.sqrt(2)).astype(np.complex64)
+    hits = rng.choice(n, 40, replace=False)
+    x_imp = x.copy()
+    x_imp[hits] += 50.0 * np.exp(2j * np.pi * rng.random(40))
+    y, frac = noise_blanker(jnp.asarray(x_imp), k=6.0)
+    y = np.asarray(y)
+    # all impulses blanked
+    assert np.all(np.abs(y[hits]) == 0.0)
+    # blanked fraction ~ the impulse fraction (few false positives)
+    assert float(frac) < 3 * 40 / n
+    # non-impulse samples untouched
+    mask = np.ones(n, bool)
+    mask[hits] = False
+    kept = np.abs(y[mask]) > 0
+    np.testing.assert_allclose(y[mask][kept],
+                               x_imp[mask][np.abs(y[mask]) > 0], atol=0)
+    # clean signal mostly passes through
+    y2, frac2 = noise_blanker(jnp.asarray(x), k=6.0)
+    assert float(frac2) < 1e-3
