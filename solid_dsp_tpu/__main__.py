@@ -265,7 +265,8 @@ def main(argv=None) -> int:
         a.add_argument("--format", default="cf32",
                        choices=["cf32", "ci16", "ci8", "cf64"])
         a.add_argument("--sps", type=int, default=2 if name == "adsb" else 8)
-        a.add_argument("--threshold", type=float, default=0.7)
+        if name == "adsb":
+            a.add_argument("--threshold", type=float, default=0.7)
         a.add_argument("--all", action="store_true",
                        help="also print CRC-failed frames")
         a.set_defaults(fn=fn)

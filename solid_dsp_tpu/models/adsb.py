@@ -121,7 +121,7 @@ def preamble_score(power, sps: int = 2) -> jnp.ndarray:
 
 
 def detect_preambles(power, sps: int = 2, threshold: float = 0.7,
-                     limit: int = 64) -> np.ndarray:
+                     limit: int = 256) -> np.ndarray:
     """Start indices of detected frames (host-side peak picking)."""
     power = np.asarray(power)
     score = np.asarray(preamble_score(jnp.asarray(power), sps))
@@ -134,8 +134,9 @@ def detect_preambles(power, sps: int = 2, threshold: float = 0.7,
         if len(starts) >= limit:
             break
         if starts and t - starts[-1] < frame:
-            # keep the better-scoring start within one frame span
-            if score[t] > score[starts[-1]]:
+            # keep the better-scoring start within one frame span (only
+            # if the replacement also leaves room for a whole frame)
+            if score[t] > score[starts[-1]] and int(t) + frame <= n:
                 starts[-1] = int(t)
             continue
         if int(t) + frame <= n:
@@ -143,8 +144,9 @@ def detect_preambles(power, sps: int = 2, threshold: float = 0.7,
     return np.asarray(starts, np.int64)
 
 
-def decode(x, sps: int = 2, threshold: float = 0.7) -> list:
-    """IQ or power stream -> list of decoded frames.
+def decode(x, sps: int = 2, threshold: float = 0.7,
+           limit: int = 256) -> list:
+    """IQ or power stream -> list of decoded frames (at most ``limit``).
 
     Each entry: dict(start, df, icao, bits, crc_ok, confidence).  ``x``
     complex IQ is converted to power; real input is used as-is.
@@ -154,7 +156,7 @@ def decode(x, sps: int = 2, threshold: float = 0.7) -> list:
         else x.astype(np.float32)
     out = []
     n_pre = 16 * sps
-    for t in detect_preambles(power, sps, threshold):
+    for t in detect_preambles(power, sps, threshold, limit):
         seg = jnp.asarray(power[t + n_pre: t + n_pre + 224 * sps])
         bits, conf = ppm_demod_frame(seg, sps)
         bits = np.asarray(bits)

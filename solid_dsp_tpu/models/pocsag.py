@@ -72,15 +72,24 @@ def _syndrome31(cw31: int) -> int:
 
 
 def bch3121_syndrome_decode(cw32: int):
-    """32-bit codeword -> (data21, ok) correcting up to 2 bit errors."""
+    """32-bit codeword -> (data21, ok) correcting up to 2 bit errors.
+
+    A zero syndrome is trusted directly (a wrong parity bit alone does
+    not affect the data).  When a correction WAS applied, the overall
+    even parity must agree afterwards — this catches ~43% of 3-error
+    patterns that the bare 2-error syndrome table would silently
+    miscorrect (Monte-Carlo pinned in tests).
+    """
     cw31 = int(cw32) >> 1
     syn = _syndrome31(cw31)
-    if syn:
-        e = _syndrome_table().get(syn)
-        if e is None:
-            return (cw31 >> 10) & 0x1FFFFF, False
-        cw31 ^= e
-    return (cw31 >> 10) & 0x1FFFFF, True
+    if syn == 0:
+        return (cw31 >> 10) & 0x1FFFFF, True
+    e = _syndrome_table().get(syn)
+    if e is None:
+        return (cw31 >> 10) & 0x1FFFFF, False
+    cw31 ^= e
+    parity_ok = (bin(cw31).count("1") + (int(cw32) & 1)) % 2 == 0
+    return (cw31 >> 10) & 0x1FFFFF, parity_ok
 
 
 def _words_to_bits(words) -> np.ndarray:
@@ -116,10 +125,14 @@ def pocsag_encode(address: int, message: str = "", function: int = 0
     slots = [IDLE_WORD] * 16
     pos = 2 * frame_slot
     slots[pos] = bch3121_encode(addr_data)               # address: bit0=0
+    capacity = 16 - (pos + 1)
+    if len(msg_words) > capacity:
+        raise ValueError(
+            f"message needs {len(msg_words)} codewords but frame slot "
+            f"{frame_slot} leaves {capacity} in one batch "
+            f"(max {capacity * 20 // 7} characters for this address)")
     k = pos + 1
     for mw in msg_words:
-        if k >= 16:
-            break                                        # single batch demo
         slots[k] = bch3121_encode((1 << 20) | mw)        # message: bit0=1
         k += 1
     preamble = np.tile([1, 0], 288).astype(np.int8)

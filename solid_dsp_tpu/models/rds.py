@@ -80,8 +80,9 @@ def rds_modulate(bits, fs: float, phase_pilot: float = 0.0) -> np.ndarray:
     """Data bits -> MPX-rate RDS signal (add to the stereo multiplex).
 
     Differential encode, biphase (+half/-half) symbol shaping, DSB-SC on
-    sin(3 * pilot phase) (the receiver's pilot-cubed reference).  ``fs`` must make 57000/1187.5 * (fs/228000)
-    an integer samples-per-bit (any multiple of 228 kHz works).
+    sin(3 * pilot phase) — the receiver's pilot-cubed reference.  ``fs``
+    must give an even integer number of samples per 1187.5 Hz bit (any
+    multiple of 228 kHz works).
     """
     spb = fs / 1187.5
     if abs(spb - round(spb)) > 1e-9:
@@ -188,13 +189,9 @@ def parse_groups(groups) -> dict:
 
 
 def rds_receive(mpx, fs: float) -> dict:
-    """MPX -> dict(pi, ps, n_groups)."""
-    bits = rds_demodulate_bits(mpx, fs)
-    # bit-phase ambiguity: biphase symbol pairing may be off by one bit
-    for shift in (0, 1):
-        groups = block_sync_decode(bits[shift:])
-        if groups:
-            info = parse_groups(groups)
-            info["n_groups"] = len(groups)
-            return info
-    return {"pi": None, "ps": "", "n_groups": 0}
+    """MPX -> dict(pi, ps, n_groups).  block_sync_decode slides bit by
+    bit, so it already covers every bit/biphase alignment."""
+    groups = block_sync_decode(rds_demodulate_bits(mpx, fs))
+    info = parse_groups(groups) if groups else {"pi": None, "ps": ""}
+    info["n_groups"] = len(groups)
+    return info

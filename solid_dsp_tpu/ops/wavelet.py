@@ -126,7 +126,7 @@ def denoise_soft(x, wavelet: str = "db4", levels: int = 3,
     coeffs = wavedec(x, wavelet, levels)
     d1 = coeffs[-1]
     if threshold is None:
-        sigma = jnp.median(jnp.abs(d1), axis=-1) / 0.6745
+        sigma = jnp.median(jnp.abs(d1), axis=-1, keepdims=True) / 0.6745
         threshold = sigma * np.sqrt(2.0 * np.log(x.shape[-1]))
     thr = jnp.asarray(threshold)
     out = [coeffs[0]]

@@ -33,9 +33,6 @@ def test_crc_matrix_matches_bitserial():
     for _ in range(10):
         data = rng.integers(0, 2, 88)
         ref = _crc24_bitserial(data)
-        frame = encode_df17(0, np.zeros(56, np.int64))
-        parity = np.asarray(encode_df17_parity := None) if False else None
-        # encode path: build frame manually with the same data
         from solid_dsp_tpu.models.adsb import _R88
         par = data @ _R88 % 2
         got = int(par @ (1 << np.arange(23, -1, -1, dtype=np.int64)))
@@ -95,3 +92,19 @@ def test_decode_complex_iq_input():
                  + 1j * rng.standard_normal(2000))
     frames = decode(x, sps=2, threshold=0.6)
     assert any(fr["crc_ok"] and fr["icao"] == 0x123456 for fr in frames)
+
+
+def test_truncated_capture_does_not_crash():
+    """A stronger preamble candidate near the buffer end must not oust an
+    in-bounds start (regression: reshape crash on short final slice)."""
+    rng = np.random.default_rng(6)
+    f = encode_df17(0x4840D6, rng.integers(0, 2, 56))
+    env = ppm_modulate(f, 2)
+    n = len(env) + 100
+    x = 0.02 * rng.random(n).astype(np.float32)
+    x[50: 50 + len(env)] += env                 # full frame, in bounds
+    # fake strong "preamble" right near the end (frame would overrun)
+    tail = ppm_modulate(f, 2)[: 16 * 2]
+    x[n - 40: n - 40 + 32] += 5.0 * tail[:32]
+    frames = decode(x, sps=2, threshold=0.6)
+    assert any(fr["crc_ok"] and fr["icao"] == 0x4840D6 for fr in frames)

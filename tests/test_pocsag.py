@@ -67,3 +67,28 @@ def test_full_fsk_link():
     assert len(pages) == 1
     assert pages[0]["address"] == 2080774
     assert pages[0]["message"] == "PAGE ME"
+
+
+def test_three_errors_mostly_flagged_not_miscorrected():
+    """The post-correction parity check catches the 3-error patterns the
+    bare 2-error syndrome table would silently miscorrect."""
+    rng = np.random.default_rng(4)
+    silent_wrong = 0
+    trials = 500
+    for _ in range(trials):
+        data = int(rng.integers(0, 1 << 21))
+        cw = bch3121_encode(data)
+        pos = rng.choice(31, 3, replace=False)
+        bad = cw
+        for p in pos:
+            bad ^= 1 << (int(p) + 1)
+        got, ok = bch3121_syndrome_decode(bad)
+        if ok and got != data:
+            silent_wrong += 1
+    # parity catches every odd-weight residual error: zero silent passes
+    assert silent_wrong == 0, silent_wrong
+
+
+def test_message_capacity_validated():
+    with pytest.raises(ValueError, match="codewords"):
+        pocsag_encode(7, "X" * 50)          # slot 7: tiny capacity

@@ -71,3 +71,15 @@ def test_denoise_soft_improves_mse():
 def test_unknown_wavelet_rejected():
     with pytest.raises(ValueError, match="unknown wavelet"):
         wavelet_filters("sym8")
+
+
+def test_denoise_soft_batched():
+    rng = np.random.default_rng(3)
+    clean = np.sin(2 * np.pi * 4 * np.linspace(0, 1, 512))
+    noisy = (clean[None, :] + 0.3 * rng.standard_normal((3, 512))
+             ).astype(np.float32)
+    den = np.asarray(denoise_soft(jnp.asarray(noisy), "db4", levels=3))
+    assert den.shape == (3, 512)
+    for i in range(3):
+        assert np.mean((den[i] - clean) ** 2) < np.mean(
+            (noisy[i] - clean) ** 2) / 2
