@@ -490,6 +490,28 @@ def bench_tracking():
     return out
 
 
+def bench_detection():
+    """r2 additions: wavelet denoising + CA-CFAR detection throughput."""
+    from solid_dsp_tpu.models.radar import cfar_ca
+    from solid_dsp_tpu.ops.wavelet import denoise_soft
+
+    out = []
+    L = _size(21)
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal(L).astype(np.float32))
+    step = _stateless_step(lambda a: denoise_soft(a, "db4", levels=4), xr)
+    t = _measure(step, jnp.zeros(()))
+    out.append(_row("wavelet_denoise_db4_l4", L / t))
+
+    P = jnp.asarray(rng.exponential(1.0, L).astype(np.float32))
+    step = _stateless_step(
+        lambda a: cfar_ca(a, guard=2, train=16, pfa=1e-4)[0].astype(
+            jnp.float32), P)
+    t = _measure(step, jnp.zeros(()))
+    out.append(_row("cfar_ca_g2t16", L / t))
+    return out
+
+
 def main():
     import sys
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -500,7 +522,7 @@ def main():
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
                bench_modem_frontend, bench_ldpc, bench_polar, bench_tx_dsp,
-               bench_tracking):
+               bench_tracking, bench_detection):
         if picks and not any(p in fn.__name__ for p in picks):
             continue
         try:
