@@ -9,6 +9,9 @@ from .spectral import (  # noqa: F401
     csd,
     coherence,
     cepstrum,
+    analytic_signal,
+    envelope,
+    instantaneous_frequency,
 )
 
 from .snr import snr_m2m4, evm, noise_floor, tone_snr  # noqa: F401

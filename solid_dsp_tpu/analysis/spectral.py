@@ -27,6 +27,7 @@ import numpy as np
 
 __all__ = ["frame_signal", "stft", "spectrogram", "welch_psd",
            "csd", "coherence", "cepstrum",
+           "analytic_signal", "envelope", "instantaneous_frequency",
            "goertzel_bank"]
 
 
@@ -207,3 +208,41 @@ def cepstrum(x: jnp.ndarray, kind: str = "real") -> jnp.ndarray:
             axis=-1)
         return jnp.real(c * jnp.conj(c))
     raise ValueError(f"unknown cepstrum kind {kind!r} (real|power)")
+
+
+@jax.jit
+def analytic_signal(x: jnp.ndarray) -> jnp.ndarray:
+    """Analytic signal of a real block via the FFT method (Marple):
+    double positive frequencies, zero negative ones, keep DC/Nyquist.
+
+    Whole-block (periodic) semantics like the other spectral helpers; for
+    streaming use the FIR Hilbert designer (design.firdes.firdes_hilbert).
+    """
+    n = x.shape[-1]
+    X = jnp.fft.fft(x.astype(jnp.complex64)
+                    if x.dtype != jnp.float64 else x.astype(jnp.complex128),
+                    axis=-1)
+    h = np.zeros(n)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[1: n // 2] = 2.0
+        h[n // 2] = 1.0            # Nyquist bin kept once
+    else:
+        h[1: (n + 1) // 2] = 2.0
+    return jnp.fft.ifft(X * jnp.asarray(h, X.dtype), axis=-1)
+
+
+@jax.jit
+def envelope(x: jnp.ndarray) -> jnp.ndarray:
+    """Instantaneous amplitude |analytic(x)| of a real block."""
+    return jnp.abs(analytic_signal(x))
+
+
+@jax.jit
+def instantaneous_frequency(x: jnp.ndarray) -> jnp.ndarray:
+    """Instantaneous frequency (cycles/sample, length n-1) from the
+    analytic phase difference — real input; complex input is used as its
+    own analytic signal."""
+    z = analytic_signal(x) if not jnp.iscomplexobj(x) else jnp.asarray(x)
+    d = z[..., 1:] * jnp.conj(z[..., :-1])
+    return jnp.angle(d) / (2.0 * jnp.pi)

@@ -164,3 +164,34 @@ def test_cepstrum_echo_peak():
     assert abs(c[D] - a / 2) < 0.1 * (a / 2)
     cp = np.asarray(cepstrum(jnp.asarray(x), kind="power"))
     assert int(np.argmax(cp[1: N // 2])) + 1 == D
+
+
+# -------------------------------------------------- r2: analytic signal
+
+
+def test_analytic_signal_of_cosine_is_phasor():
+    n = np.arange(1024)
+    f = 72 / 1024            # bin-centered: exact under periodic semantics
+    x = np.cos(2 * np.pi * f * n).astype(np.float32)
+    z = np.asarray(spectral.analytic_signal(jnp.asarray(x)))
+    expect = np.exp(2j * np.pi * f * n)
+    np.testing.assert_allclose(z, expect, atol=1e-4)
+
+
+def test_envelope_of_am():
+    n = np.arange(4096)
+    env_true = 1.0 + 0.5 * np.sin(2 * np.pi * 0.001 * n)
+    x = (env_true * np.cos(2 * np.pi * 0.1 * n)).astype(np.float32)
+    env = np.asarray(spectral.envelope(jnp.asarray(x)))
+    # interior samples (block edges carry FFT periodicity artifacts)
+    np.testing.assert_allclose(env[100:-100], env_true[100:-100], atol=0.02)
+
+
+def test_instantaneous_frequency_of_chirp():
+    n = np.arange(8192)
+    f0, f1 = 0.05, 0.15
+    phase = 2 * np.pi * (f0 * n + (f1 - f0) * n * n / (2 * len(n)))
+    x = np.cos(phase).astype(np.float32)
+    fi = np.asarray(spectral.instantaneous_frequency(jnp.asarray(x)))
+    f_true = f0 + (f1 - f0) * n[:-1] / len(n)
+    np.testing.assert_allclose(fi[200:-200], f_true[200:-200], atol=0.002)
