@@ -422,6 +422,24 @@ def bench_polar():
     return _row("polar_bp_decode_256_15it", B * 128 / t, "Minfobits/s")
 
 
+def bench_turbo():
+    """Batched 6-iteration max-log-MAP turbo decode (state-vectorized)."""
+    from solid_dsp_tpu.models.turbo import TurboCode
+
+    tc = TurboCode(1024, n_iter=6)
+    B = 8 if SMOKE else 128
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (tc.K,))
+    cw = np.asarray(tc.encode(bits))
+    llr = np.tile((1 - 2.0 * cw) * 4, (B, 1))
+    llr += rng.standard_normal(llr.shape)
+    llr_j = jnp.asarray(llr.astype(np.float32))
+    dec = jax.vmap(lambda l: tc.decode(l)[1])
+    step = _stateless_step(dec, llr_j)
+    t = _measure(step, jnp.zeros(()), ks=(1, 2, 3) if SMOKE else (1, 4, 8))
+    return _row("turbo_decode_1024_6it", B * tc.K / t, "Minfobits/s")
+
+
 def bench_tx_dsp():
     """r2 additions: memory-polynomial DPD apply + CFR clip-and-filter."""
     from solid_dsp_tpu.models.cfr import band_mask, cfr_icf
@@ -521,7 +539,8 @@ def main():
                bench_rx_chain_parity_scan, bench_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
-               bench_modem_frontend, bench_ldpc, bench_polar, bench_tx_dsp,
+               bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
+               bench_tx_dsp,
                bench_tracking, bench_detection):
         if picks and not any(p in fn.__name__ for p in picks):
             continue
