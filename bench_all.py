@@ -422,6 +422,22 @@ def bench_polar():
     return _row("polar_bp_decode_256_15it", B * 128 / t, "Minfobits/s")
 
 
+def bench_cyclo():
+    """Cyclostationary alpha-grid scan (batched STFT cross-products)."""
+    from solid_dsp_tpu.analysis.cyclo import cycle_profile
+
+    rng = np.random.default_rng(0)
+    N = _size(16 if SMOKE else 20)
+    A = 8 if SMOKE else 64
+    x = jnp.asarray((rng.standard_normal(N) + 1j * rng.standard_normal(N)
+                     ).astype(np.complex64))
+    alphas = jnp.asarray(np.linspace(0.03, 0.4, A).astype(np.float32))
+    step = _stateless_step(
+        lambda a: cycle_profile(a, alphas, nfft=256, hop=64), x)
+    t = _measure(step, jnp.zeros(()), ks=(1, 2, 3) if SMOKE else (1, 4, 8))
+    return _row("cyclo_scan_64alpha", A * N / t, "Malpha-samples/s")
+
+
 def bench_turbo():
     """Batched 6-iteration max-log-MAP turbo decode (state-vectorized)."""
     from solid_dsp_tpu.models.turbo import TurboCode
@@ -540,7 +556,7 @@ def main():
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
                bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
-               bench_tx_dsp,
+               bench_cyclo, bench_tx_dsp,
                bench_tracking, bench_detection):
         if picks and not any(p in fn.__name__ for p in picks):
             continue

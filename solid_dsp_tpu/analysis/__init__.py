@@ -15,6 +15,9 @@ from .spectral import (  # noqa: F401
 )
 
 from .snr import snr_m2m4, evm, noise_floor, tone_snr  # noqa: F401
+from .cyclo import (  # noqa: F401
+    cyclic_spectrum, cycle_profile, detect_cyclic_features,
+    estimate_symbol_rate)
 
 from .group_delay import fir_group_delay, iir_group_delay, fir_group_delay_band  # noqa: F401
 from .freq_response import (  # noqa: F401
