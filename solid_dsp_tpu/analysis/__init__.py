@@ -18,6 +18,9 @@ from .snr import snr_m2m4, evm, noise_floor, tone_snr  # noqa: F401
 from .cyclo import (  # noqa: F401
     cyclic_spectrum, cycle_profile, detect_cyclic_features,
     estimate_symbol_rate)
+from .estimate import (  # noqa: F401
+    tone_freq_kay, tone_freq_fft, tone_phase, tone_amplitude,
+    tdoa_gcc_phat)
 
 from .group_delay import fir_group_delay, iir_group_delay, fir_group_delay_band  # noqa: F401
 from .freq_response import (  # noqa: F401
