@@ -14,5 +14,6 @@ from . import autocorr  # noqa: F401
 from . import trig_transforms  # noqa: F401
 from . import kalman  # noqa: F401
 from . import wavelet  # noqa: F401
+from . import zerophase  # noqa: F401
 
 # pallas_kernels imported lazily (pulls in Mosaic machinery)
