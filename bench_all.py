@@ -104,18 +104,12 @@ def _stateless_step(f, x):
 
 
 def bench_hbm_control():
-    a = jnp.ones((_size(26),), jnp.float32)  # 256 MB
+    # the one shared speed-of-light control (utils/benchtime.py) —
+    # methodology changes there apply to this gate automatically
+    from solid_dsp_tpu.utils.benchtime import hbm_read_control
 
-    @jax.jit
-    def red(a, seed):
-        return jnp.sum(a) + 1e-12 * seed
-
-    def step(s):
-        c = red(a, s)
-        return c, c
-
-    t = _measure(step, jnp.zeros((), jnp.float32), ks=(2, 10, 18))
-    return {"metric": "hbm_read_control", "value": round(a.nbytes / t / 1e9, 1),
+    r = hbm_read_control(_size(26) * 4)  # 256 MB (tiny under SMOKE)
+    return {"metric": "hbm_read_control", "value": round(r["gbps"], 1),
             "unit": "GB/s", "vs_baseline": 0.0}
 
 
@@ -221,6 +215,32 @@ def bench_channelizer():
     tail = channelizer_init(M, K, jnp.complex64)
     t = _measure(step, (jnp.zeros(()), tail))
     return _row("channelizer_256ch", L / t)
+
+
+def bench_os_channelizer():
+    """2x-oversampled WOLA bank (twice the FFT + fold work per sample)."""
+    from solid_dsp_tpu.models.channelizer import (
+        channelizer_taps, os_channelizer_apply, os_channelizer_init)
+
+    M, K = 256, 8
+    L = M * (64 if SMOKE else 4096)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
+                     ).astype(np.complex64))
+    taps = np.asarray(channelizer_taps(M, K), dtype=np.complex64)
+
+    @jax.jit
+    def g(state, x):
+        Y, state2 = os_channelizer_apply(taps, state, x, M)
+        return jnp.sum(jnp.abs(Y)), state2
+
+    def step(carry):
+        chk, state = carry
+        c2, state2 = g(state, x)
+        return c2, (c2, state2)
+
+    t = _measure(step, (jnp.zeros(()), os_channelizer_init(M, K)))
+    return _row("os_channelizer_256ch", L / t)
 
 
 def bench_iir_bank():
@@ -553,6 +573,7 @@ def main():
                bench_rx_chain_ci16_ingest,
                bench_rx_chain_parity_parallel,
                bench_rx_chain_parity_scan, bench_channelizer,
+               bench_os_channelizer,
                bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
                bench_fft_nonpow2, bench_frontend_ops,
                bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,

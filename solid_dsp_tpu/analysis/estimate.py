@@ -59,29 +59,41 @@ def tone_freq_kay(x) -> jnp.ndarray:
     return ang / (2 * jnp.pi)
 
 
-@partial(jax.jit, static_argnames=("pad",))
-def tone_freq_fft(x, pad: int = 4) -> jnp.ndarray:
-    """Periodogram-argmax frequency with complex-ratio interpolation.
+@partial(jax.jit, static_argnames=("pad", "newton_iters"))
+def tone_freq_fft(x, pad: int = 4, newton_iters: int = 2) -> jnp.ndarray:
+    """ML single-tone frequency: padded periodogram argmax + Newton.
 
     x: (N,) complex.  pad: zero-padding factor for the coarse stage.
-    Returns f in cycles/sample in [-0.5, 0.5).  Works at any SNR where
-    the tone bin dominates; unbiased for frequencies between bins
-    (Jacobsen's estimator with the exact-ratio correction).
+    Returns f in cycles/sample in [-0.5, 0.5).  The coarse argmax lands
+    within 1/(2*pad*N) of the peak; Newton iterations on the exact
+    periodogram P(f) = |sum x_n e^{-j2pi f n}|^2 then converge to the ML
+    estimate (CRLB-attaining), with no window-shape bias — the 3-point
+    complex-ratio corrections (Jacobsen/Quinn) assume an UNPADDED grid
+    and mis-step on a padded one.
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
     m = pad * n
     X = jnp.fft.fft(x, m)
     k = jnp.argmax(jnp.abs(X))
-    Xm = X[k]
-    Xl = X[(k - 1) % m]
-    Xr = X[(k + 1) % m]
-    # delta in bins from the complex ratio (exact for an untapered tone)
-    num = Xr - Xl
-    den = 2.0 * Xm - Xl - Xr
-    delta = jnp.real(num / jnp.where(jnp.abs(den) < 1e-30, 1.0, den))
-    delta = jnp.clip(delta, -0.5, 0.5)
-    f = (k.astype(jnp.float32) + delta) / m
+    f = k.astype(jnp.float32) / m
+    idx = jnp.arange(n, dtype=jnp.float32)
+    half_step = 0.5 / m
+
+    def newton(f, _):
+        e = jnp.exp(-2j * jnp.pi * f * idx).astype(x.dtype)
+        s0 = jnp.sum(x * e)
+        s1 = jnp.sum(idx * x * e)
+        s2 = jnp.sum(idx * idx * x * e)
+        c = -2 * jnp.pi
+        # P' = 2 Re[S' conj(S)],  P'' = 2 Re[S'' conj(S)] + 2|S'|^2
+        d1 = 2 * jnp.real(1j * c * s1 * jnp.conj(s0))
+        d2 = (2 * jnp.real(-(c ** 2) * s2 * jnp.conj(s0))
+              + 2 * jnp.abs(1j * c * s1) ** 2)
+        step = jnp.where(d2 < 0, -d1 / d2, 0.0)
+        return f + jnp.clip(step, -half_step, half_step), None
+
+    f, _ = jax.lax.scan(newton, f, None, length=newton_iters)
     return jnp.where(f >= 0.5, f - 1.0, f)
 
 

@@ -71,36 +71,33 @@ def frame_signal(x: jnp.ndarray, nfft: int, hop: int) -> jnp.ndarray:
     return jnp.concatenate(pieces, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("nfft", "hop", "window"))
+@partial(jax.jit, static_argnames=("nfft", "hop", "window", "pad_to"))
 def stft(x: jnp.ndarray, nfft: int = 1024, hop: int = 512,
-         window: str = "hann") -> jnp.ndarray:
-    """Short-time Fourier transform: (F, nfft) complex frames.
+         window: str = "hann", pad_to: int | None = None) -> jnp.ndarray:
+    """Short-time Fourier transform: (F, pad_to or nfft) complex frames.
 
-    Window taps come from design.windows (host-side numpy constants, so
-    nothing here fetches device arrays at trace time).
+    ``pad_to`` zero-pads each windowed frame before the FFT (finer bin
+    interpolation; bin heights unchanged).  Window taps come from
+    design.windows (host-side numpy constants, so nothing here fetches
+    device arrays at trace time).
     """
+    if pad_to is not None and pad_to < nfft:
+        raise ValueError(f"pad_to {pad_to} < frame length {nfft}")
     frames = frame_signal(x, nfft, hop)
     w = _window_taps(window, nfft)
     wc = jnp.asarray(w).astype(
         frames.dtype if jnp.issubdtype(frames.dtype, jnp.complexfloating)
         else frames.real.dtype)
-    return jnp.fft.fft(frames * wc, axis=-1)
+    return jnp.fft.fft(frames * wc, n=pad_to or nfft, axis=-1)
 
 
 def _window_taps(window: str, nfft: int) -> np.ndarray:
-    from ..design import windows as win
+    """Window taps by name — all 8 design.windows families plus rect."""
+    if window == "rect":
+        return np.ones(nfft, dtype=np.float64)
+    from ..design.windows import get_window
 
-    fns = {
-        "hann": win.hann,
-        "hamming": win.hamming,
-        "blackman_harris": win.blackman_harris,
-        "flattop": win.flattop,
-        "rect": lambda n: np.ones(n),
-    }
-    if window not in fns:
-        raise ValueError(f"unknown window {window!r} "
-                         f"(have {sorted(fns)})")
-    return np.asarray(fns[window](nfft), dtype=np.float64)
+    return np.asarray(get_window(window, nfft), dtype=np.float64)
 
 
 @partial(jax.jit, static_argnames=("nfft", "hop", "window"))
@@ -112,21 +109,27 @@ def spectrogram(x: jnp.ndarray, nfft: int = 1024, hop: int = 512,
     return 10.0 * jnp.log10(jnp.maximum(p, 1e-30))
 
 
-@partial(jax.jit, static_argnames=("nfft", "hop", "window", "onesided"))
+@partial(jax.jit, static_argnames=("nfft", "hop", "window", "onesided",
+                                   "pad_to"))
 def welch_psd(x: jnp.ndarray, nfft: int = 1024, hop: int = 512,
               window: str = "hann", fs: float = 1.0,
-              onesided: bool = False) -> jnp.ndarray:
+              onesided: bool = False,
+              pad_to: int | None = None) -> jnp.ndarray:
     """Welch-averaged power spectral density.
 
     Mean of per-frame periodograms with the standard window-power
     normalization 1/(fs · Σw²); ``onesided=True`` folds a real signal's
-    spectrum to nfft//2+1 bins (doubling all but DC/Nyquist).
+    spectrum to nfft//2+1 bins (doubling all but DC/Nyquist);
+    ``pad_to`` interpolates onto a finer grid (bin heights unchanged,
+    so integrating a padded PSD over bins requires a 1/pad factor).
     """
-    S = stft(x, nfft, hop, window)
+    S = stft(x, nfft, hop, window, pad_to)
     w = _window_taps(window, nfft)
     norm = 1.0 / (fs * float(np.sum(w * w)))
     p = jnp.mean(jnp.real(S * jnp.conj(S)), axis=-2) * norm
     if onesided:
+        if pad_to is not None:
+            raise ValueError("onesided with pad_to is not supported")
         half = nfft // 2 + 1
         p1 = p[..., :half]
         scale = jnp.ones((half,), p.dtype).at[1:].set(2.0)

@@ -61,11 +61,37 @@ def awgn(key, x, snr_db=None, noise_var=None):
     return x + sigma * n.astype(x.dtype)
 
 
+def host_wrapped_phase(n_samples: int, cycles_per_sample: float,
+                       phase0: float = 0.0) -> np.ndarray:
+    """(N,) float32 phase 2*pi*((f*n) mod 1) + phase0, built host-side.
+
+    Computing 2*pi*f*n directly in float32 loses integer resolution once
+    n exceeds 2^24 (~74 s at 228 kHz), phase-jittering the tail of long
+    blocks; reducing mod 1 in float64 on the host first keeps the
+    WRAPPED phase (|ph| <= 2*pi + |phase0|) exact to ~1e-8 cycles for
+    any practical block length.  Shapes are static at trace time, so
+    this stays a compile-time constant under jit (and follows the repo
+    convention of keeping design-time constants host-side).
+    """
+    frac = (float(cycles_per_sample) % 1.0) * np.arange(
+        n_samples, dtype=np.float64)
+    return (2.0 * np.pi * (frac % 1.0) + phase0).astype(np.float32)
+
+
 def apply_cfo(x, cfo_cycles_per_sample, phase0: float = 0.0):
-    """Rotate by a carrier-frequency offset (cycles/sample) + initial phase."""
+    """Rotate by a carrier-frequency offset (cycles/sample) + initial phase.
+
+    A concrete (Python-float) offset uses the exact host-side wrapped
+    phase, valid for any block length; a TRACED offset falls back to
+    in-graph float32 phase, accurate to 2^24 samples per block.
+    """
     x = jnp.asarray(x)
-    k = jnp.arange(x.shape[-1], dtype=jnp.float32)
-    ph = 2.0 * jnp.pi * cfo_cycles_per_sample * k + phase0
+    if isinstance(cfo_cycles_per_sample, (int, float, np.floating)):
+        ph = jnp.asarray(host_wrapped_phase(
+            x.shape[-1], cfo_cycles_per_sample, phase0))
+    else:
+        k = jnp.arange(x.shape[-1], dtype=jnp.float32)
+        ph = 2.0 * jnp.pi * cfo_cycles_per_sample * k + phase0
     return x * jnp.exp(1j * ph).astype(x.dtype)
 
 

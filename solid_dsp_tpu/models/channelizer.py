@@ -25,7 +25,9 @@ from ..design import firdes
 
 __all__ = ["channelizer_taps", "channelizer_init", "channelizer_apply",
            "PolyphaseChannelizer", "channelizer_synthesize",
-           "synthesis_init", "PolyphaseSynthesizer"]
+           "synthesis_init", "PolyphaseSynthesizer",
+           "os_channelizer_init", "os_channelizer_apply",
+           "OversampledChannelizer"]
 
 
 def channelizer_taps(num_channels: int, taps_per_branch: int = 8,
@@ -191,3 +193,108 @@ class PolyphaseSynthesizer:
 
     def __repr__(self):
         return f"PolyphaseSynthesizer [M={self.M}] [K={self.K}]"
+
+
+# ------------------------------------------------- 2x oversampled bank
+
+def os_channelizer_init(num_channels: int, taps_per_branch: int,
+                        dtype=jnp.complex64, batch_shape: tuple = ()):
+    """State: (raw tail of K*M - M/2 samples, global step parity)."""
+    M, K = num_channels, taps_per_branch
+    return (jnp.zeros((*batch_shape, K * M - M // 2), dtype=dtype),
+            jnp.zeros((), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("num_channels",))
+def os_channelizer_apply(taps, state, x, num_channels: int):
+    """One block of the 2x-oversampled (WOLA) analysis bank.
+
+    Channel m of the critically-sampled bank is decimated by M, so a
+    signal reaching the channel edge (offset 0.5/M of input rate) folds
+    onto the channel's Nyquist edge — adjacent-channel work (edge
+    detection, perfect-reconstruction processing, per-channel resampling)
+    needs headroom.  Here the commutator advances by R = M/2 per output
+    step instead of M, doubling each channel's output rate:
+
+        Y_p[m] = e^{+2 pi i m p R / M} * DFT_q( v_p )[m],
+        v_p[q] = sum_k h[k M + q] x[p R - k M - q],
+
+    where the leading twiddle is (-1)^{m p} for R = M/2 — the classic
+    weighted-overlap-add phase correction, carried across blocks via the
+    global step parity in the state.  Same prototype, same channel
+    centers (+m/M), output rate 2/M of the input rate.
+
+    x: (L,) with L a multiple of M (so parity bookkeeping stays block-
+    size invariant).  Returns (Y, state) with Y: (T, M), T = 2 L / M.
+    """
+    M = num_channels
+    R = M // 2
+    if M % 2:
+        raise ValueError("oversampled bank needs an even channel count")
+    K = taps.shape[-1] // M
+    L = x.shape[-1]
+    if L % M:
+        raise ValueError("block length must be a multiple of the channel count")
+    tail, p0 = state
+    x_ext = jnp.concatenate([tail, x], axis=-1)
+    T = L // R
+    # frames F_p = x_ext[p R : p R + K M]; prod[i] = h_rev[i] * F_p[i]
+    # folds so that v_p[q] = fold(prod).reshape(K, M).sum(0)[M - 1 - q]
+    hr = taps[: K * M][::-1].astype(x.dtype)
+    # gather-free framing: hop R divides K*M, so frames are K*M // R
+    # shifted length-R reshapes stacked on the last axis
+    n_frames = T
+    usable = (n_frames - 1) * R + K * M
+    chunks = x_ext[..., :usable]
+    k_slices = (K * M) // R
+    pieces = [
+        jax.lax.dynamic_slice_in_dim(
+            chunks, j * R, (n_frames - 1) * R + R, axis=-1
+        ).reshape(*x_ext.shape[:-1], n_frames, R)
+        for j in range(k_slices)
+    ]
+    Fr = jnp.concatenate(pieces, axis=-1)          # (..., T, K*M)
+    prod = Fr * hr
+    S = prod.reshape(*prod.shape[:-1], K, M).sum(axis=-2)   # (..., T, M)
+    v = S[..., ::-1]                               # v[q] = S[M-1-q]
+    # +m/M channel centers like the critically-sampled bank -> inverse
+    # DFT kernel across the fold (ifft carries 1/M, cancel it)
+    Y = jnp.fft.ifft(v, axis=-1) * M
+    # (-1)^{m p} with global p = p0 + local step index
+    p_idx = (p0 + jnp.arange(T)) % 2               # (T,)
+    m_sign = jnp.asarray(
+        np.where(np.arange(M) % 2, -1.0, 1.0), Y.real.dtype)
+    sign = jnp.where(p_idx[:, None] == 1, m_sign[None, :], 1.0)
+    Y = Y * sign.astype(Y.dtype)
+    new_tail = x_ext[..., -(K * M - R):]
+    return Y, (new_tail, (p0 + T) % 2)
+
+
+class OversampledChannelizer:
+    """Stateful 2x-oversampled M-channel analysis bank (WOLA)."""
+
+    def __init__(self, num_channels: int, taps_per_branch: int = 8,
+                 attenuation: float = 80.0, dtype=jnp.complex64):
+        self.M = int(num_channels)
+        self.K = int(taps_per_branch)
+        taps_np = channelizer_taps(self.M, self.K, attenuation)
+        self.taps = jnp.asarray(taps_np, dtype=dtype)
+        self._state = os_channelizer_init(self.M, self.K, dtype)
+
+    @property
+    def oversample(self) -> int:
+        return 2
+
+    def execute_block(self, x):
+        x = jnp.asarray(x, self.taps.dtype)
+        Y, self._state = os_channelizer_apply(self.taps, self._state, x,
+                                              self.M)
+        return Y
+
+    def reset(self):
+        self._state = os_channelizer_init(self.M, self.K,
+                                          self.taps.dtype)
+
+    def __repr__(self):
+        return (f"OversampledChannelizer [M={self.M}] [K={self.K}] "
+                f"[os=2]")

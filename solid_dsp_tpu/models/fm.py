@@ -72,13 +72,18 @@ def fm_stereo_mpx(left, right, fs: float, pilot_level: float = 0.1):
     mpx = 0.45(L+R) + pilot sin(2 pi 19k t) + 0.45(L-R) sin(2 pi 38k t);
     audio must already be band-limited to 15 kHz.
     """
+    from .channel import host_wrapped_phase
+
     left = jnp.asarray(left)
     right = jnp.asarray(right)
-    n = jnp.arange(left.shape[-1], dtype=jnp.float64)
-    th = 2.0 * jnp.pi * (_PILOT_HZ / fs) * n
+    # exact host-side mod-1 phases: a float32 (or silently-downgraded
+    # float64) 2*pi*f*n jitters once n > 2^24 on long blocks
+    th = jnp.asarray(host_wrapped_phase(left.shape[-1], _PILOT_HZ / fs))
+    th2 = jnp.asarray(host_wrapped_phase(left.shape[-1],
+                                         2.0 * _PILOT_HZ / fs))
     mpx = (0.45 * (left + right)
            + pilot_level * jnp.sin(th).astype(left.dtype)
-           + 0.45 * (left - right) * jnp.sin(2.0 * th).astype(left.dtype))
+           + 0.45 * (left - right) * jnp.sin(th2).astype(left.dtype))
     return mpx
 
 
@@ -105,10 +110,12 @@ def fm_stereo_decode(mpx, fs: float, deemphasis_tau: float = 0.0):
     """
     from ..design.firdes import firdes_kaiser
 
+    from .channel import host_wrapped_phase
+
     mpx = jnp.asarray(mpx)
     rdt = mpx.dtype
-    n = jnp.arange(mpx.shape[-1], dtype=jnp.float64)
-    rot = jnp.exp(-2j * jnp.pi * (_PILOT_HZ / fs) * n)
+    th = jnp.asarray(host_wrapped_phase(mpx.shape[-1], _PILOT_HZ / fs))
+    rot = jnp.exp(-1j * th)
 
     # pilot isolation: +-1 kHz around 19 kHz
     h_pilot = np.asarray(firdes_kaiser(401, 1_000.0 / fs, 60.0, 0.0))

@@ -189,14 +189,27 @@ def demap_soft(y, points, noise_var=1.0) -> jnp.ndarray:
 
 
 def pulse_shape(iq_symbols, sps: int, delay_symbols: int = 6,
-                rolloff: float = 0.35, dtype=jnp.complex64):
+                rolloff: float = 0.35, dtype=jnp.complex64,
+                flush: bool = False):
     """Ideal RRC pulse shaping: explicit zero-stuff + MXU convolution.
+
+    With ``flush=False`` the output is n_symbols*sps samples and the
+    ring-out of the last 2*delay_symbols symbols is TRUNCATED (their
+    pulses are cut mid-flight) — only appropriate for continuous
+    streaming where the next block continues the waveform.  Burst
+    transmitters must use ``flush=True``: 2*delay_symbols zero symbols
+    are shaped after the payload so every symbol's full pulse is
+    emitted ((n + 2*delay)*sps samples out); appending zero SAMPLES
+    instead erases the tail symbols at the receiver.
 
     (The class InterpolatingFIRFilter reproduces the reference's
     reversed-branch quirk, which adds a branch-dependent fractional shift
     — see its docstring; modems need the ideal interpolator.)
     """
     iq = jnp.asarray(iq_symbols, dtype)
+    if flush:
+        iq = jnp.concatenate(
+            [iq, jnp.zeros(2 * delay_symbols, dtype)], axis=-1)
     rrc = firdes.firdes_rrcos(sps, delay_symbols, rolloff)
     up = jnp.zeros(iq.shape[-1] * sps, dtype).at[::sps].set(iq)
     x_ext = jnp.concatenate([jnp.zeros(len(rrc) - 1, dtype), up])
@@ -234,10 +247,15 @@ class LinearModem:
         self.dtype = dtype
 
     def modulate(self, bits) -> jnp.ndarray:
+        """bits -> (n_symbols + 2*delay_symbols) * sps burst samples.
+
+        The flush tail carries the ring-out of the last symbols, so
+        demodulate(modulate(bits)) recovers EVERY symbol (no tail loss).
+        """
         syms = bits_to_symbols(bits, self.k)
         iq = modulate_symbols(syms, self.points).astype(self.dtype)
         return pulse_shape(iq, self.sps, self.delay_symbols, self.rolloff,
-                           self.dtype)
+                           self.dtype, flush=True)
 
     def _symbol_estimates(self, x):
         y = matched_filter(jnp.asarray(x, self.dtype), self.sps,

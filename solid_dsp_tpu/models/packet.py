@@ -59,9 +59,9 @@ class PacketModem:
                  preamble_root: int = 5, rolloff: float = 0.35,
                  delay_symbols: int = 6, threshold: float = 0.4,
                  fec_scheme: str = "conv", ldpc_iters: int = 30,
-                 polar_iters: int = 40, pilot_every: int = 16,
-                 dtype=jnp.complex64):
-        if fec_scheme not in ("conv", "ldpc", "polar"):
+                 polar_iters: int = 40, turbo_iters: int = 8,
+                 pilot_every: int = 16, dtype=jnp.complex64):
+        if fec_scheme not in ("conv", "ldpc", "polar", "turbo"):
             raise ValueError(f"unknown fec_scheme {fec_scheme!r}")
         self.payload_bytes = int(payload_bytes)
         self.fec_scheme = fec_scheme
@@ -73,6 +73,14 @@ class PacketModem:
             self.code = fec.ConvCode()
             self.n_coded = (self.n_info + self.code.K - 1) * 2
             self.ileave = _interleaver_dims(self.n_coded)
+        elif fec_scheme == "turbo":
+            # stream code sized to the frame; the QPP interleaver inside
+            # the code already scatters bursts, no outer interleaver
+            from . import turbo as turbo_mod
+            self.code = turbo_mod.TurboCode(self.n_info,
+                                            n_iter=int(turbo_iters))
+            self.n_coded = self.code.n_coded
+            self.ileave = (1, self.n_coded)
         else:
             # fixed-frame block codes pack into as many (n, k) frames as
             # the info (+ zero padding) needs; both graphs scatter bursts
@@ -152,11 +160,16 @@ class PacketModem:
         if self.pilot_every:
             iq[self.pilot_pos] = self.pilot_syms
         iq = jnp.asarray(iq, self.dtype)
+        # flush=True shapes 2*delay_symbols zero symbols after the
+        # payload so the final symbols' pulses ring out into the tail;
+        # appending zero SAMPLES here instead erased the last
+        # delay_symbols symbols at the matched filter (zero-LLR bits the
+        # FEC had to absorb every burst).  Output length is identical:
+        # n_symbols*sps + flush.
         shaped = lm.pulse_shape(iq, self.modem.sps,
                                 self.modem.delay_symbols,
-                                self.modem.rolloff, self.dtype)
-        shaped = jnp.concatenate(
-            [shaped, jnp.zeros(self.flush, self.dtype)])
+                                self.modem.rolloff, self.dtype,
+                                flush=True)
         pp = jnp.asarray(self.sync.full_preamble()).astype(self.dtype)
         return jnp.concatenate([pp, shaped])
 
@@ -182,6 +195,9 @@ class PacketModem:
                      else self.code.n_iters)
             dec, _ok = self.code.decode(frames, n_iters=iters)
             dec = np.asarray(dec).reshape(-1)[: self.n_info]
+        elif self.fec_scheme == "turbo":
+            dec, _llr = self.code.decode(jnp.asarray(llr))
+            dec = np.asarray(dec)[: self.n_info]
         else:
             r, cdim = self.ileave
             llr = np.asarray(fec.deinterleave(jnp.asarray(llr), r, cdim))

@@ -77,13 +77,7 @@ def rx_chain_init(cfg: RxChainConfig) -> ChainState:
         nco_theta=np.uint32(0),
         fir_tail=np.zeros((max(cfg.fir_taps - 1, 0),), dtype=cfg.dtype),
         fir_phase=np.int32(0),
-        agc={
-            "gain": np.ones((), rdtype),
-            "energy": np.ones((), rdtype),
-            "lock": np.zeros((), np.bool_),
-            "mode": np.asarray(agc_ops.SquelchMode.DISABLED, np.int32),
-            "timer": np.zeros((), np.int32),
-        },
+        agc=agc_ops.agc_init(rdtype, xp=np),
         fm_prev=np.ones((), dtype=cfg.dtype),
     )
     if cfg.impairment_bw > 0.0:

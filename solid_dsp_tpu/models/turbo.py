@@ -69,17 +69,41 @@ def qpp_permutation(K: int, f1: int | None = None,
                     f2: int | None = None) -> np.ndarray:
     """QPP interleaver pi(i) = (f1*i + f2*i^2) mod K, validated.
 
-    With no (f1, f2) the LTE table supplies them (KeyError for sizes
-    not tabulated — pass explicit parameters then).  Raises ValueError
-    if the polynomial is not a bijection on [0, K).
+    With no (f1, f2) the LTE table supplies them; for sizes not
+    tabulated a small search finds the first valid pair (f1 odd and
+    coprime with K, f2 even) — deterministic, so encoder and decoder
+    built independently for the same K agree.  Raises ValueError if the
+    polynomial is not a bijection on [0, K).
     """
     if f1 is None or f2 is None:
-        f1, f2 = LTE_QPP[K]
+        if K in LTE_QPP:
+            f1, f2 = LTE_QPP[K]
+        else:
+            f1, f2 = _qpp_search(K)
     i = np.arange(K, dtype=np.int64)
     pi = (f1 * i + f2 * i * i) % K
     if np.unique(pi).size != K:
         raise ValueError(f"QPP({f1},{f2}) mod {K} is not a permutation")
     return pi.astype(np.int32)
+
+
+def _qpp_search(K: int) -> tuple:
+    """First (f1, f2) giving a bijective QPP mod K, f1 near sqrt(K).
+
+    Starting f1 near sqrt(K) (rather than 1) gives the large-spread
+    permutations good interleavers need; f2 even preserves the QPP
+    contention-free property for even K.
+    """
+    i = np.arange(K, dtype=np.int64)
+    start = max(3, int(np.sqrt(K)) | 1)
+    for f2 in range(2, 20 * K, 2):
+        for f1 in range(start, start + 2 * K, 2):
+            if np.gcd(f1, K) != 1:
+                continue
+            pi = (f1 * i + f2 * i * i) % K
+            if np.unique(pi).size == K:
+                return int(f1), int(f2)
+    raise ValueError(f"no QPP parameters found for K={K}")
 
 
 def _masks(fb: int, ff: int, m: int):

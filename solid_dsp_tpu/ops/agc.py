@@ -48,15 +48,22 @@ class SquelchMode:
     DISABLED = 7
 
 
-def agc_init(dtype=jnp.float32, batch_shape: tuple = ()):
-    """Initial AGC carry: (gain, energy, lock, squelch_mode, timer)."""
-    f = lambda v: jnp.full(batch_shape, v, dtype=dtype)
+def agc_init(dtype=jnp.float32, batch_shape: tuple = (), xp=jnp):
+    """Initial AGC carry: (gain, energy, lock, squelch_mode, timer).
+
+    ``xp=np`` builds the same structure host-side (numpy leaves) — the
+    canonical constructor for code that must avoid device ops at init
+    time (models/rx_chain.rx_chain_init); keep the layout changes HERE
+    so host and device builders can never drift.
+    """
+    f = lambda v: xp.full(batch_shape, v, dtype=dtype)
+    int32 = jnp.int32 if xp is jnp else np.int32
     return {
         "gain": f(1.0),
         "energy": f(1.0),
-        "lock": jnp.full(batch_shape, False),
-        "mode": jnp.full(batch_shape, SquelchMode.DISABLED, dtype=jnp.int32),
-        "timer": jnp.full(batch_shape, 0, dtype=jnp.int32),
+        "lock": xp.full(batch_shape, False),
+        "mode": xp.full(batch_shape, SquelchMode.DISABLED, dtype=int32),
+        "timer": xp.full(batch_shape, 0, dtype=int32),
     }
 
 

@@ -387,17 +387,18 @@ def welch_psd(x, frame: int = 1024, overlap: float = 0.5,
               window: str = "hamming", nfft: int | None = None):
     """Welch-averaged power spectral density estimate.
 
-    Averaged periodograms of overlapping windowed frames, normalized so a
-    unit-amplitude complex tone integrates to ~1 (window power corrected).
-    Returns (nfft,) real PSD, frequency bins in FFT order.
+    Thin convenience wrapper over the single implementation in
+    analysis/spectral.welch_psd (frame/overlap signature instead of
+    nfft/hop, and normalized so the SUM over bins of a unit tone's PSD
+    is ~1 regardless of zero-padding — spectral's 1/(fs*sum(w^2))
+    density divided by the actual FFT length).  Returns (nfft or frame,)
+    real PSD, frequency bins in FFT order.
     """
-    x = jnp.asarray(x)
+    from ..analysis.spectral import welch_psd as _welch
     hop = max(1, int(frame * (1.0 - overlap)))
-    n_fft = nfft or frame
-    X = spectrogram(x, frame, hop, window, n_fft)
-    w = np.asarray(get_window(window, frame), dtype=np.float64)
-    scale = float(np.sum(w * w)) * n_fft  # actual FFT length, not frame
-    return jnp.mean(jnp.real(X * jnp.conj(X)), axis=-2) / scale
+    n_out = nfft or frame
+    return _welch(jnp.asarray(x), nfft=frame, hop=hop, window=window,
+                  pad_to=None if n_out == frame else n_out) / n_out
 
 
 @partial(jax.jit, static_argnames=())

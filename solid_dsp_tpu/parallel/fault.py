@@ -219,7 +219,7 @@ def run_supervised(spawn, num_workers: int, max_restarts: int = 3,
             if all(c == 0 for c in codes):
                 return codes
             time.sleep(poll_interval)
-        if not failed:
-            return [p.poll() for p in procs]
+        # the poll loop only exits via return (all zero), raise (timeout),
+        # or break with failed=True -> restart the gang
     raise SupervisorError(
         f"worker gang failed after {max_restarts + 1} attempts")

@@ -24,12 +24,13 @@ def test_kay_noiseless_exact():
 
 
 def test_fft_interp_between_bins():
-    # worst case: half-bin offsets of the PADDED grid
+    # worst case: half-bin offsets of the PADDED grid; the Newton
+    # refinement must hit them to ~1e-8 cycles/sample, not just the
+    # half-padded-bin floor of the raw argmax (~5e-4)
     n, pad = 256, 4
     for f in (0.1 + 0.5 / (pad * n), -0.27 + 0.3 / (pad * n)):
         x = _tone(n, f)
-        assert abs(float(tone_freq_fft(x, pad))) - abs(f) < 5e-4
-        assert abs(float(tone_freq_fft(x, pad)) - f) < 1e-3
+        assert abs(float(tone_freq_fft(x, pad)) - f) < 1e-7, f
 
 
 def test_noisy_accuracy_and_crlb_scaling():

@@ -77,13 +77,12 @@ def test_modem_loopback_noiseless(scheme, m):
     k = modem.k
     bits = rng.integers(0, 2, 200 * k)
     iq = modem.modulate(bits)
-    assert iq.shape[-1] == 200 * 4
+    # burst = payload + RRC flush tail carrying the last pulses' ring-out
+    assert iq.shape[-1] == (200 + 2 * modem.delay_symbols) * 4
     got_bits, got_syms = modem.demodulate(iq)
-    n = min(len(got_syms), 200)
     want = np.asarray(lm.bits_to_symbols(bits, k))
-    # ignore the tail symbols lost to filter delay
-    np.testing.assert_array_equal(np.asarray(got_syms)[: n - 13],
-                                  want[: n - 13])
+    # EVERY symbol recovers — the flush tail means no tail-symbol loss
+    np.testing.assert_array_equal(np.asarray(got_syms)[:200], want)
 
 
 def test_modem_loopback_awgn_qam16_ser():
@@ -95,7 +94,7 @@ def test_modem_loopback_awgn_qam16_ser():
                          + 1j * rng.standard_normal(iq.shape))
     got_bits, got_syms = modem.demodulate(noisy)
     want = np.asarray(lm.bits_to_symbols(bits, 4))
-    n = min(len(got_syms), len(want)) - 13
+    n = min(len(got_syms), len(want))
     ser = np.mean(np.asarray(got_syms)[:n] != want[:n])
     assert ser < 0.01
 

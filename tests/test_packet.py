@@ -82,7 +82,7 @@ def test_packet_ldpc_roundtrip_impaired():
 
 def test_packet_fec_scheme_validation():
     with pytest.raises(ValueError):
-        PacketModem(payload_bytes=8, fec_scheme="turbo")
+        PacketModem(payload_bytes=8, fec_scheme="hamming")
 
 
 def test_pilot_tracking_rescues_phase_noise():

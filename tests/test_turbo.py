@@ -123,6 +123,29 @@ def test_vmap_batch_matches_loop():
                                    np.asarray(L), rtol=1e-5, atol=1e-5)
 
 
+def test_qpp_auto_search_untabulated_sizes():
+    for K in (72, 296, 544):        # not in the LTE table
+        assert K not in LTE_QPP
+        pi = qpp_permutation(K)
+        assert np.unique(pi).size == K
+        # deterministic: independent constructions agree
+        np.testing.assert_array_equal(pi, qpp_permutation(K))
+
+
+def test_packet_modem_turbo_scheme():
+    from solid_dsp_tpu.models.packet import PacketModem
+
+    rng = np.random.default_rng(9)
+    pm = PacketModem(payload_bytes=32, fec_scheme="turbo", turbo_iters=5)
+    data = rng.bytes(32)
+    tx = np.asarray(pm.transmit(data))
+    rx = tx + 0.12 * (rng.standard_normal(tx.shape)
+                      + 1j * rng.standard_normal(tx.shape)
+                      ).astype(np.complex64)
+    out, info = pm.receive(rx)
+    assert info["crc_ok"] and out == data
+
+
 def test_rate_and_repr():
     tc = TurboCode(512)
     assert tc.n_coded == 3 * 512 + 12
