@@ -69,6 +69,38 @@ def test_block_size_invariance_including_parity():
     np.testing.assert_allclose(np.concatenate(parts), Y, atol=1e-5)
 
 
+def test_rrc_prototype_near_perfect_reconstruction():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(N) + 1j * rng.standard_normal(N)
+         ).astype(np.complex64)
+    osc = OversampledChannelizer(M, 16, prototype="rrc", rolloff=1.0)
+    Y = osc.execute_block(jnp.asarray(x))
+    xh = np.asarray(osc.synthesize(Y))
+    assert xh.shape == x.shape
+    core = slice(2 * 16 * M, N - 2 * 16 * M)
+    err = xh[core] - x[core]          # aligned, no shift compensation
+    snr = 10 * np.log10(np.mean(np.abs(x[core]) ** 2)
+                        / np.mean(np.abs(err) ** 2))
+    assert snr > 60.0, snr
+
+
+def test_kaiser_prototype_reconstruction_documented_poor():
+    # the Kaiser analysis prototype does NOT tile |H|^2 — reconstruction
+    # is intentionally poor (the docstring directs PR users to "rrc")
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(N) + 1j * rng.standard_normal(N)
+         ).astype(np.complex64)
+    osc = OversampledChannelizer(M, K)
+    xh = np.asarray(osc.synthesize(osc.execute_block(jnp.asarray(x))))
+    core = slice(2 * K * M, N - 2 * K * M)
+    err = xh[core] - x[core]
+    snr = 10 * np.log10(np.mean(np.abs(x[core]) ** 2)
+                        / np.mean(np.abs(err) ** 2))
+    assert 5.0 < snr < 30.0, snr
+    with pytest.raises(ValueError):
+        OversampledChannelizer(M, K, prototype="hann")
+
+
 def test_functional_api_and_validation():
     taps = jnp.asarray(np.ones(M * K, np.complex64))
     st = os_channelizer_init(M, K)
