@@ -21,6 +21,9 @@ from .cyclo import (  # noqa: F401
 from .estimate import (  # noqa: F401
     tone_freq_kay, tone_freq_fft, tone_phase, tone_amplitude,
     tdoa_gcc_phat)
+from .lpc import (  # noqa: F401
+    acf, levinson, lpc, burg, ar_psd, lattice_fir, lattice_iir,
+    reflection_to_poly)
 
 from .group_delay import fir_group_delay, iir_group_delay, fir_group_delay_band  # noqa: F401
 from .freq_response import (  # noqa: F401
