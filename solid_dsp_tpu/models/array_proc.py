@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ["ula_steering", "spatial_covariance", "mrc_weights",
            "mvdr_weights", "beamform", "music_spectrum", "music_doa",
-           "bartlett_spectrum"]
+           "bartlett_spectrum", "esprit_doa", "root_music_doa"]
 
 
 def ula_steering(n_antennas: int, theta, spacing: float = 0.5):
@@ -135,3 +135,63 @@ def bartlett_spectrum(R: jnp.ndarray, thetas: jnp.ndarray,
     n = R.shape[-1]
     A = ula_steering(n, thetas, spacing)     # (T, N)
     return jnp.real(jnp.sum((A.conj() @ R) * A, axis=-1)) / (n * n)
+
+
+@partial(jax.jit, static_argnames=("n_sources",))
+def _signal_subspace(R: jnp.ndarray, n_sources: int) -> jnp.ndarray:
+    """K strongest eigenvectors of Hermitian R — the device-side half of
+    the gridless DoA estimators (the N x N eigh is the heavy part)."""
+    _, vecs = jnp.linalg.eigh(R)             # ascending
+    return vecs[:, R.shape[-1] - n_sources:]
+
+
+def esprit_doa(R, n_sources: int, spacing: float = 0.5) -> np.ndarray:
+    """TLS-ESPRIT DoA estimates (radians) — gridless, no angle scan.
+
+    Exploits the ULA shift invariance: the signal subspaces of the
+    first/last N-1 antennas differ by a rotation Psi whose eigenvalues
+    are e^{2 pi i d sin(theta_k)}.  Total-least-squares solve via the
+    eigendecomposition of [Es1 Es2]^H [Es1 Es2].  The N x N eigh runs
+    on device; the K x K rotation eigenvalues (non-Hermitian — CPU-only
+    in jax) are numpy host-side, matching music_doa's host-wrapper
+    pattern.
+    """
+    Es = np.asarray(_signal_subspace(jnp.asarray(R), n_sources))
+    n = Es.shape[0]
+    if n_sources >= n:
+        raise ValueError("need n_sources < n_antennas")
+    E1, E2 = Es[:-1], Es[1:]
+    C = np.concatenate([E1, E2], axis=1)     # (N-1, 2K)
+    _, V = np.linalg.eigh(C.conj().T @ C)    # ascending
+    Vn = V[:, :n_sources]                    # 2K x K smallest
+    V12, V22 = Vn[:n_sources], Vn[n_sources:]
+    psi = -V12 @ np.linalg.inv(V22)
+    phases = np.angle(np.linalg.eigvals(psi))
+    s = np.clip(phases / (2 * np.pi * spacing), -1.0, 1.0)
+    return np.sort(np.arcsin(s))
+
+
+def root_music_doa(R, n_sources: int, spacing: float = 0.5) -> np.ndarray:
+    """Root-MUSIC DoA estimates (radians) — gridless MUSIC.
+
+    The MUSIC null-spectrum along the unit circle is the polynomial
+    p(z) = sum_l c_l z^l with c_l the sum of the l-th diagonal of
+    E_n E_n^H; sources are the K roots nearest (and inside) the unit
+    circle.  Device eigh + host np.roots on the tiny 2(N-1)-degree
+    polynomial.
+    """
+    R = jnp.asarray(R)
+    n = R.shape[-1]
+    if n_sources >= n:
+        raise ValueError("need n_sources < n_antennas")
+    _, vecs = jnp.linalg.eigh(R)
+    En = np.asarray(vecs[:, : n - n_sources])
+    G = En @ En.conj().T                     # noise projector (N, N)
+    # c[l] = sum of l-th diagonal, l = -(N-1) .. (N-1)
+    coeffs = np.array([np.trace(G, offset=l) for l in range(n - 1, -n, -1)])
+    roots = np.roots(coeffs)
+    roots = roots[np.abs(roots) < 1.0]       # keep the inside partner
+    # K roots closest to the unit circle
+    keep = roots[np.argsort(1.0 - np.abs(roots))[:n_sources]]
+    s = np.clip(np.angle(keep) / (2 * np.pi * spacing), -1.0, 1.0)
+    return np.sort(np.arcsin(s))

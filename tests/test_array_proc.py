@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from solid_dsp_tpu.models.array_proc import (
+    esprit_doa,
+    root_music_doa,
     bartlett_spectrum,
     beamform,
     mrc_weights,
@@ -116,3 +118,45 @@ def test_music_spectrum_jit_batch():
     assert spec.shape == (512,)
     peak = np.rad2deg(float(th[int(np.argmax(spec))]))
     assert abs(peak - 15.0) < 1.0
+
+
+def test_esprit_doa_two_sources():
+    X, _ = _ula_snapshots(8, [-23.0, 14.0], [1.0, 1.0], 4000, 0.01,
+                          seed=7)
+    R = spatial_covariance(jnp.asarray(X))
+    got = np.rad2deg(esprit_doa(R, 2))
+    np.testing.assert_allclose(got, [-23.0, 14.0], atol=0.5)
+
+
+def test_root_music_doa_two_sources():
+    X, _ = _ula_snapshots(8, [-23.0, 14.0], [1.0, 1.0], 4000, 0.01,
+                          seed=7)
+    R = spatial_covariance(jnp.asarray(X))
+    got = np.rad2deg(root_music_doa(R, 2))
+    np.testing.assert_allclose(got, [-23.0, 14.0], atol=0.5)
+
+
+def test_gridless_estimators_resolve_close_sources():
+    # 4 degrees apart at 20 dB SNR: below a 8-element Bartlett beamwidth;
+    # subspace methods should still separate them
+    X, _ = _ula_snapshots(8, [8.0, 12.0], [1.0, 1.0], 8000, 0.01, seed=8)
+    R = spatial_covariance(jnp.asarray(X))
+    for est in (esprit_doa, root_music_doa):
+        got = np.rad2deg(est(R, 2))
+        assert got.shape == (2,)
+        np.testing.assert_allclose(got, [8.0, 12.0], atol=1.5)
+
+
+def test_gridless_validation_and_agreement_with_music():
+    X, _ = _ula_snapshots(8, [-30.0], [1.0], 4000, 0.1, seed=9)
+    R = spatial_covariance(jnp.asarray(X))
+    e = np.rad2deg(esprit_doa(R, 1))
+    rm = np.rad2deg(root_music_doa(R, 1))
+    mu = np.rad2deg(music_doa(R, 1))
+    np.testing.assert_allclose(e, mu, atol=0.5)
+    np.testing.assert_allclose(rm, mu, atol=0.5)
+    import pytest
+    with pytest.raises(ValueError):
+        esprit_doa(R, 8)
+    with pytest.raises(ValueError):
+        root_music_doa(R, 8)
