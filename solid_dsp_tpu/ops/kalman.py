@@ -29,9 +29,9 @@ import numpy as np
 
 from .linrec import affine_scan
 
-__all__ = ["kalman_init", "kalman_apply", "steady_state_gain",
-           "kalman_lti_apply", "alpha_beta_gains", "AlphaBetaTracker",
-           "cv_model"]
+__all__ = ["kalman_init", "kalman_apply", "rts_smooth",
+           "steady_state_gain", "kalman_lti_apply", "alpha_beta_gains",
+           "AlphaBetaTracker", "cv_model"]
 
 
 def kalman_init(x0, P0):
@@ -69,6 +69,59 @@ def kalman_apply(state, Z, A, C, Q, R):
     Z2 = jnp.atleast_2d(Z.T).T if Z.ndim == 1 else Z
     (x, P), X = jax.lax.scan(step, state, Z2)
     return X, (x, P)
+
+
+@jax.jit
+def rts_smooth(state, Z, A, C, Q, R):
+    """Rauch-Tung-Striebel fixed-interval smoother over a block.
+
+    Runs the forward Kalman filter (same model arguments as
+    ``kalman_apply``), then the backward recursion
+
+        G_t = P_t Aᵀ (P⁻_{t+1})⁻¹
+        x̂_t = x_t + G_t (x̂_{t+1} − x⁻_{t+1})
+        P̂_t = P_t + G_t (P̂_{t+1} − P⁻_{t+1}) G_tᵀ
+
+    as a reversed ``lax.scan`` — two linear passes, both jitted.
+    Returns (Xs (T, n), Ps (T, n, n)): the smoothed means use ALL T
+    measurements at every t (offline/burst post-processing — for
+    streaming use kalman_apply).  The last step equals the filter.
+    """
+    A = jnp.asarray(A)
+    C = jnp.atleast_2d(jnp.asarray(C))
+    Q = jnp.asarray(Q)
+    R = jnp.atleast_2d(jnp.asarray(R))
+    n = A.shape[-1]
+    I = jnp.eye(n, dtype=A.dtype)
+
+    def fstep(carry, z):
+        x, P = carry
+        xp = A @ x
+        Pp = A @ P @ A.T + Q
+        S = C @ Pp @ C.T + R
+        K = jnp.linalg.solve(S.T, (Pp @ C.T).T).T
+        x2 = xp + K @ (z - C @ xp)
+        P2 = (I - K @ C) @ Pp
+        return (x2, P2), (x2, P2, xp, Pp)
+
+    Z2 = jnp.atleast_2d(Z.T).T if Z.ndim == 1 else Z
+    _, (Xf, Pf, Xp, Pp) = jax.lax.scan(fstep, state, Z2)
+
+    def bstep(carry, inp):
+        xs_next, Ps_next = carry
+        x_f, P_f, xp_next, Pp_next = inp
+        G = jnp.linalg.solve(Pp_next.T, (P_f @ A.T).T).T
+        xs = x_f + G @ (xs_next - xp_next)
+        Ps = P_f + G @ (Ps_next - Pp_next) @ G.T
+        return (xs, Ps), (xs, Ps)
+
+    # pair step t with the PREDICTED quantities of step t+1
+    init = (Xf[-1], Pf[-1])
+    seq = (Xf[:-1], Pf[:-1], Xp[1:], Pp[1:])
+    _, (Xs, Ps) = jax.lax.scan(bstep, init, seq, reverse=True)
+    Xs = jnp.concatenate([Xs, Xf[-1:]], axis=0)
+    Ps = jnp.concatenate([Ps, Pf[-1:]], axis=0)
+    return Xs, Ps
 
 
 def steady_state_gain(A, C, Q, R, iters: int = 10_000, tol: float = 1e-12):

@@ -138,3 +138,51 @@ def test_alpha_beta_block_continuity_parallel():
     Xf = np.asarray(t2.execute_block(z))
     np.testing.assert_allclose(np.concatenate([Xa, Xb]), Xf,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rts_smoother_matches_reference_and_beats_filter():
+    from solid_dsp_tpu.ops.kalman import rts_smooth
+
+    rng = np.random.default_rng(0)
+    A, C, Q, R = cv_model(1.0, 0.05, 1.0)
+    T = 400
+    x = np.zeros(2)
+    truth = []
+    for _ in range(T):
+        x = A @ x + np.array([0.5, 1.0]) * 0.05 * rng.standard_normal()
+        truth.append(x.copy())
+    truth = np.array(truth)
+    z = truth[:, 0] + rng.standard_normal(T)
+
+    st = kalman_init(np.zeros(2), np.eye(2) * 10)
+    Xf, _ = kalman_apply(st, jnp.asarray(z), A, C, Q, R)
+    Xs, Ps = rts_smooth(st, jnp.asarray(z), A, C, Q, R)
+    Xf, Xs, Ps = np.asarray(Xf), np.asarray(Xs), np.asarray(Ps)
+
+    # literal textbook forward/backward recursion in numpy
+    xk, P = np.zeros(2), np.eye(2) * 10
+    xf, Pf, xp, Pp = [], [], [], []
+    for t in range(T):
+        xpr, Ppr = A @ xk, A @ P @ A.T + Q
+        S = C @ Ppr @ C.T + R
+        K = Ppr @ C.T @ np.linalg.inv(S)
+        xk = xpr + K @ (np.atleast_1d(z[t]) - C @ xpr)
+        P = (np.eye(2) - K @ C) @ Ppr
+        xf.append(xk), Pf.append(P), xp.append(xpr), Pp.append(Ppr)
+    xs, Ps_ref = [None] * T, [None] * T
+    xs[-1], Ps_ref[-1] = xf[-1], Pf[-1]
+    for t in range(T - 2, -1, -1):
+        G = Pf[t] @ A.T @ np.linalg.inv(Pp[t + 1])
+        xs[t] = xf[t] + G @ (xs[t + 1] - xp[t + 1])
+        Ps_ref[t] = Pf[t] + G @ (Ps_ref[t + 1] - Pp[t + 1]) @ G.T
+
+    np.testing.assert_allclose(Xs, np.array(xs), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(Ps, np.array(Ps_ref), rtol=1e-9, atol=1e-9)
+    # smoothing uses future data: strictly better position MSE, and the
+    # final step coincides with the filter
+    assert (np.mean((Xs[:, 0] - truth[:, 0]) ** 2)
+            < 0.6 * np.mean((Xf[:, 0] - truth[:, 0]) ** 2))
+    np.testing.assert_allclose(Xs[-1], Xf[-1], rtol=1e-9)
+    # smoothed covariances are no larger than filtered ones (trace)
+    tr_s = Ps[:, 0, 0] + Ps[:, 1, 1]
+    assert np.all(tr_s <= np.array([p[0, 0] + p[1, 1] for p in Pf]) + 1e-9)
