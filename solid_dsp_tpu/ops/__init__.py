@@ -14,6 +14,7 @@ from . import autocorr  # noqa: F401
 from . import trig_transforms  # noqa: F401
 from . import czt  # noqa: F401
 from . import quantize  # noqa: F401
+from . import resample  # noqa: F401
 from . import kalman  # noqa: F401
 from . import wavelet  # noqa: F401
 from . import zerophase  # noqa: F401

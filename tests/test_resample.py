@@ -1,0 +1,146 @@
+"""Arbitrary-ratio resampler tests.
+
+Golden truth: zero-stuffed full convolution for the halfband
+interpolator, and complex-tone fidelity (projection SNR against the
+ideal output tone) plus alias/image rejection for the PFB chains.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solid_dsp_tpu.ops.halfband import firdes_halfband
+from solid_dsp_tpu.ops.resample import (
+    ArbitraryResampler, HalfbandInterpolator, PfbArbitraryResampler,
+    halfband_interpolate)
+
+
+def _tone_snr(resampler, rate, f_in, n=200000, trim=None):
+    x = np.exp(2j * np.pi * f_in * np.arange(n))
+    y = np.asarray(resampler.execute_block(jnp.asarray(x)))
+    trim = min(len(y) // 4, 4000) if trim is None else trim
+    y = y[trim: len(y) - trim]
+    ref = np.exp(2j * np.pi * (f_in / rate) * np.arange(len(y)))
+    a = np.mean(np.conj(ref) * y)
+    err = y - a * ref
+    return 10 * np.log10(np.mean(np.abs(y) ** 2)
+                         / np.mean(np.abs(err) ** 2))
+
+
+def test_halfband_interpolate_equals_zero_stuffed_conv():
+    rng = np.random.default_rng(0)
+    h = firdes_halfband(6, 70.0)
+    c = (len(h) - 1) // 2
+    x = rng.standard_normal(200) + 1j * rng.standard_normal(200)
+    u = np.zeros(400, complex)
+    u[0::2] = x
+    ref = 2 * np.convolve(u, h)[:400]
+    y, _ = halfband_interpolate(jnp.asarray(h),
+                                jnp.zeros(c, jnp.complex128),
+                                jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-12)
+
+
+def test_halfband_interpolator_streaming_invariance():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(1000) + 1j * rng.standard_normal(1000)
+    h1, h2 = HalfbandInterpolator(8), HalfbandInterpolator(8)
+    ya = np.asarray(h1.execute_block(jnp.asarray(x)))
+    yb = np.concatenate([np.asarray(h2.execute_block(jnp.asarray(b)))
+                         for b in np.split(x, [137, 400, 777])])
+    np.testing.assert_allclose(ya, yb, atol=1e-6)
+    assert len(ya) == 2000
+
+
+@pytest.mark.parametrize("rate,f_in,min_db", [
+    (0.37, 0.10, 60.0),        # halfband + PFB decimation
+    (1 / np.pi, 0.12, 60.0),   # irrational
+    (0.503, 0.15, 60.0),       # just under 1: pure PFB
+    (0.9, 0.30, 60.0),         # near-unity, high occupancy
+    (1.7, 0.35, 58.0),         # interpolation, signal near fpass
+    (np.pi, 0.30, 60.0),       # irrational interpolation
+])
+def test_arbitrary_resampler_tone_fidelity(rate, f_in, min_db):
+    r = ArbitraryResampler(rate, dtype=jnp.complex128)
+    snr = _tone_snr(r, rate, f_in)
+    assert snr > min_db, (rate, f_in, snr)
+
+
+def test_large_ratio_decimation():
+    r = ArbitraryResampler(0.01, dtype=jnp.complex128)
+    snr = _tone_snr(r, 0.01, 0.003, n=2_000_000, trim=2000)
+    assert snr > 70.0, snr
+    # stencil stays small: the 2^k halfbands absorb the bulk ratio
+    pfb = [s for s in r.stages if isinstance(s, PfbArbitraryResampler)]
+    assert pfb and pfb[0].P <= 64
+
+
+def test_antialias_rejection():
+    # tone above the output Nyquist must be crushed by >= ~65 dB
+    rate = 0.41
+    r = ArbitraryResampler(rate, fpass=0.4, stop_band_attenuation=70.0,
+                           dtype=jnp.complex128)
+    x = np.exp(2j * np.pi * 0.35 * np.arange(100000))  # out Nyq = 0.205
+    y = np.asarray(r.execute_block(jnp.asarray(x)))[2000:-2000]
+    assert 10 * np.log10(np.mean(np.abs(y) ** 2) + 1e-30) < -65.0
+
+
+def test_image_rejection_on_interpolation():
+    # interpolating a tone: images at f_in/rate +- k/rate must be absent
+    rate = 2.6
+    r = ArbitraryResampler(rate, dtype=jnp.complex128)
+    f_in = 0.2
+    x = np.exp(2j * np.pi * f_in * np.arange(60000))
+    y = np.asarray(r.execute_block(jnp.asarray(x)))[4000:-4000]
+    Y = np.abs(np.fft.fft(y * np.hanning(len(y)))) ** 2
+    f = np.fft.fftfreq(len(y))
+    main = Y[np.argmin(np.abs(f - f_in / rate))]
+    img_band = np.abs(np.abs(f) - (1.0 - f_in) / rate) < 0.01
+    assert 10 * np.log10(Y[img_band].max() / main) < -55.0
+
+
+def test_streaming_block_invariance():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(30000) + 1j * rng.standard_normal(30000)
+    for rate in (0.713, 1.402):
+        r1 = ArbitraryResampler(rate, dtype=jnp.complex128)
+        r2 = ArbitraryResampler(rate, dtype=jnp.complex128)
+        ya = np.asarray(r1.execute_block(jnp.asarray(x)))
+        yb = np.concatenate([np.asarray(r2.execute_block(jnp.asarray(b)))
+                             for b in np.split(x, [7000, 11111, 20000])])
+        assert len(ya) == len(yb)
+        np.testing.assert_allclose(ya, yb, atol=1e-9)
+
+
+def test_output_length_and_passthrough():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(50000)
+         + 1j * rng.standard_normal(50000)).astype(np.complex64)
+    for rate in (0.37, 1.0, 2.5):
+        r = ArbitraryResampler(rate)
+        y = np.asarray(r.execute_block(jnp.asarray(x)))
+        assert abs(len(y) - rate * len(x)) < 200, (rate, len(y))
+    assert "identity" in repr(ArbitraryResampler(1.0))
+
+
+def test_complex64_accuracy():
+    r = ArbitraryResampler(0.77, dtype=jnp.complex64)
+    snr = _tone_snr(r, 0.77, 0.2, n=100000)
+    assert snr > 50.0, snr
+
+
+def test_reset_and_validation():
+    r = ArbitraryResampler(0.6, dtype=jnp.complex128)
+    x = jnp.asarray(np.ones(5000, np.complex128))
+    y1 = np.asarray(r.execute_block(x))
+    r.reset()
+    y2 = np.asarray(r.execute_block(x))
+    np.testing.assert_allclose(y1, y2, atol=1e-12)
+    with pytest.raises(ValueError):
+        ArbitraryResampler(0.0)
+    with pytest.raises(ValueError):
+        ArbitraryResampler(0.5, fpass=0.6)
+    with pytest.raises(ValueError):
+        PfbArbitraryResampler(-1.0)
+    with pytest.raises(ValueError):
+        PfbArbitraryResampler(1.0, cutoff=0.7)
