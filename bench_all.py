@@ -566,6 +566,38 @@ def bench_detection():
     return out
 
 
+def bench_resample():
+    """r2 additions: PFB arbitrary resampler + zoom FFT throughput."""
+    from solid_dsp_tpu.ops.czt import zoom_fft
+    from solid_dsp_tpu.ops.resample import ArbitraryResampler
+
+    out = []
+    L = _size(22)
+    x = _tone(L)
+    for rate, tag in ((0.37, "decim_0p37"), (2.5, "interp_2p5")):
+        r = ArbitraryResampler(rate, dtype=jnp.complex64)
+        keep = int(L * rate * 0.9)  # fixed slice: block-invariant shape
+
+        # host bookkeeping in execute_block precludes jitting the whole
+        # call; chain the UNJITTED call but keep the checksum threading
+        # so each iteration depends on the previous one's device output
+        def step(chk, _keep=keep, _r=r):
+            y = _r.execute_block(x + (0.0 * chk).astype(x.dtype))
+            c2 = jnp.sum(jnp.abs(y[:_keep]))
+            return c2, c2
+
+        t = _measure(step, jnp.zeros(()))
+        out.append(_row(f"arb_resample_{tag}", L / t))
+
+    B, N = (4, 1 << 10) if SMOKE else (256, 1 << 14)
+    xb = jnp.asarray(np.tile(np.asarray(_tone(N)), (B, 1)))
+    step = _stateless_step(
+        lambda a: zoom_fft(a, 0.2, 0.3, 1024, fs=1.0), xb)
+    t = _measure(step, jnp.zeros(()))
+    out.append(_row("zoom_fft_16k_to_1k_x256", B * N / t))
+    return out
+
+
 def main():
     import sys
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -578,7 +610,7 @@ def main():
                bench_fft_nonpow2, bench_frontend_ops,
                bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
                bench_cyclo, bench_tx_dsp,
-               bench_tracking, bench_detection):
+               bench_tracking, bench_detection, bench_resample):
         if picks and not any(p in fn.__name__ for p in picks):
             continue
         try:
