@@ -53,22 +53,29 @@ def kalman_apply(state, Z, A, C, Q, R):
     C = jnp.atleast_2d(jnp.asarray(C))
     Q = jnp.asarray(Q)
     R = jnp.atleast_2d(jnp.asarray(R))
-    n = A.shape[-1]
-    I = jnp.eye(n, dtype=A.dtype)
 
     def step(carry, z):
-        x, P = carry
-        xp = A @ x
-        Pp = A @ P @ A.T + Q
-        S = C @ Pp @ C.T + R
-        K = jnp.linalg.solve(S.T, (Pp @ C.T).T).T
-        x2 = xp + K @ (z - C @ xp)
-        P2 = (I - K @ C) @ Pp
+        x2, P2, _, _ = _kf_predict_update(carry[0], carry[1], z, A, C, Q, R)
         return (x2, P2), x2
 
     Z2 = jnp.atleast_2d(Z.T).T if Z.ndim == 1 else Z
     (x, P), X = jax.lax.scan(step, state, Z2)
     return X, (x, P)
+
+
+def _kf_predict_update(x, P, z, A, C, Q, R):
+    """One Kalman predict/update; returns (x2, P2, xp, Pp).  The single
+    source of the filter equations — kalman_apply and rts_smooth's
+    forward pass both call it, so a change (e.g. Joseph form) cannot
+    leave them inconsistent."""
+    I = jnp.eye(A.shape[-1], dtype=A.dtype)
+    xp = A @ x
+    Pp = A @ P @ A.T + Q
+    S = C @ Pp @ C.T + R
+    K = jnp.linalg.solve(S.T, (Pp @ C.T).T).T
+    x2 = xp + K @ (z - C @ xp)
+    P2 = (I - K @ C) @ Pp
+    return x2, P2, xp, Pp
 
 
 @jax.jit
@@ -91,17 +98,10 @@ def rts_smooth(state, Z, A, C, Q, R):
     C = jnp.atleast_2d(jnp.asarray(C))
     Q = jnp.asarray(Q)
     R = jnp.atleast_2d(jnp.asarray(R))
-    n = A.shape[-1]
-    I = jnp.eye(n, dtype=A.dtype)
 
     def fstep(carry, z):
-        x, P = carry
-        xp = A @ x
-        Pp = A @ P @ A.T + Q
-        S = C @ Pp @ C.T + R
-        K = jnp.linalg.solve(S.T, (Pp @ C.T).T).T
-        x2 = xp + K @ (z - C @ xp)
-        P2 = (I - K @ C) @ Pp
+        x2, P2, xp, Pp = _kf_predict_update(carry[0], carry[1], z,
+                                            A, C, Q, R)
         return (x2, P2), (x2, P2, xp, Pp)
 
     Z2 = jnp.atleast_2d(Z.T).T if Z.ndim == 1 else Z

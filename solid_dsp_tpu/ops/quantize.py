@@ -61,10 +61,11 @@ def adc_model(x, bits: int = 12, full_scale: float = 1.0,
               dither: bool = False, key=None) -> jnp.ndarray:
     """Complex ADC: clip to the rails, midrise-quantize I and Q.
 
-    With ``dither=True`` adds subtractive uniform dither of +/- delta/2
-    before quantizing (linearizes the quantizer: error becomes white and
-    input-independent at the cost of 3 dB noise; key: jax PRNG key,
-    required when dithering).
+    With ``dither=True`` applies SUBTRACTIVE uniform dither of
+    +/- delta/2: Q(x + d) - d, which makes the quantization error
+    exactly uniform, white, and independent of the signal (Schuchman's
+    condition) at no SNR cost — the known dither is removed again.
+    key: jax PRNG key, required when dithering.
     """
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
@@ -72,21 +73,27 @@ def adc_model(x, bits: int = 12, full_scale: float = 1.0,
     else:
         i, q = x, None
     delta = 2.0 * full_scale / (1 << bits)
+    di = dq = None
     if dither:
         if key is None:
             raise ValueError("dither=True requires a PRNG key")
         ki, kq = jax.random.split(key)
-        i = i + jax.random.uniform(ki, i.shape, i.dtype,
-                                   -delta / 2, delta / 2)
+        di = jax.random.uniform(ki, i.shape, i.dtype, -delta / 2, delta / 2)
+        i = i + di
         if q is not None:
-            q = q + jax.random.uniform(kq, q.shape, q.dtype,
-                                       -delta / 2, delta / 2)
+            dq = jax.random.uniform(kq, q.shape, q.dtype,
+                                    -delta / 2, delta / 2)
+            q = q + dq
     i = quantize_uniform(jnp.clip(i, -full_scale, full_scale), bits,
                          full_scale)
+    if di is not None:
+        i = i - di
     if q is None:
         return i
     q = quantize_uniform(jnp.clip(q, -full_scale, full_scale), bits,
                          full_scale)
+    if dq is not None:
+        q = q - dq
     return i + 1j * q
 
 
@@ -95,21 +102,21 @@ _MU = 255.0
 _A = 87.6
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("mu",))
 def mulaw_compress(x, mu: float = _MU) -> jnp.ndarray:
     """Continuous mu-law compressor: sign(x) ln(1+mu|x|)/ln(1+mu), |x|<=1."""
     x = jnp.asarray(x)
     return jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("mu",))
 def mulaw_expand(y, mu: float = _MU) -> jnp.ndarray:
     """Inverse of mulaw_compress."""
     y = jnp.asarray(y)
     return jnp.sign(y) * (jnp.exp(jnp.abs(y) * np.log1p(mu)) - 1.0) / mu
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("A",))
 def alaw_compress(x, A: float = _A) -> jnp.ndarray:
     """Continuous A-law compressor (ITU G.711 curve), |x| <= 1."""
     x = jnp.asarray(x)
@@ -120,7 +127,7 @@ def alaw_compress(x, A: float = _A) -> jnp.ndarray:
     return jnp.sign(x) * jnp.where(ax < 1.0 / A, small, large)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("A",))
 def alaw_expand(y, A: float = _A) -> jnp.ndarray:
     """Inverse of alaw_compress."""
     y = jnp.asarray(y)

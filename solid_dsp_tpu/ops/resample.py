@@ -7,12 +7,13 @@ Two layers:
   ``npf``-phase polyphase grid; each output sample blends the two
   adjacent phase filters linearly.  TPU formulation: output positions
   expand on device from per-chunk f64 host anchors (same scheme as
-  ops/farrow.py), the P-point windows come from ONE monotonic gather,
-  and the phase blend is a gather-free one-hot MATMUL against the
-  (npf+1, P) tap table — the per-output filter never materializes in
-  HBM and arbitrary-index gathers (which the axon backend rejects)
-  never happen.  The prototype doubles as the anti-alias filter when
-  decimating (cutoff 0.5/ratio), so no separate AA stage is needed.
+  ops/farrow.py), the P-point windows come from ONE monotonic gather
+  (the same small-fan-out shape Farrow uses on the chip), and the phase
+  blend is a two-row take from the tiny resident (npf+1, P) tap table
+  followed by an einsum — peak memory O(n_out * P), never the
+  (n_out, npf) one-hot.  The prototype doubles as the anti-alias
+  filter when decimating (cutoff 0.5/ratio), so no separate AA stage
+  is needed.
 
 * ``ArbitraryResampler`` — one-call rate conversion by ANY real factor
   r = f_out / f_in (the "msresamp"): for r < 1 a halfband decimator
@@ -41,7 +42,7 @@ import numpy as np
 
 from .halfband import HalfbandDecimator, _halfband_stage_semilen, \
     firdes_halfband
-from ..design.firdes import estimate_required_filter_length
+from ..design.firdes import estimate_required_filter_length, kaiser_beta
 from ..design.windows import kaiser as kaiser_window
 
 __all__ = ["halfband_interpolate", "HalfbandInterpolator",
@@ -108,15 +109,6 @@ class HalfbandInterpolator:
         self._tail = jnp.zeros_like(self._tail)
 
 
-def _kaiser_beta(as_db: float) -> float:
-    """Kaiser window shape for a target stopband attenuation (dB)."""
-    if as_db > 50.0:
-        return 0.1102 * (as_db - 8.7)
-    if as_db >= 21.0:
-        return 0.5842 * (as_db - 21.0) ** 0.4 + 0.07886 * (as_db - 21.0)
-    return 0.0
-
-
 def _pfb_tables(P: int, npf: int, cutoff: float, as_db: float) -> np.ndarray:
     """(npf + 1, P) polyphase tap table for the windowed-sinc kernel.
 
@@ -138,7 +130,7 @@ def _pfb_tables(P: int, npf: int, cutoff: float, as_db: float) -> np.ndarray:
     stopband) and row npf is BUILT as the exact one-sample shift of
     row 0, making the wrap bit-continuous by construction.
     """
-    w_full = kaiser_window(npf * P + 1, _kaiser_beta(as_db))
+    w_full = kaiser_window(npf * P + 1, kaiser_beta(as_db))
     qs = np.arange(npf, dtype=np.float64)
     ii = np.arange(P, dtype=np.float64)
     t = qs[:, None] / npf + P / 2.0 - 1.0 - ii[None, :]
@@ -178,14 +170,17 @@ def _pfb_block(tail, x, table, base0, frac0, ratio_dev,
     mu = mu + (base_pre - base).astype(rdt)     # fold clamp into the phase
     idx = base[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
     windows = ext[idx]                          # (n_valid, P) monotonic
-    # two-hot linear blend between adjacent phase rows, gather-free
+    # linear blend between the two adjacent phase rows: a two-row take
+    # from the tiny resident (npf+1, P) table — peak memory stays at
+    # O(n_valid * P), the same as the window matrix (an explicit
+    # (n_valid, npf+1) one-hot matmul would cost (npf+1)/P times more)
     ph = jnp.clip(mu, 0.0, 1.0) * npf
     q = jnp.clip(jnp.floor(ph), 0, npf - 1)
-    alpha = (ph - q).astype(rdt)
-    rows = jnp.arange(npf + 1, dtype=rdt)
-    C = (jnp.where(rows[None, :] == q[:, None], 1.0 - alpha[:, None], 0.0)
-         + jnp.where(rows[None, :] == q[:, None] + 1.0, alpha[:, None], 0.0))
-    taps = (C @ table).astype(ext.dtype)        # (n_valid, P)
+    alpha = (ph - q).astype(rdt)[:, None]
+    qi = q.astype(jnp.int32)
+    t0 = jnp.take(table, qi, axis=0)            # (n_valid, P)
+    t1 = jnp.take(table, qi + 1, axis=0)
+    taps = (t0 + alpha * (t1 - t0)).astype(ext.dtype)
     return jnp.einsum("tk,tk->t", windows, taps), new_tail
 
 
@@ -284,10 +279,13 @@ class ArbitraryResampler:
         self.stages: list = []
         as_db = float(stop_band_attenuation)
 
+        self._align = 1          # input granularity of the halfband cascade
+        self._rem = None         # carried input remainder (device array)
         if rate < 1.0:
             # 2^k halfbands, then one PFB stage for the residual q in [1,2)
             k = int(np.floor(np.log2(1.0 / rate)))
             q = 1.0 / (rate * 2.0 ** k)
+            self._align = 1 << k
             for s in range(k):
                 eff_after = float(k - 1 - s) + (np.log2(q) if q > 1.0
                                                 else 0.0)
@@ -313,11 +311,23 @@ class ArbitraryResampler:
 
     def execute_block(self, x):
         y = jnp.asarray(x)
+        if self._align > 1:
+            # halfband stages need blocks divisible by 2^k: stash the
+            # ragged tail and prepend it to the next block (streaming
+            # output is identical to any other block partitioning)
+            if self._rem is not None and self._rem.shape[-1]:
+                y = jnp.concatenate([self._rem.astype(y.dtype), y], axis=-1)
+            keep = (y.shape[-1] // self._align) * self._align
+            self._rem = y[..., keep:]
+            y = y[..., :keep]
+            if keep == 0:
+                return y
         for st in self.stages:
             y = st.execute_block(y)
         return y
 
     def reset(self):
+        self._rem = None
         for st in self.stages:
             st.reset()
 

@@ -56,12 +56,35 @@ def test_adc_model_complex_and_dither():
     qd = np.asarray(adc_model(x, bits=10, dither=True,
                               key=jax.random.PRNGKey(0)))
     sd = float(sqnr(x, qd))
-    assert s - 6.0 < sd < s  # subtractive dither costs up to ~4.8 dB
+    assert abs(sd - s) < 1.5  # SUBTRACTIVE dither: ~no SNR cost
+    # ...but it decorrelates the error from the signal: a ramp hitting
+    # every code identically gives a periodic (signal-locked) error
+    # undithered, which subtractive dither whitens
+    ramp = np.linspace(-0.99, 0.99, 4096)
+    e_plain = np.asarray(adc_model(ramp, bits=6)) - ramp
+    e_dith = np.asarray(adc_model(ramp, bits=6, dither=True,
+                                  key=jax.random.PRNGKey(1))) - ramp
+    corr = lambda e: np.abs(np.corrcoef(e[:-1], e[1:])[0, 1])
+    assert corr(e_dith) < corr(e_plain)
     with pytest.raises(ValueError):
         adc_model(x, bits=10, dither=True)
     # real input stays real
     qr = np.asarray(adc_model(x.real, bits=10))
     assert qr.dtype.kind == "f"
+
+
+def test_compander_custom_parameters():
+    # mu/A are static jit args: explicit values must work, not crash
+    x = np.linspace(-1, 1, 101)
+    np.testing.assert_allclose(
+        np.asarray(mulaw_expand(mulaw_compress(x, 100.0), 100.0)), x,
+        atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(alaw_expand(alaw_compress(x, 50.0), 50.0)), x,
+        atol=1e-12)
+    # smaller mu compresses less
+    assert float(mulaw_compress(np.array(0.01), 10.0)) < float(
+        mulaw_compress(np.array(0.01), 255.0))
 
 
 @pytest.mark.parametrize("comp,exp", [(mulaw_compress, mulaw_expand),
