@@ -163,6 +163,39 @@ def _cmd_tx(args) -> int:
     return 0
 
 
+def _cmd_resample(args) -> int:
+    import numpy as np
+
+    from .ops.resample import ArbitraryResampler
+    from .runtime import StreamPump, write_iq
+
+    if args.rate <= 0:
+        print("rate must be positive", file=sys.stderr)
+        return 1
+    r = ArbitraryResampler(args.rate, fpass=args.fpass,
+                           stop_band_attenuation=args.attenuation)
+    outs = []
+    nsamp = 0
+    t0 = time.perf_counter()
+    path = "/dev/stdin" if args.input == "-" else args.input
+    with StreamPump(path, fmt=args.format, block=args.block) as pump:
+        for blk in pump:
+            if not len(blk):
+                break
+            y = np.asarray(r.execute_block(blk))
+            if len(y):
+                outs.append(y)
+            nsamp += len(blk)
+    dt = time.perf_counter() - t0
+    y = (np.concatenate(outs) if outs
+         else np.zeros(0, np.complex64))
+    print(f"resampled {nsamp} -> {len(y)} samples (rate {args.rate:g}) "
+          f"in {dt:.3f}s ({nsamp / max(dt, 1e-9) / 1e6:.1f} Msps in)",
+          file=sys.stderr)
+    write_iq(args.output, y.astype(np.complex64), args.out_format)
+    return 0
+
+
 def _cmd_adsb(args) -> int:
     import numpy as np
 
@@ -255,6 +288,21 @@ def main(argv=None) -> int:
                    choices=["cf32", "ci16", "ci8", "cf64"])
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_tx)
+
+    rs = sub.add_parser("resample",
+                        help="rate-convert an IQ recording by any factor")
+    rs.add_argument("input")
+    rs.add_argument("output")
+    rs.add_argument("--rate", type=float, required=True,
+                    help="f_out / f_in (e.g. 0.5 halves the rate)")
+    rs.add_argument("--format", default="cf32",
+                    choices=["cf32", "ci16", "ci8", "cf64"])
+    rs.add_argument("--out-format", default="cf32",
+                    choices=["cf32", "ci16", "ci8", "cf64"])
+    rs.add_argument("--fpass", type=float, default=0.4)
+    rs.add_argument("--attenuation", type=float, default=60.0)
+    rs.add_argument("--block", type=int, default=1 << 20)
+    rs.set_defaults(fn=_cmd_resample)
 
     for name, fn, help_ in (("adsb", _cmd_adsb,
                              "decode ADS-B / Mode S frames (power or IQ)"),

@@ -109,3 +109,21 @@ def test_cli_adsb_and_ais(tmp_path, capsys):
     assert main(["ais", pb]) == 0
     out = capsys.readouterr().out
     assert '"mmsi": 123456789' in out
+
+
+def test_cli_resample(tmp_path, capsys):
+    n = 1 << 15
+    f_in = 0.1
+    x = 0.5 * np.exp(2j * np.pi * f_in * np.arange(n)).astype(np.complex64)
+    src = str(tmp_path / "in.cf32")
+    dst = str(tmp_path / "out.cf32")
+    write_iq(src, x)
+    assert main(["resample", src, dst, "--rate", "0.4",
+                 "--block", "8192"]) == 0
+    y = read_iq(dst)
+    assert abs(len(y) - 0.4 * n) < 100
+    # tone moved to f_in / rate
+    k = np.argmax(np.abs(np.fft.fft(y[1000:9192])))
+    f_out = k / 8192
+    assert abs(f_out - f_in / 0.4) < 2e-3
+    capsys.readouterr()
