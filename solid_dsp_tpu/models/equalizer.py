@@ -31,6 +31,8 @@ shard over a ('channel', 'time') mesh like everything else.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +42,8 @@ from ..streaming.framing import extend_with_tail, frame_windows, split_tail
 
 __all__ = ["eq_init", "eq_apply", "lms_step", "nlms_step", "cma_step",
            "dd_lms_step", "make_rls", "make_equalizer_trainer",
-           "LMSEqualizer", "RLSEqualizer", "CMAEqualizer"]
+           "LMSEqualizer", "RLSEqualizer", "CMAEqualizer",
+           "fdaf_init", "fdaf_step", "FDAFCanceller"]
 
 
 def eq_init(ntaps: int, dtype=jnp.complex64):
@@ -300,3 +303,111 @@ class CMAEqualizer:
 
     def __repr__(self):
         return f"CMAEqualizer [ntaps={self.ntaps}] [mu={self.mu}] [r2={self.r2}]"
+
+
+# ------------------------------------------- frequency-domain (FDAF)
+
+def fdaf_init(m: int, dtype=jnp.complex64):
+    """State for the overlap-save frequency-domain adaptive filter.
+
+    m: time-domain filter length; the FFT size is 2m.  Returns
+    (W (2m,) frequency weights, x_prev (m,) previous input block,
+    P (2m,) per-bin input-power EMA for the normalized step).
+    """
+    return (jnp.zeros(2 * m, dtype),
+            jnp.zeros(m, dtype),
+            jnp.full(2 * m, 1e-3, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("constrained",))
+def fdaf_step(state, x, d, mu: float = 0.5, p_beta: float = 0.9,
+              eps: float = 1e-6, constrained: bool = True):
+    """One constrained fast-block-NLMS update over sub-blocks of m.
+
+    The production adaptive-filter formulation (echo/noise cancellation,
+    long channel ID): overlap-save turns the convolution AND the
+    gradient correlation into length-2m FFTs — O(log m) work per sample
+    instead of O(m) — and the per-bin power normalization equalizes
+    convergence across the input spectrum (colored inputs converge as
+    fast as white, unlike time-domain LMS whose modes spread by the
+    input eigenvalue ratio).  The gradient constraint (zeroing the
+    acausal half of the weight update) removes circular wrap-around so
+    the learned filter is exactly a length-m causal FIR.
+
+    x, d: (T,) with T a multiple of m (the class wrapper buffers).
+    Sub-blocks advance through a ``lax.scan`` — ONE dispatch per call.
+    Returns (y (T,), e (T,), new_state).
+    """
+    W, x_prev, P = state
+    m = x_prev.shape[-1]
+    n = 2 * m
+    xb = x.reshape(-1, m)
+    db = d.reshape(-1, m)
+
+    def body(carry, xd):
+        W, x_prev, P = carry
+        xm, dm = xd
+        seg = jnp.concatenate([x_prev, xm])
+        Xf = jnp.fft.fft(seg)
+        y = jnp.fft.ifft(Xf * W)[m:].astype(seg.dtype)
+        e = dm - y
+        Ef = jnp.fft.fft(jnp.concatenate([jnp.zeros(m, e.dtype), e]))
+        P2 = p_beta * P + (1.0 - p_beta) * jnp.abs(Xf).astype(P.dtype) ** 2
+        G = jnp.conj(Xf) * Ef / (P2 + eps).astype(Xf.dtype)
+        if constrained:
+            g = jnp.fft.ifft(G)
+            g = jnp.concatenate([g[:m], jnp.zeros(m, g.dtype)])
+            G = jnp.fft.fft(g)
+        W2 = W + mu * G.astype(W.dtype)
+        return (W2, xm, P2), (y, e)
+
+    (W, x_prev, P), (ys, es) = jax.lax.scan(body, (W, x_prev, P),
+                                            (xb, db))
+    return ys.reshape(-1), es.reshape(-1), (W, x_prev, P)
+
+
+class FDAFCanceller:
+    """Streaming frequency-domain adaptive canceller / channel identifier.
+
+    feed ``execute_block(x, d)`` with the reference input x and the
+    observed signal d; returns the error e = d - y (the cancelled
+    residual).  ``taps`` exposes the learned length-m causal FIR.
+    Arbitrary block lengths are buffered internally to multiples of m.
+    """
+
+    def __init__(self, m: int = 256, mu: float = 0.5,
+                 dtype=jnp.complex64):
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        self.m = int(m)
+        self.mu = float(mu)
+        self._state = fdaf_init(self.m, dtype)
+        self._dtype = dtype
+        self._xbuf = np.zeros(0, np.complex128)
+        self._dbuf = np.zeros(0, np.complex128)
+
+    @property
+    def taps(self) -> np.ndarray:
+        W = np.asarray(self._state[0])
+        return np.fft.ifft(W)[: self.m]
+
+    def execute_block(self, x, d):
+        self._xbuf = np.concatenate([self._xbuf, np.asarray(x)])
+        self._dbuf = np.concatenate([self._dbuf, np.asarray(d)])
+        t = (len(self._xbuf) // self.m) * self.m
+        if t == 0:
+            return jnp.zeros(0, self._dtype)
+        xs = jnp.asarray(self._xbuf[:t], self._dtype)
+        ds = jnp.asarray(self._dbuf[:t], self._dtype)
+        self._xbuf = self._xbuf[t:]
+        self._dbuf = self._dbuf[t:]
+        _, e, self._state = fdaf_step(self._state, xs, ds, self.mu)
+        return e
+
+    def reset(self):
+        self._state = fdaf_init(self.m, self._dtype)
+        self._xbuf = np.zeros(0, np.complex128)
+        self._dbuf = np.zeros(0, np.complex128)
+
+    def __repr__(self):
+        return f"FDAFCanceller [m={self.m}] [mu={self.mu}]"

@@ -197,3 +197,68 @@ def test_cma_blind_then_decision_directed():
             err = float(np.mean(np.abs(y / (rot / abs(rot)) - ref) ** 2))
             best = min(best, (err, dly))
     assert best[0] < 0.1, f"post-CMA MSE {best}"
+
+
+class TestFDAF:
+    def _channel(self, rng, n=90):
+        h = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             * np.exp(-0.08 * np.arange(n)))
+        return h / np.linalg.norm(h)
+
+    def test_identifies_unknown_channel(self):
+        from solid_dsp_tpu.models.equalizer import FDAFCanceller
+        rng = np.random.default_rng(0)
+        h = self._channel(rng)
+        N = 40000
+        x = (rng.standard_normal(N)
+             + 1j * rng.standard_normal(N)).astype(np.complex64)
+        d = np.convolve(x, h)[:N]
+        c = FDAFCanceller(128, mu=0.5)
+        e = np.asarray(c.execute_block(x, d))
+        erle = 10 * np.log10(np.mean(np.abs(d[-5000:]) ** 2)
+                             / np.mean(np.abs(e[-5000:]) ** 2))
+        assert erle > 40.0, erle
+        # the constrained update learns the causal FIR itself
+        err = np.linalg.norm(c.taps[:90] - h) / np.linalg.norm(h)
+        assert err < 0.01, err
+
+    def test_colored_input_converges(self):
+        # per-bin normalization: AR(1)-colored input (eigenvalue spread
+        # ~1500) still converges fast — the whole point of FDAF over LMS
+        import scipy.signal as sps
+        from solid_dsp_tpu.models.equalizer import FDAFCanceller
+        rng = np.random.default_rng(1)
+        h = self._channel(rng)
+        N = 40000
+        x = sps.lfilter([1.0], [1.0, -0.95],
+                        rng.standard_normal(N)).astype(np.complex64)
+        x /= np.std(x)
+        d = np.convolve(x, h)[:N]
+        c = FDAFCanceller(128, mu=0.5)
+        e = np.asarray(c.execute_block(x, d))
+        erle = 10 * np.log10(np.mean(np.abs(d[-5000:]) ** 2)
+                             / np.mean(np.abs(e[-5000:]) ** 2))
+        assert erle > 35.0, erle
+
+    def test_streaming_buffering_and_reset(self):
+        from solid_dsp_tpu.models.equalizer import FDAFCanceller
+        rng = np.random.default_rng(2)
+        h = self._channel(rng, 30)
+        N = 8192
+        x = (rng.standard_normal(N)
+             + 1j * rng.standard_normal(N)).astype(np.complex64)
+        d = np.convolve(x, h)[:N]
+        c1 = FDAFCanceller(64, mu=0.5)
+        e1 = np.asarray(c1.execute_block(x, d))
+        c2 = FDAFCanceller(64, mu=0.5)
+        # ragged splits exercise the internal buffering
+        parts = [np.asarray(c2.execute_block(x[a:b], d[a:b]))
+                 for a, b in [(0, 100), (100, 1111), (1111, 5000),
+                              (5000, N)]]
+        e2 = np.concatenate(parts)
+        np.testing.assert_allclose(e1[:len(e2)], e2, atol=1e-4)
+        c2.reset()
+        assert np.allclose(np.asarray(c2.taps), 0)
+        import pytest
+        with pytest.raises(ValueError):
+            FDAFCanceller(0)
