@@ -25,10 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["frame_signal", "stft", "spectrogram", "welch_psd",
+__all__ = ["frame_signal", "stft", "istft", "spectrogram", "welch_psd",
            "csd", "coherence", "cepstrum",
            "analytic_signal", "envelope", "instantaneous_frequency",
-           "goertzel_bank"]
+           "goertzel_bank", "stft_denoise"]
 
 
 def _check_frame_args(nfft: int, hop: int) -> None:
@@ -249,3 +249,114 @@ def instantaneous_frequency(x: jnp.ndarray) -> jnp.ndarray:
     z = analytic_signal(x) if not jnp.iscomplexobj(x) else jnp.asarray(x)
     d = z[..., 1:] * jnp.conj(z[..., :-1])
     return jnp.angle(d) / (2.0 * jnp.pi)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window", "length"))
+def istft(S: jnp.ndarray, nfft: int = 1024, hop: int = 512,
+          window: str = "hann", length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT by weighted overlap-add (the stft's WOLA adjoint).
+
+    S: (..., F, nfft) complex frames from ``stft`` (same nfft/hop/
+    window).  Each frame is inverse-transformed, re-weighted by the
+    analysis window, overlap-added at ``hop``, and divided per sample
+    by the window-power envelope sum_f w^2[n - f*hop] — exact
+    reconstruction (istft(stft(x)) == x to machine precision, edges
+    included, verified in tests) for ANY window/hop with hop | nfft,
+    no COLA condition needed.  The overlap-add is the same
+    reshape + strided .at[].add scheme the WOLA channelizer synthesis
+    uses (models/channelizer.py) — gather-free.
+    """
+    _check_frame_args(nfft, hop)
+    F = S.shape[-2]
+    frames = jnp.fft.ifft(S[..., :nfft], axis=-1)
+    w = _window_taps(window, nfft)
+    wc = jnp.asarray(w).astype(frames.real.dtype)
+    frames = frames * wc            # synthesis window = analysis window
+    k = nfft // hop
+
+    def _ola(fr):
+        n_chunks = F + k - 1
+        out = jnp.zeros((*fr.shape[:-2], n_chunks, hop), fr.dtype)
+        pieces = fr.reshape(*fr.shape[:-1], k, hop)
+        for j in range(k):
+            out = out.at[..., j: j + F, :].add(pieces[..., j, :])
+        return out.reshape(*fr.shape[:-2], n_chunks * hop)
+
+    num = _ola(frames)
+    env = _ola(jnp.broadcast_to((wc * wc)[None, :], (F, nfft))
+               .astype(frames.real.dtype))
+    # where the window-power envelope is exactly zero (sample 0 under a
+    # zero-edge window like hann) the signal is not represented in S —
+    # output 0 there.  Elsewhere the division is exact for unmodified
+    # frames (istft(stft(x)) == x); note that if S was MODIFIED
+    # (masking, gain rules), the first/last nfft-hop samples have
+    # partial overlap coverage and the small-w edge division amplifies
+    # frame leakage there — pad the analysis by one frame and trim, as
+    # stft_denoise does, when edges matter.
+    good = env > 0.0
+    y = jnp.where(good,
+                  num / jnp.where(good, env, 1.0).astype(num.dtype), 0.0)
+    n_out = (F - 1) * hop + nfft
+    return y[..., :length if length is not None else n_out]
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "window", "rule"))
+def stft_denoise(x: jnp.ndarray, nfft: int = 512, hop: int = 128,
+                 window: str = "hann", rule: str = "wiener",
+                 oversubtract: float = 1.5, floor: float = 0.05,
+                 noise_psd=None) -> jnp.ndarray:
+    """STFT-domain noise suppression (Wiener / spectral subtraction).
+
+    Estimates the per-bin noise PSD blindly as the 20th percentile of
+    the frame powers (minimum-statistics style: works for signals that
+    are INTERMITTENT per bin — speech, bursts, hopping carriers; a
+    narrowband component that is on for the whole record is
+    indistinguishable from noise floor in its bin and will be
+    suppressed — pass ``noise_psd`` measured from a signal-free
+    interval for that case) unless ``noise_psd`` (nfft,) is given,
+    then applies a per-bin gain:
+
+      rule="wiener":   G = max(1 - nu*N/P, floor)          (power rule)
+      rule="subtract": G = max(1 - sqrt(nu*N/P), floor)    (amplitude)
+
+    with P the per-frame power EMA-smoothed along time (alpha = 0.6) to
+    avoid musical noise.  Returns the resynthesized signal, same length
+    as x.  Complements ops.wavelet.denoise_soft for stationary-in-
+    frequency noise; everything is batched frame math + two FFT passes.
+    """
+    if rule not in ("wiener", "subtract"):
+        raise ValueError(f"unknown rule {rule!r}")
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n < nfft:
+        raise ValueError(f"signal length {n} < nfft {nfft}")
+    # pad a full frame on BOTH sides: every retained sample then has
+    # full overlap coverage, so the edge region where gain-modified
+    # frames disagree (and the small-window division amplifies their
+    # leakage) falls entirely in the discarded padding; the right pad
+    # also absorbs the ragged tail the frame grid would drop
+    F = -(-(n + nfft) // hop) + 1
+    usable = (F - 1) * hop + nfft
+    pads = [(0, 0)] * (x.ndim - 1) + [(nfft, usable - n - nfft)]
+    xp = jnp.pad(x, pads)
+    S = stft(xp, nfft, hop, window)
+    P = jnp.real(S * jnp.conj(S))
+    if noise_psd is None:
+        N = jnp.percentile(P, 20.0, axis=-2)               # (nfft,)
+    else:
+        N = jnp.asarray(noise_psd).astype(P.dtype)
+    # time smoothing of the power track (reduces musical noise)
+    def ema(carry, p):
+        c = 0.6 * carry + 0.4 * p
+        return c, c
+    _, Ps = jax.lax.scan(ema, P[..., 0, :], jnp.moveaxis(P, -2, 0))
+    Ps = jnp.moveaxis(Ps, 0, -2)
+    ratio = oversubtract * N[..., None, :] / jnp.maximum(
+        Ps, jnp.finfo(Ps.dtype).tiny)
+    if rule == "wiener":
+        G = jnp.maximum(1.0 - ratio, floor)
+    else:
+        G = jnp.maximum(1.0 - jnp.sqrt(ratio), floor)
+    y = istft(S * G.astype(S.dtype), nfft, hop, window)[..., nfft:nfft + n]
+    return jnp.real(y) if not jnp.issubdtype(x.dtype, jnp.complexfloating) \
+        else y

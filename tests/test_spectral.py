@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from solid_dsp_tpu.analysis import spectral
+from solid_dsp_tpu.analysis.spectral import istft, stft, stft_denoise
 
 
 def _frames_loop(x, nfft, hop):
@@ -108,7 +109,7 @@ def test_goertzel_bank_tone_amplitude():
 
 
 def test_csd_self_equals_welch_psd():
-    from solid_dsp_tpu.analysis.spectral import csd, welch_psd
+    from solid_dsp_tpu.analysis.spectral import csd, welch_psd, istft, stft_denoise
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(
         np.complex64)
@@ -195,3 +196,80 @@ def test_instantaneous_frequency_of_chirp():
     fi = np.asarray(spectral.instantaneous_frequency(jnp.asarray(x)))
     f_true = f0 + (f1 - f0) * n[:-1] / len(n)
     np.testing.assert_allclose(fi[200:-200], f_true[200:-200], atol=0.002)
+
+
+class TestISTFTAndDenoise:
+    def test_istft_perfect_reconstruction_hamming(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(4000) + 1j * rng.standard_normal(4000)
+        S = stft(jnp.asarray(x), 256, 64, "hamming")
+        xr = np.asarray(istft(S, 256, 64, "hamming"))
+        u = (S.shape[0] - 1) * 64 + 256
+        np.testing.assert_allclose(xr, x[:u], atol=1e-12)
+
+    def test_istft_hann_exact_except_zero_window_endpoints(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(4000) + 1j * rng.standard_normal(4000)
+        S = stft(jnp.asarray(x), 512, 128, "hann")
+        xr = np.asarray(istft(S, 512, 128, "hann"))
+        u = (S.shape[0] - 1) * 128 + 512
+        d = np.abs(xr[:u] - x[:u])
+        assert set(np.where(d > 1e-9)[0]) <= {0, u - 1}
+        assert xr[0] == 0  # w[0] == 0: sample not representable
+
+    def test_istft_batched_and_length(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((3, 2000))
+        S = stft(jnp.asarray(x), 256, 128, "hamming")
+        xr = np.asarray(istft(S, 256, 128, "hamming", length=1000))
+        assert xr.shape == (3, 1000)
+        np.testing.assert_allclose(xr, x[:, :1000], atol=1e-12)
+
+    def test_denoise_bursty_signal_blind(self):
+        rng = np.random.default_rng(3)
+        n = 32000
+        k = np.arange(n)
+        gate = ((k // 2000) % 3 == 0).astype(float)
+        sig = gate * np.exp(2j * np.pi * 0.1 * k)
+        noise = (rng.standard_normal(n)
+                 + 1j * rng.standard_normal(n)) * 0.3
+
+        def osnr(v):
+            a = np.vdot(sig, v) / np.vdot(sig, sig).real
+            e = v - a * sig
+            return 10 * np.log10(np.abs(a) ** 2
+                                 * np.vdot(sig, sig).real
+                                 / np.vdot(e, e).real)
+
+        y = np.asarray(stft_denoise(jnp.asarray(sig + noise), 512, 128))
+        assert len(y) == n
+        assert osnr(y) > osnr(sig + noise) + 2.0
+        assert np.abs(y).max() < 3.0  # no WOLA edge spikes
+
+    def test_denoise_with_known_noise_psd(self):
+        rng = np.random.default_rng(4)
+        n = 32000
+        sig = np.exp(2j * np.pi * 0.1 * np.arange(n))
+        noise = (rng.standard_normal(n)
+                 + 1j * rng.standard_normal(n)) * 0.3
+        Sn = np.asarray(stft(jnp.asarray(noise), 512, 128))
+        npsd = np.mean(np.abs(Sn) ** 2, axis=0)
+        y = np.asarray(stft_denoise(jnp.asarray(sig + noise), 512, 128,
+                                    noise_psd=jnp.asarray(npsd)))
+        a = np.vdot(sig, y) / n
+        e = y - a * sig
+        out_snr = 10 * np.log10(np.abs(a) ** 2 * n
+                                / np.vdot(e, e).real)
+        assert out_snr > 15.0  # input was ~7.4 dB
+
+    def test_denoise_rules_and_validation(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(3001).astype(np.float32)  # ragged length
+        y = np.asarray(stft_denoise(jnp.asarray(x), 256, 64,
+                                    rule="subtract"))
+        assert y.shape == (3001,) and y.dtype.kind == "f"
+        import pytest
+        with pytest.raises(ValueError):
+            stft_denoise(jnp.asarray(x), 256, 64, rule="bogus")
+        with pytest.raises(ValueError):
+            stft_denoise(jnp.asarray(x[:100]), 256, 64)
