@@ -566,6 +566,23 @@ def bench_detection():
     return out
 
 
+def bench_rx_chain_bf16_fir():
+    """Config-4 chain with the FIR stage in the MXU's native single-pass
+    bf16 mode (fir_precision="default") vs the full-accuracy multi-pass
+    contraction bench_rx_chain measures — the documented fast path."""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="block", demod="fm", nco_mode="exact",
+                        fir_precision="default", dtype=jnp.complex64)
+    init, apply = make_rx_chain(cfg)
+    L = _size(24)
+    x = _tone(L)
+    step = _chain_step(apply, x)
+    t = _measure(step, (jnp.zeros(()), init()), reps=2)
+    return _row("rx_chain_bf16_fir", L / t)
+
+
 def bench_resample():
     """r2 additions: PFB arbitrary resampler + zoom FFT throughput."""
     from solid_dsp_tpu.ops.czt import zoom_fft
@@ -610,7 +627,8 @@ def main():
                bench_fft_nonpow2, bench_frontend_ops,
                bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
                bench_cyclo, bench_tx_dsp,
-               bench_tracking, bench_detection, bench_resample):
+               bench_tracking, bench_detection, bench_resample,
+               bench_rx_chain_bf16_fir):
         if picks and not any(p in fn.__name__ for p in picks):
             continue
         try:

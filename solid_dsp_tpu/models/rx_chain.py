@@ -58,6 +58,12 @@ class RxChainConfig:
     # and cancel them before the NCO mix.  Bandwidth is the per-block EMA
     # coefficient; 0 disables the stage.
     impairment_bw: float = 0.0
+    # MXU contraction mode for the FIR stage: "highest" (default, full
+    # f32 — a multi-pass bf16 contraction on TPU) or "default" (native
+    # single-pass bf16, several times faster on v5e at ~45 dB accuracy —
+    # use when the link budget tolerates it; the 60 dB parity gates
+    # require "highest").
+    fir_precision: str = "highest"
 
     def design_taps(self) -> np.ndarray:
         taps = firdes.firdes_kaiser(
@@ -99,6 +105,8 @@ def make_rx_chain(cfg: RxChainConfig):
         raise ValueError(f"unknown agc_mode {cfg.agc_mode!r}")
     if cfg.input_format not in ("cf32", "ci16"):
         raise ValueError(f"unknown input_format {cfg.input_format!r}")
+    if cfg.fir_precision not in ("highest", "default"):
+        raise ValueError(f"unknown fir_precision {cfg.fir_precision!r}")
     # NOTE: closure constants must stay HOST-side (numpy): jit embeds them as
     # MLIR constants, and embedding a committed device array forces a
     # device->host fetch that some backends (axon tunnel) cannot do.
@@ -131,6 +139,7 @@ def make_rx_chain(cfg: RxChainConfig):
         y, fir_tail, fir_phase = fir_ops.fir_decim_apply(
             taps, state.fir_tail, state.fir_phase, mixed,
             jnp.asarray(1.0, dtype=cfg.dtype), cfg.decimation,
+            precision=cfg.fir_precision,
         )
         y_fir = y
         # 3. AGC

@@ -59,7 +59,8 @@ def fir_init(ntaps: int, dtype=jnp.complex64, batch_shape: tuple = ()) -> jnp.nd
     return jnp.zeros((*batch_shape, max(ntaps - 1, 0)), dtype=dtype)
 
 
-def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
+               precision=None) -> jnp.ndarray:
     """Strided sliding correlation on the MXU via XLA convolution.
 
     ``taps`` of shape (n,) or (n, O); returns
@@ -70,6 +71,12 @@ def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarra
     instead of O(L * n).  Complex data/taps decompose into a 2-channel real
     conv (out_re = xr*kr - xi*ki, out_im = xr*ki + xi*kr), which XLA maps to
     one MXU contraction.
+
+    ``precision``: None/"highest" keeps full f32 accuracy (on TPU this
+    lowers to a multi-pass bf16 contraction); "default" runs the MXU's
+    native single-pass bf16 mode — several times faster on v5e at ~8
+    fractional bits (~45 dB), the documented fast path for chains whose
+    SNR budget tolerates it.
     """
     vec = taps.ndim == 1
     taps2 = taps[:, None] if vec else taps
@@ -78,7 +85,9 @@ def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarra
     L = x.shape[-1]
     xb = x.reshape((-1, L))
     T = (L - n) // stride + 1
-    prec = jax.lax.Precision.HIGHEST
+    prec = (jax.lax.Precision.HIGHEST if precision in (None, "highest")
+            else jax.lax.Precision.DEFAULT if precision == "default"
+            else precision)
     if jnp.issubdtype(x.dtype, jnp.complexfloating) or jnp.issubdtype(
         taps2.dtype, jnp.complexfloating
     ):
@@ -239,14 +248,16 @@ def fir_apply(taps, tail, x, scale=1.0, method: str = "auto"):
     return _fir_apply_jit(taps, tail, x, scale, m)
 
 
-@partial(jax.jit, static_argnames=("decimation",))
-def fir_decim_apply(taps, tail, phase, x, scale, decimation: int):
+@partial(jax.jit, static_argnames=("decimation", "precision"))
+def fir_decim_apply(taps, tail, phase, x, scale, decimation: int,
+                    precision: str | None = None):
     """Decimating FIR block; block length must be a multiple of ``decimation``.
 
     Matches the reference counter semantics (fir/decim.rs:221-228): the
     counter increments on each push, and an output is emitted when
     (phase + n + 1) % M == 0 for the n-th sample of the block.
     Returns (y, new_tail, new_phase) with len(y) = len(x) // M.
+    ``precision``: see conv1d_mxu (None = full accuracy).
     """
     L = x.shape[-1]
     M = decimation
@@ -262,7 +273,7 @@ def fir_decim_apply(taps, tail, phase, x, scale, decimation: int):
     x_sub = jax.lax.dynamic_slice_in_dim(
         x_ext, first, (T - 1) * M + n, axis=x_ext.ndim - 1
     )
-    y = conv1d_mxu(x_sub, taps, stride=M) * scale
+    y = conv1d_mxu(x_sub, taps, stride=M, precision=precision) * scale
     new_tail = split_tail(x_ext, n - 1)
     new_phase = (phase + L) % M
     return y, new_tail, new_phase

@@ -488,3 +488,25 @@ def test_deemphasis_response():
                                             * n[5000:])))
         got_db = 20 * np.log10(amp)
         assert abs(got_db - want_db) < tol, (f, got_db, want_db)
+
+
+def test_rx_chain_fir_precision_modes():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    k = np.arange(8192)
+    x = jnp.asarray(0.1 * np.exp(2j * np.pi * 0.04 * k), jnp.complex64)
+    outs = {}
+    for prec in ("highest", "default"):
+        cfg = RxChainConfig(agc_mode="block", demod="fm",
+                            fir_precision=prec, dtype=jnp.complex64)
+        init, apply = make_rx_chain(cfg)
+        y, _ = apply(init(), x)
+        outs[prec] = np.asarray(y)
+    # identical math on CPU; on TPU "default" trades ~45 dB accuracy
+    np.testing.assert_allclose(outs["highest"], outs["default"],
+                               atol=1e-4)
+    with pytest.raises(ValueError):
+        make_rx_chain(RxChainConfig(fir_precision="bf8"))
