@@ -21,7 +21,7 @@ Gardner).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -286,3 +286,48 @@ class LinearModem:
             r = y_sym - hard
             noise_var = jnp.mean(jnp.real(r * jnp.conj(r))) + 1e-12
         return demap_soft(y_sym, self.points, noise_var)
+
+
+# ---------------------------------------------------- differential PSK
+
+def dpsk_modulate(bits, m: int = 4) -> jnp.ndarray:
+    """Differential M-PSK: information rides on PHASE INCREMENTS.
+
+    Each k-bit group gray-selects a phase step 2*pi*g/m; transmitted
+    phase indices are the cumulative sum mod m (a parallel jnp.cumsum,
+    no scan).  A leading reference symbol (phase 0) is prepended, so
+    len(output) = n_symbols + 1.  No carrier-phase recovery is needed
+    at the receiver — any constant rotation cancels in the differential
+    detector (tested).
+    """
+    if m < 2 or m & (m - 1):
+        raise ValueError("DPSK order must be a power of two >= 2")
+    k = int(np.log2(m))
+    sym = bits_to_symbols(bits, k)
+    gray_slot = jnp.asarray(_gray(m), jnp.int32)[sym]   # increment slots
+    idx = jnp.cumsum(gray_slot) % m
+    phase = 2.0 * jnp.pi * idx.astype(jnp.float32) / m
+    ref = jnp.ones(1, jnp.complex64)
+    return jnp.concatenate([ref, jnp.exp(1j * phase).astype(jnp.complex64)])
+
+
+@partial(jax.jit, static_argnames=("m",))
+def dpsk_demodulate(y, m: int = 4) -> jnp.ndarray:
+    """Noncoherent differential detection: bits from phase differences.
+
+    d[n] = y[n+1] conj(y[n]) collapses any constant carrier phase (and
+    tolerates slow CFO); the increment slot is the nearest multiple of
+    2*pi/m, inverse-gray-mapped back to bits.  y: (n_symbols + 1,)
+    -> (n_symbols * log2(m),) hard bits.
+    """
+    if m < 2 or m & (m - 1):
+        raise ValueError("DPSK order must be a power of two >= 2")
+    k = int(np.log2(m))
+    y = jnp.asarray(y)
+    d = y[1:] * jnp.conj(y[:-1])
+    slot = jnp.round(jnp.angle(d) * m / (2.0 * jnp.pi)).astype(jnp.int32) % m
+    # inverse gray permutation (host-side table)
+    inv = np.zeros(m, np.int32)
+    inv[_gray(m)] = np.arange(m)
+    sym = jnp.asarray(inv)[slot]
+    return symbols_to_bits(sym, k)

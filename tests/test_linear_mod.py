@@ -242,3 +242,46 @@ def test_apsk_power_of_two_rings_gray_adjacent():
             syms = order                               # local symbol index
             for a, b in zip(syms, np.roll(syms, -1)):
                 assert bin(int(a) ^ int(b)).count("1") == 1, (m, off)
+
+
+class TestDPSK:
+    def test_rotation_and_cfo_invariant_loopback(self):
+        from solid_dsp_tpu.models.linear_mod import (dpsk_demodulate,
+                                                     dpsk_modulate)
+        rng = np.random.default_rng(0)
+        for m in (2, 4, 8):
+            k = int(np.log2(m))
+            bits = rng.integers(0, 2, 3000 - 3000 % k)
+            tx = np.asarray(dpsk_modulate(bits, m))
+            # constant unknown phase: exact
+            got = np.asarray(dpsk_demodulate(
+                jnp.asarray(tx * np.exp(1.234j)), m))
+            np.testing.assert_array_equal(got, bits)
+            # slow CFO (phase drift << 2pi/m per symbol): still exact
+            drift = np.exp(2j * np.pi * 1e-3 * np.arange(len(tx)))
+            got2 = np.asarray(dpsk_demodulate(jnp.asarray(tx * drift), m))
+            np.testing.assert_array_equal(got2, bits)
+
+    def test_dbpsk_ber_matches_noncoherent_theory(self):
+        from solid_dsp_tpu.models.linear_mod import (dpsk_demodulate,
+                                                     dpsk_modulate)
+        rng = np.random.default_rng(1)
+        N = 400_000
+        bits = rng.integers(0, 2, N)
+        tx = np.asarray(dpsk_modulate(bits, 2))
+        ebn0 = 10 ** (7.0 / 10)
+        sigma = np.sqrt(1 / (2 * ebn0))
+        rx = tx + sigma * (rng.standard_normal(len(tx))
+                           + 1j * rng.standard_normal(len(tx)))
+        ber = float(np.mean(np.asarray(
+            dpsk_demodulate(jnp.asarray(rx), 2)) != bits))
+        theory = 0.5 * np.exp(-ebn0)
+        assert 0.7 * theory < ber < 1.6 * theory, (ber, theory)
+
+    def test_validation(self):
+        from solid_dsp_tpu.models.linear_mod import (dpsk_demodulate,
+                                                     dpsk_modulate)
+        with pytest.raises(ValueError):
+            dpsk_modulate(np.zeros(4, int), 3)
+        with pytest.raises(ValueError):
+            dpsk_demodulate(np.ones(5, complex), 6)
