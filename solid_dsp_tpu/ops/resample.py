@@ -198,7 +198,8 @@ class PfbArbitraryResampler:
 
     def __init__(self, ratio: float, cutoff: float | None = None,
                  stop_band_attenuation: float = 60.0, P: int | None = None,
-                 npf: int = 64, dtype=jnp.complex64):
+                 npf: int = 64, dtype=jnp.complex64,
+                 batch_shape: tuple = ()):
         if ratio <= 0.0:
             raise ValueError("ratio must be positive")
         self.ratio = float(ratio)
@@ -217,7 +218,10 @@ class PfbArbitraryResampler:
         self.npf = int(npf)
         self._table_np = _pfb_tables(self.P, self.npf, self.cutoff, as_db)
         self._table = jnp.asarray(self._table_np)
-        self._tail = jnp.zeros(self.P - 1, dtype)
+        # batch_shape: resample a whole bank of channels in lockstep —
+        # positions are shared, the kernel vmaps over leading axes
+        self.batch_shape = tuple(batch_shape)
+        self._tail = jnp.zeros((*self.batch_shape, self.P - 1), dtype)
         self._t_next = 0.0                      # position bookkeeping, f64
 
     def execute_block(self, x):
@@ -230,9 +234,10 @@ class PfbArbitraryResampler:
         n_out = int(np.ceil((lim - self._t_next) / self.ratio - 1e-12))
         n_out = max(n_out, 0)
         if n_out == 0:
-            self._tail = jnp.concatenate([self._tail, x])[-(P - 1):]
+            self._tail = jnp.concatenate([self._tail, x],
+                                         axis=-1)[..., -(P - 1):]
             self._t_next -= x.shape[-1]
-            return x[:0]
+            return x[..., :0]
         chunk = max(64, int(1024 / max(self.ratio, 1.0)))
         n_pad = int(np.ceil(lim / self.ratio)) + 2
         n_chunks = -(-n_pad // chunk)
@@ -240,11 +245,16 @@ class PfbArbitraryResampler:
         t_c = self._t_next + self.ratio * chunk * np.arange(n_chunks)
         base0 = np.floor(t_c).astype(np.int32)
         frac0 = (t_c - np.floor(t_c)).astype(rdt)
-        y_pad, self._tail = _pfb_block(
+        kern = partial(_pfb_block, n_valid=n_chunks * chunk, P=P,
+                       npf=self.npf)
+        for _ in self.batch_shape:              # channels share positions
+            kern = jax.vmap(kern, in_axes=(0, 0, None, None, None, None),
+                            out_axes=(0, 0))
+        y_pad, self._tail = kern(
             self._tail, x, self._table.astype(rdt),
             jnp.asarray(base0), jnp.asarray(frac0),
-            jnp.asarray(self.ratio, rdt), n_chunks * chunk, P, self.npf)
-        y = y_pad[:n_out]
+            jnp.asarray(self.ratio, rdt))
+        y = y_pad[..., :n_out]
         self._t_next = float(self._t_next + self.ratio * n_out
                              - x.shape[-1])
         return y

@@ -163,3 +163,21 @@ def test_reset_and_validation():
         PfbArbitraryResampler(-1.0)
     with pytest.raises(ValueError):
         PfbArbitraryResampler(1.0, cutoff=0.7)
+
+
+def test_pfb_batched_bank_matches_single_channel():
+    rng = np.random.default_rng(5)
+    xb = (rng.standard_normal((4, 20000))
+          + 1j * rng.standard_normal((4, 20000)))
+    bank = PfbArbitraryResampler(1.37, dtype=jnp.complex128,
+                                 batch_shape=(4,))
+    yb = np.asarray(bank.execute_block(jnp.asarray(xb)))
+    single = PfbArbitraryResampler(1.37, dtype=jnp.complex128)
+    y2 = np.asarray(single.execute_block(jnp.asarray(xb[2])))
+    np.testing.assert_allclose(yb[2], y2, atol=0)
+    # streaming with shared positions across the bank
+    bank.reset()
+    parts = [np.asarray(bank.execute_block(jnp.asarray(b)))
+             for b in np.split(xb, [7000, 13000], axis=1)]
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), yb,
+                               atol=1e-9)
