@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["conv_encode", "viterbi_decode", "ConvCode",
-           "interleave", "deinterleave"]
+           "interleave", "deinterleave", "puncture", "depuncture",
+           "PUNCTURE_2_3", "PUNCTURE_3_4", "PUNCTURE_5_6", "PUNCTURE_7_8"]
 
 DEFAULT_POLYS = (0o171, 0o133)
 DEFAULT_K = 7
@@ -192,3 +193,69 @@ def deinterleave(bits, rows: int, cols: int) -> jnp.ndarray:
     if b.shape[-1] != rows * cols:
         raise ValueError("length must equal rows*cols")
     return b.reshape(cols, rows).T.reshape(-1)
+
+
+# -------------------------------------------------------- puncturing
+
+# DVB-S / IEEE-standard puncturing patterns for the rate-1/2 mother code:
+# row 0 = X (first polynomial) keep-mask over the period, row 1 = Y.
+PUNCTURE_2_3 = ((1, 0), (1, 1))
+PUNCTURE_3_4 = ((1, 0, 1), (1, 1, 0))
+PUNCTURE_5_6 = ((1, 0, 1, 0, 1), (1, 1, 0, 1, 0))
+PUNCTURE_7_8 = ((1, 0, 0, 0, 1, 0, 1), (1, 1, 1, 1, 0, 1, 0))
+
+
+def _puncture_cols(pattern) -> tuple:
+    """Static kept-column indices into a (period * n)-wide row."""
+    rows = [tuple(r) for r in pattern]
+    n = len(rows)
+    period = len(rows[0])
+    if any(len(r) != period for r in rows):
+        raise ValueError("puncture pattern rows must share one period")
+    if not any(v for r in rows for v in r):
+        raise ValueError("puncture pattern keeps nothing")
+    # stream order is interleaved per input bit: [t0_x, t0_y, t1_x, ...]
+    keep = [t * n + i for t in range(period) for i in range(n)
+            if rows[i][t]]
+    return n, period, tuple(keep)
+
+
+def puncture(coded, pattern) -> jnp.ndarray:
+    """Drop coded bits per the keep-pattern (rate 1/n -> higher).
+
+    coded: (T * n,) from conv_encode, with T divisible by the pattern
+    period.  Pure static column selection — jit/shard friendly.
+    """
+    n, period, keep = _puncture_cols(pattern)
+    coded = jnp.asarray(coded)
+    T = coded.shape[-1] // n
+    if coded.shape[-1] % n or T % period:
+        raise ValueError(
+            f"coded length {coded.shape[-1]} must be a multiple of "
+            f"n*period = {n * period}")
+    rows = coded.reshape(T // period, period * n)
+    return rows[:, list(keep)].reshape(-1)
+
+
+def depuncture(rx, pattern, hard: bool = False) -> jnp.ndarray:
+    """Re-insert erasures: punctured slots become LLR 0.
+
+    rx: the punctured stream — soft LLRs (positive favors bit 0), or
+    hard bits with ``hard=True`` (mapped to +-1 LLRs).  Returns the
+    full-rate (T * n,) soft stream for ``viterbi_decode(..., soft=True)``
+    — an erasure contributes nothing to either branch hypothesis, which
+    is exactly the ML treatment of a dropped bit.
+    """
+    n, period, keep = _puncture_cols(pattern)
+    rx = jnp.asarray(rx)
+    if hard:
+        rx = 1.0 - 2.0 * rx.astype(jnp.float32)
+    k = len(keep)
+    if rx.shape[-1] % k:
+        raise ValueError(
+            f"punctured length {rx.shape[-1]} not a multiple of the "
+            f"pattern's {k} kept bits")
+    rows = rx.reshape(-1, k)
+    full = jnp.zeros((rows.shape[0], period * n), rx.dtype)
+    full = full.at[:, list(keep)].set(rows)
+    return full.reshape(-1)

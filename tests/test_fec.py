@@ -121,3 +121,64 @@ def test_standard_impulse_response():
 def test_viterbi_rejects_truncated_stream():
     with pytest.raises(ValueError, match="multiple"):
         fec.viterbi_decode(np.zeros(4001, np.int32))
+
+
+class TestPuncturing:
+    def test_all_standard_rates_noiseless_exact(self):
+        from solid_dsp_tpu.models.fec import (
+            PUNCTURE_2_3, PUNCTURE_3_4, PUNCTURE_5_6, PUNCTURE_7_8,
+            conv_encode, depuncture, puncture, viterbi_decode)
+        rng = np.random.default_rng(0)
+        for pat in (PUNCTURE_2_3, PUNCTURE_3_4, PUNCTURE_5_6,
+                    PUNCTURE_7_8):
+            period = len(pat[0])
+            nb = 40 * period
+            while (nb + 6) % period:
+                nb += 1
+            bits = rng.integers(0, 2, nb)
+            p = puncture(conv_encode(bits), pat)
+            # higher code rate than the 1/2 mother code
+            assert len(np.asarray(p)) < 2 * (nb + 6)
+            soft = depuncture(np.asarray(p), pat, hard=True)
+            dec = np.asarray(viterbi_decode(jnp.asarray(soft), soft=True))
+            np.testing.assert_array_equal(dec, bits)
+
+    def test_punctured_rate34_beats_uncoded_awgn(self):
+        from scipy.special import erfc
+
+        from solid_dsp_tpu.models.fec import (
+            PUNCTURE_3_4, conv_encode, depuncture, puncture,
+            viterbi_decode)
+        rng = np.random.default_rng(1)
+        nb = 3 * 6000 - 6
+        bits = rng.integers(0, 2, nb)
+        p = np.asarray(puncture(conv_encode(bits), PUNCTURE_3_4))
+        ebn0 = 10 ** (5.0 / 10)
+        sigma = np.sqrt(1 / (2 * 0.75 * ebn0))
+        y = (1 - 2.0 * p) + sigma * rng.standard_normal(len(p))
+        llr = (2 * y / sigma ** 2).astype(np.float32)
+        dec = np.asarray(viterbi_decode(
+            jnp.asarray(depuncture(llr, PUNCTURE_3_4)), soft=True))
+        ber = float(np.mean(dec != bits))
+        assert ber < 0.1 * 0.5 * erfc(np.sqrt(ebn0))  # >=10x vs uncoded
+
+    def test_depuncture_inverts_puncture_positions(self):
+        from solid_dsp_tpu.models.fec import depuncture, puncture
+        pat = ((1, 0, 1), (1, 1, 0))
+        x = np.arange(1, 25, dtype=np.float32)      # 12 pairs, T=12
+        kept = np.asarray(puncture(x, pat))
+        full = np.asarray(depuncture(kept, pat))
+        mask = full != 0
+        np.testing.assert_allclose(full[mask], x[mask])
+        assert mask.sum() == len(kept)
+
+    def test_validation(self):
+        from solid_dsp_tpu.models.fec import depuncture, puncture
+        with pytest.raises(ValueError):
+            puncture(np.zeros(10), ((1, 0), (1,)))
+        with pytest.raises(ValueError):
+            puncture(np.zeros(10), ((0, 0), (0, 0)))
+        with pytest.raises(ValueError):
+            puncture(np.zeros(10), ((1, 0), (1, 1)))   # T not mult of 2
+        with pytest.raises(ValueError):
+            depuncture(np.zeros(7), ((1, 0), (1, 1)))
