@@ -195,53 +195,73 @@ class RSCode:
         return (sbits.reshape(*rx.shape[:-1], self.nroots, 8)
                 << jnp.arange(7, -1, -1)).sum(-1)
 
-    def _correct_one(self, rx: np.ndarray, synd: np.ndarray):
+    def _correct_one(self, rx: np.ndarray, synd: np.ndarray,
+                     era_degs: tuple = ()):
         """Berlekamp-Massey + Chien + Forney for ONE nonzero-syndrome block.
 
+        ``era_degs``: known-unreliable positions as Chien DEGREES
+        (deg = n-1-index).  Errors-and-erasures decoding corrects nu
+        errors plus mu erasures while 2*nu + mu <= 2t: BM runs on the
+        erasure-MODIFIED syndromes T = S * Gamma mod x^2t (Gamma the
+        erasure locator), for 2t - mu iterations, and the combined
+        locator Psi = Lambda * Gamma feeds the usual Chien/Forney.
         Returns (corrected bytes, ok).
         """
         exp, log = _gf_tables()
         nroots = self.nroots
-        # Berlekamp-Massey for the error locator Lambda (lowest first)
+        mu = len(era_degs)
+        if mu > nroots:
+            return rx, False
+        # initialize Lambda with the erasure locator
+        # Gamma(x) = prod (1 + alpha^deg x), lowest first — the classic
+        # errors-and-erasures BM (Karn's structure): B starts equal to
+        # Lambda and the length condition is offset by mu
         Lam = np.zeros(nroots + 1, np.int32)
-        Bpoly = np.zeros(nroots + 1, np.int32)
-        Lam[0] = Bpoly[0] = 1
-        L = 0
-        b = 1
-        for r in range(nroots):
-            d = synd[r]
-            for i in range(1, L + 1):
-                d ^= _gf_mul(Lam[i], synd[r - i])
+        Lam[0] = 1
+        for deg in era_degs:
+            X = int(exp[int(deg) % 255])
+            shifted = np.roll(Lam, 1)
+            shifted[0] = 0
+            Lam = Lam ^ _gf_mul(X, shifted)
+        Bpoly = Lam.copy()
+        L = mu                                # combined locator length
+        for r in range(mu + 1, nroots + 1):
+            d = 0
+            for i in range(0, min(r, nroots + 1)):
+                if r - 1 - i >= 0 and Lam[i]:
+                    d ^= _gf_mul(int(Lam[i]), int(synd[r - 1 - i]))
             d = int(d)
             Bs = np.roll(Bpoly, 1)
             Bs[0] = 0
             if d == 0:
                 Bpoly = Bs
-            elif 2 * L <= r:
-                T = Lam ^ _gf_mul(_gf_div(d, b), Bs)
-                Bpoly = Lam.copy()        # unshifted; shifts accumulate
-                Lam = T
-                L = r + 1 - L
-                b = d
             else:
-                Lam = Lam ^ _gf_mul(_gf_div(d, b), Bs)
-                Bpoly = Bs
-        if L > self.t:
+                T = Lam ^ _gf_mul(d, Bs)
+                if 2 * L <= r + mu - 1:
+                    L = r + mu - L
+                    Bpoly = _gf_mul(_gf_div(1, d), Lam)
+                else:
+                    Bpoly = Bs
+                Lam = T
+        n_loc = L
+        if n_loc > nroots:
             return rx, False
-        # Chien search over valid positions (degree 0..n-1)
+        # Chien search over valid positions (degree 0..n-1); Lambda now
+        # carries erasure AND error roots
         degs = np.arange(self.n)
         Xinv = exp[(255 - degs) % 255]        # alpha^{-deg}
-        lam_hi = Lam[: L + 1][::-1]           # highest degree first
+        lam_hi = Lam[: n_loc + 1][::-1]       # highest degree first
         vals = _gf_poly_eval(lam_hi, Xinv)
         err_deg = degs[vals == 0]
-        if len(err_deg) != L:
+        if len(err_deg) != n_loc:
             return rx, False                  # locator roots missing
         # Forney: Omega = S(x) * Lambda(x) mod x^2t
         Sp = np.zeros(nroots, np.int32)
         Sp[:] = synd
         Om = np.zeros(nroots, np.int32)
-        for i in range(L + 1):
-            Om[i:] ^= _gf_mul(Lam[i], Sp[: nroots - i])
+        for i in range(min(n_loc, nroots - 1) + 1):
+            Om[i:] ^= _gf_mul(int(Lam[i]), Sp[: nroots - i])
+        L = n_loc
         out = rx.copy()
         for deg in err_deg:
             # with S_j starting at j=1, e_l = Omega(X^-1) / Lambda'(X^-1)
@@ -258,19 +278,32 @@ class RSCode:
             out[self.n - 1 - deg] ^= int(_gf_div(int(num), int(den)))
         return out, True
 
-    def decode(self, rx):
+    def decode(self, rx, erasures=None):
         """(..., n) received bytes -> (msg (..., k), ok (...,) bool).
 
-        Syndromes batch on device; only errored blocks fall to the host
-        locator solve.  ``ok`` False = more than t byte errors detected.
+        ``erasures``: optional (..., n) boolean mask of known-unreliable
+        byte positions (e.g. from inner-code failure flags or demodulator
+        confidence).  Errors-and-erasures decoding then corrects nu
+        errors + mu erasures while 2*nu + mu <= 2t — up to DOUBLE the
+        correction radius when locations are known.  Syndromes batch on
+        device; only errored blocks fall to the host locator solve.
+        ``ok`` False = beyond the correction budget.
         """
         rx = np.asarray(rx, np.int32)
         flat = rx.reshape(-1, self.n)
         synd = np.asarray(self.syndromes(flat))
+        era = None
+        if erasures is not None:
+            era = np.asarray(erasures, bool).reshape(-1, self.n)
+            if era.shape != flat.shape:
+                raise ValueError("erasure mask must match rx shape")
         ok = np.ones(len(flat), bool)
         out = flat.copy()
         for i in np.nonzero(synd.any(axis=-1))[0]:
-            out[i], ok[i] = self._correct_one(flat[i], synd[i])
+            degs = ()
+            if era is not None:
+                degs = tuple(self.n - 1 - np.nonzero(era[i])[0])
+            out[i], ok[i] = self._correct_one(flat[i], synd[i], degs)
         return (jnp.asarray(out[:, : self.k].reshape(rx.shape[:-1]
                                                      + (self.k,))),
                 jnp.asarray(ok.reshape(rx.shape[:-1])))

@@ -146,3 +146,56 @@ def test_concatenated_rs_over_conv_dvb_style():
     assert inner_bit_errs > 0          # the inner decoder did leave errors
     assert bool(ok)
     np.testing.assert_array_equal(np.asarray(got), msg)
+
+
+class TestErasures:
+    def _cw(self, rng):
+        from solid_dsp_tpu.models.rs import rs_255_223
+        rs = rs_255_223()
+        msg = rng.integers(0, 256, 223)
+        return rs, msg, np.asarray(rs.encode(msg))
+
+    @pytest.mark.parametrize("mu,nu", [(32, 0), (10, 11), (2, 15),
+                                       (30, 1), (16, 8)])
+    def test_errors_and_erasures_to_full_budget(self, mu, nu):
+        # decodes while 2*nu + mu <= 2t = 32
+        rng = np.random.default_rng(mu * 100 + nu)
+        rs, msg, cw = self._cw(rng)
+        pos = rng.choice(255, mu + nu, replace=False)
+        bad = cw.copy()
+        bad[pos] ^= rng.integers(1, 256, mu + nu)
+        mask = np.zeros(255, bool)
+        mask[pos[:mu]] = True
+        dec, ok = rs.decode(bad, erasures=mask)
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(dec), msg)
+
+    def test_over_budget_flagged(self):
+        rng = np.random.default_rng(7)
+        rs, msg, cw = self._cw(rng)
+        pos = rng.choice(255, 34, replace=False)
+        bad = cw.copy()
+        bad[pos] ^= rng.integers(1, 256, 34)
+        mask = np.zeros(255, bool)
+        mask[pos] = True
+        dec, ok = rs.decode(bad, erasures=mask)
+        assert not (bool(ok)
+                    and np.array_equal(np.asarray(dec), msg))
+
+    def test_shortened_code_and_batch(self):
+        from solid_dsp_tpu.models.rs import rs_204_188
+        rng = np.random.default_rng(8)
+        rs = rs_204_188()
+        msgs = rng.integers(0, 256, (3, 188))
+        cws = np.asarray(rs.encode(msgs))
+        bad = cws.copy()
+        masks = np.zeros((3, 204), bool)
+        for i in range(3):
+            p = rng.choice(204, 16, replace=False)  # 2t = 16 erasures
+            bad[i, p] ^= rng.integers(1, 256, 16)
+            masks[i, p] = True
+        dec, ok = rs.decode(bad, erasures=masks)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(np.asarray(dec), msgs)
+        with pytest.raises(ValueError):
+            rs.decode(bad, erasures=masks[:, :100])
