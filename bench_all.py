@@ -579,7 +579,8 @@ def bench_rx_chain_bf16_fir():
     L = _size(24)
     x = _tone(L)
     step = _chain_step(apply, x)
-    t = _measure(step, (jnp.zeros(()), init()), reps=2)
+    st = _retried(init)
+    t = _measure(step, (jnp.zeros(()), st), reps=2)
     return _row("rx_chain_bf16_fir", L / t)
 
 

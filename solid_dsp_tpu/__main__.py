@@ -186,9 +186,16 @@ def _cmd_resample(args) -> int:
             if len(y):
                 outs.append(y)
             nsamp += len(blk)
+    # drain the cascade's group delay + alignment remainder, then cap at
+    # the canonical converted length (a one-shot file conversion must
+    # not silently drop the tail of the recording)
+    tail = np.asarray(r.flush())
+    if len(tail):
+        outs.append(tail)
     dt = time.perf_counter() - t0
     y = (np.concatenate(outs) if outs
          else np.zeros(0, np.complex64))
+    y = y[: int(round(nsamp * args.rate))]
     print(f"resampled {nsamp} -> {len(y)} samples (rate {args.rate:g}) "
           f"in {dt:.3f}s ({nsamp / max(dt, 1e-9) / 1e6:.1f} Msps in)",
           file=sys.stderr)

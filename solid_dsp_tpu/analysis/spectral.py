@@ -268,7 +268,11 @@ def istft(S: jnp.ndarray, nfft: int = 1024, hop: int = 512,
     """
     _check_frame_args(nfft, hop)
     F = S.shape[-2]
-    frames = jnp.fft.ifft(S[..., :nfft], axis=-1)
+    # invert the FULL spectrum, then truncate the time-domain frame:
+    # for pad_to > nfft STFT input the zero-padding lives in TIME after
+    # the ifft (slicing the frequency axis instead would invert a
+    # truncated spectrum — garbage)
+    frames = jnp.fft.ifft(S, axis=-1)[..., :nfft]
     w = _window_taps(window, nfft)
     wc = jnp.asarray(w).astype(frames.real.dtype)
     frames = frames * wc            # synthesis window = analysis window

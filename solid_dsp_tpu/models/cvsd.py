@@ -62,6 +62,8 @@ def cvsd_encode(x, beta: float = _BETA, gamma: float = _GAMMA,
     overload.  delta_min/max: step bounds.  n_history: consecutive
     equal bits that signal overload.  leak: accumulator leak.
     """
+    if n_history < 1:
+        raise ValueError("n_history must be >= 1")
     x = jnp.asarray(x)
     if x.dtype.kind != "f":
         x = x.astype(jnp.float32)
@@ -96,6 +98,8 @@ def cvsd_decode(bits, beta: float = _BETA, gamma: float = _GAMMA,
     the encoder's internal reference trajectory.  Follow with a lowpass
     at the audio bandwidth to remove the granular staircase.
     """
+    if n_history < 1:
+        raise ValueError("n_history must be >= 1")
     bits = jnp.asarray(bits).astype(jnp.int32)
     B = bits.shape[:-1]
     ref0 = jnp.zeros(B, jnp.float32)
@@ -131,6 +135,8 @@ class CVSD:
             raise ValueError("need 0 < delta_min <= delta_max")
         if not (0.0 < leak <= 1.0):
             raise ValueError("leak in (0, 1]")
+        if n_history < 1:
+            raise ValueError("n_history must be >= 1")
         self.beta = float(beta)
         self.gamma = float(gamma)
         self.delta_min = float(delta_min)

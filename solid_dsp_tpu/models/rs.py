@@ -244,7 +244,10 @@ class RSCode:
                     Bpoly = Bs
                 Lam = T
         n_loc = L
-        if n_loc > nroots:
+        # generalized decode budget: nu = n_loc - mu errors need
+        # 2*nu + mu <= 2t, i.e. 2*n_loc - mu <= nroots (reduces to the
+        # classic L <= t at mu = 0); beyond it the locator is noise
+        if 2 * n_loc - mu > nroots:
             return rx, False
         # Chien search over valid positions (degree 0..n-1); Lambda now
         # carries erasure AND error roots

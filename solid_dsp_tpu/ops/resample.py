@@ -259,6 +259,13 @@ class PfbArbitraryResampler:
                              - x.shape[-1])
         return y
 
+    def flush(self):
+        """Drain the carried tail: zero-feed one stencil's worth of
+        input and return the residual output (end-of-stream)."""
+        pad = self.P + int(np.ceil(self.ratio)) + 1
+        return self.execute_block(jnp.zeros((*self.batch_shape, pad),
+                                            self._tail.dtype))
+
     def reset(self):
         self._tail = jnp.zeros_like(self._tail)
         self._t_next = 0.0
@@ -335,6 +342,29 @@ class ArbitraryResampler:
         for st in self.stages:
             y = st.execute_block(y)
         return y
+
+    def flush(self):
+        """Drain every stage's carried state at end of stream.
+
+        Zero-feeds enough input to push the group delay of the whole
+        cascade (each stage's tail, scaled to the ORIGINAL input rate)
+        plus the alignment remainder through, and returns the residual
+        output — a one-shot file conversion is then execute_block(x)
+        followed by flush() (see the CLI resample subcommand).
+        """
+        if not self.stages:                    # identity: nothing buffered
+            return jnp.zeros(0, jnp.complex64)
+        total = self._align
+        scale = 1
+        for st in self.stages:
+            if isinstance(st, HalfbandDecimator):
+                total += (len(st.taps_np) - 1) * scale
+                scale *= 2
+            elif isinstance(st, PfbArbitraryResampler):
+                total += (st.P + int(np.ceil(st.ratio)) + 1) * scale
+        total = -(-total // self._align) * self._align + self._align
+        dt = self.stages[0]._tail.dtype
+        return self.execute_block(jnp.zeros(total, dt))
 
     def reset(self):
         self._rem = None

@@ -140,6 +140,7 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
         y, _, fir_phase = fir_ops.fir_decim_apply(
             taps, eff_tail, state.fir_phase, mixed,
             jnp.asarray(1.0, dtype=cfg.dtype), M,
+            precision=cfg.fir_precision,
         )
         new_fir_tail = from_last_shard(mixed[..., -(n - 1):], "time")
 

@@ -103,3 +103,12 @@ def test_validation():
         CVSD(delta_min=0.5, delta_max=0.1)
     with pytest.raises(ValueError):
         CVSD(leak=0.0)
+
+
+def test_n_history_validation():
+    with pytest.raises(ValueError):
+        CVSD(n_history=0)
+    with pytest.raises(ValueError):
+        cvsd_encode(np.zeros(8, np.float32), n_history=0)
+    with pytest.raises(ValueError):
+        cvsd_decode(np.zeros(8, np.int32), n_history=-1)

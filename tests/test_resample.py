@@ -181,3 +181,22 @@ def test_pfb_batched_bank_matches_single_channel():
              for b in np.split(xb, [7000, 13000], axis=1)]
     np.testing.assert_allclose(np.concatenate(parts, axis=1), yb,
                                atol=1e-9)
+
+
+def test_flush_recovers_the_tail():
+    # one-shot conversion: execute_block + flush must cover the whole
+    # recording (without flush the cascade's group delay is lost)
+    rng = np.random.default_rng(6)
+    n = 40000
+    x = np.exp(2j * np.pi * 0.003 * np.arange(n))
+    for rate in (0.01, 0.37, 2.5):
+        r = ArbitraryResampler(rate, dtype=jnp.complex128)
+        y = np.asarray(r.execute_block(jnp.asarray(x)))
+        tail = np.asarray(r.flush())
+        total = len(y) + len(tail)
+        assert total >= int(round(n * rate)), (rate, total)
+        # the flushed tail carries the real signal, not zeros
+        if rate <= 0.5:
+            assert np.abs(tail[: max(1, len(tail) // 4)]).max() > 0.1
+    # identity flush is empty
+    assert len(np.asarray(ArbitraryResampler(1.0).flush())) == 0

@@ -273,3 +273,14 @@ class TestISTFTAndDenoise:
             stft_denoise(jnp.asarray(x), 256, 64, rule="bogus")
         with pytest.raises(ValueError):
             stft_denoise(jnp.asarray(x[:100]), 256, 64)
+
+
+def test_istft_inverts_padded_stft():
+    # regression: pad_to zero-pads each frame in TIME; istft must invert
+    # the full padded spectrum then truncate the frame, not slice bins
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(2000) + 1j * rng.standard_normal(2000)
+    S = stft(jnp.asarray(x), 256, 64, "hamming", pad_to=512)
+    xr = np.asarray(istft(S, 256, 64, "hamming"))
+    u = (S.shape[0] - 1) * 64 + 256
+    np.testing.assert_allclose(xr, x[:u], atol=1e-10)
