@@ -1,0 +1,111 @@
+"""Chirp spread spectrum (LoRa-style CSS modulation).
+
+Each symbol carries SF bits as the CYCLIC SHIFT of a base upchirp of
+N = 2^SF chips: the transmitted waveform for symbol k starts at
+frequency k/N and wraps.  Demodulation is one multiply by the conjugate
+base chirp (dechirp — turns every shifted chirp into a pure tone) and
+one length-N FFT per symbol whose argmax IS the symbol — the whole
+burst demodulates as a single (n_sym, N) batched FFT + argmax, no
+sequential state anywhere.  TPU-wise this is the friendliest modem in
+the family: two elementwise passes and a batched pow2 FFT.
+
+The cyclic-shift structure gives LoRa its trademark negative-SNR
+operation: the FFT integrates the whole symbol coherently for a
+processing gain of SF + log2(N/SF) ~ 10*log10(N) dB over the per-chip
+SNR (demonstrated below the noise floor in tests/test_css.py).
+
+Reference framework has no spread-spectrum story at all; this
+complements models/dsss.py (direct-sequence) with the frequency-domain
+flavor.  Gray coding on the shift index makes adjacent-bin FFT errors
+(the dominant noise event) cost one bit, like the real LoRa PHY.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linear_mod import _gray, bits_to_symbols, symbols_to_bits
+
+__all__ = ["css_base_chirp", "css_modulate", "css_demodulate",
+           "CSSModem"]
+
+
+def css_base_chirp(sf: int, down: bool = False) -> np.ndarray:
+    """Unit upchirp (or downchirp) of N = 2^sf chips, host-side.
+
+    phase[n] = 2 pi (n^2 / (2N) - n/2): instantaneous frequency sweeps
+    -1/2 .. +1/2 cycles/chip over the symbol.
+    """
+    if not (2 <= sf <= 16):
+        raise ValueError("spreading factor in [2, 16]")
+    n = np.arange(1 << sf, dtype=np.float64)
+    N = float(1 << sf)
+    ph = 2.0 * np.pi * (n * n / (2.0 * N) - 0.5 * n)
+    c = np.exp(1j * ph)
+    return np.conj(c) if down else c
+
+
+@partial(jax.jit, static_argnames=("sf",))
+def css_modulate(bits, sf: int = 8) -> jnp.ndarray:
+    """Bits (len divisible by sf) -> CSS waveform ((len/sf) * 2^sf,).
+
+    Symbol value s (gray-decoded shift) transmits the base chirp
+    cyclically shifted by s chips — built in closed form from the phase
+    law (no gathers): chip n of symbol s has phase of the base chirp at
+    (n + s) mod N.
+    """
+    N = 1 << sf
+    sym = bits_to_symbols(jnp.asarray(bits), sf)
+    shift = jnp.asarray(_gray(N), jnp.int32)[sym]       # (S,)
+    n = jnp.arange(N, dtype=jnp.float32)
+    m = (n[None, :] + shift[:, None].astype(jnp.float32)) % N
+    ph = 2.0 * jnp.pi * (m * m / (2.0 * N) - 0.5 * m)
+    return jnp.exp(1j * ph).astype(jnp.complex64).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("sf",))
+def css_demodulate(x, sf: int = 8) -> jnp.ndarray:
+    """CSS waveform -> hard bits: dechirp, batched FFT, argmax, ungray.
+
+    x: (n_sym * 2^sf,) complex.  Noncoherent (magnitude argmax), so a
+    constant carrier phase is irrelevant.
+    """
+    N = 1 << sf
+    x = jnp.asarray(x)
+    n_sym = x.shape[-1] // N
+    down = jnp.asarray(css_base_chirp(sf, down=True).astype(np.complex64))
+    d = x[: n_sym * N].reshape(n_sym, N) * down[None, :]
+    bins = jnp.abs(jnp.fft.fft(d, axis=-1))
+    shift = jnp.argmax(bins, axis=-1).astype(jnp.int32)
+    inv = np.zeros(N, np.int32)
+    inv[_gray(N)] = np.arange(N)
+    sym = jnp.asarray(inv)[shift]
+    return symbols_to_bits(sym, sf)
+
+
+class CSSModem:
+    """Byte/bit-level CSS modem wrapper."""
+
+    def __init__(self, sf: int = 8):
+        if not (2 <= sf <= 16):
+            raise ValueError("spreading factor in [2, 16]")
+        self.sf = int(sf)
+        self.chips_per_symbol = 1 << self.sf
+
+    def modulate(self, bits) -> jnp.ndarray:
+        bits = jnp.asarray(bits)
+        if bits.shape[-1] % self.sf:
+            raise ValueError(
+                f"bit count must be a multiple of sf={self.sf}")
+        return css_modulate(bits, self.sf)
+
+    def demodulate(self, x) -> jnp.ndarray:
+        return css_demodulate(x, self.sf)
+
+    def __repr__(self):
+        return (f"CSSModem [SF={self.sf}] "
+                f"[N={self.chips_per_symbol} chips/symbol]")
