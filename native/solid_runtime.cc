@@ -122,7 +122,8 @@ struct Ring {
 // IQ format conversion -> interleaved float32 (re, im)
 // ---------------------------------------------------------------------------
 
-enum IQFormat : int { CF32 = 0, CI16 = 1, CI8 = 2, CF64 = 3 };
+enum IQFormat : int { CF32 = 0, CI16 = 1, CI8 = 2, CF64 = 3,
+                      CU8 = 4 /* rtl_tcp: unsigned, 127.5 center */ };
 
 size_t iq_sample_bytes(int fmt) {
   switch (fmt) {
@@ -130,6 +131,7 @@ size_t iq_sample_bytes(int fmt) {
     case CI16: return 4;
     case CI8: return 2;
     case CF64: return 16;
+    case CU8: return 2;
   }
   return 0;
 }
@@ -156,6 +158,13 @@ size_t iq_to_cf32(const uint8_t* raw, size_t n_samples, int fmt, float* out) {
       const double* p = reinterpret_cast<const double*>(raw);
       for (size_t i = 0; i < 2 * n_samples; ++i)
         out[i] = static_cast<float>(p[i]);
+      break;
+    }
+    case CU8: {
+      // rtl_tcp convention: unsigned bytes centered at 127.5
+      constexpr float k = 1.0f / 127.5f;
+      for (size_t i = 0; i < 2 * n_samples; ++i)
+        out[i] = (static_cast<float>(raw[i]) - 127.5f) * k;
       break;
     }
     default:
@@ -195,6 +204,15 @@ size_t cf32_to_iq(const float* in, size_t n_samples, int fmt, uint8_t* raw) {
       for (size_t i = 0; i < 2 * n_samples; ++i)
         p[i] = static_cast<double>(in[i]);
       return n_samples * 16;
+    }
+    case CU8: {
+      for (size_t i = 0; i < 2 * n_samples; ++i) {
+        float v = in[i] * 127.5f + 127.5f;
+        if (v > 255.0f) v = 255.0f;
+        if (v < 0.0f) v = 0.0f;
+        raw[i] = static_cast<uint8_t>(::lrintf(v));
+      }
+      return n_samples * 2;
     }
   }
   return 0;
@@ -361,6 +379,92 @@ struct UdpSource {
   }
 };
 
+// ---------------------------------------------------------------------------
+// TCP stream IQ source (rtl_tcp client or raw TCP IQ): reader thread -> ring
+// ---------------------------------------------------------------------------
+
+struct TcpSource {
+  int sock = -1;
+  int fmt = CU8;
+  Ring ring;
+  std::thread reader;
+  std::atomic<bool> stop{false};
+  std::atomic<long> io_error{0};
+  std::atomic<uint64_t> dropped{0};   // bytes lost to a full ring
+  std::atomic<int> eof{0};
+  uint32_t tuner_type = 0;            // from the rtl_tcp header
+  uint32_t tuner_gains = 0;
+
+  TcpSource(int fd, int format, size_t ring_bytes)
+      : sock(fd), fmt(format), ring(ring_bytes) {
+    reader = std::thread([this] { run(); });
+  }
+
+  ~TcpSource() {
+    stop.store(true);
+    ::shutdown(sock, SHUT_RDWR);      // interrupt a blocked recv
+    if (reader.joinable()) reader.join();
+    if (sock >= 0) ::close(sock);
+  }
+
+  void run() {
+    const size_t CHUNK = 65536;
+    size_t sb = iq_sample_bytes(fmt);
+    uint8_t* raw = static_cast<uint8_t*>(::malloc(CHUNK + sb));
+    float* conv = static_cast<float*>(::malloc((CHUNK / sb + 1) * 8));
+    if (!raw || !conv) {
+      io_error.store(-2);
+      ::free(raw);
+      ::free(conv);
+      return;
+    }
+    size_t carry = 0;                 // partial-sample remainder bytes
+    while (!stop.load(std::memory_order_relaxed)) {
+      struct pollfd pfd {sock, POLLIN, 0};
+      int pr = ::poll(&pfd, 1, 100 /* ms */);
+      if (pr < 0) {
+        if (errno == EINTR) continue;
+        io_error.store(-1);
+        break;
+      }
+      if (pr == 0) continue;
+      ssize_t r = ::recv(sock, raw + carry, CHUNK - carry, 0);
+      if (r < 0) {
+        if (errno == EINTR) continue;
+        io_error.store(-1);
+        break;
+      }
+      if (r == 0) {                   // orderly remote close
+        eof.store(1);
+        break;
+      }
+      size_t have = carry + static_cast<size_t>(r);
+      size_t got = have / sb;         // whole samples only
+      carry = have - got * sb;
+      if (got == 0) continue;
+      size_t nbytes = iq_to_cf32(raw, got, fmt, conv);
+      if (carry) std::memmove(raw, raw + got * sb, carry);
+      // live source semantics: a full ring drops (counted), no
+      // back-pressure onto the radio's TCP window
+      if (ring.space() < nbytes) {
+        dropped.fetch_add(nbytes, std::memory_order_relaxed);
+        continue;
+      }
+      ring.push(reinterpret_cast<const uint8_t*>(conv), nbytes);
+    }
+    ::free(raw);
+    ::free(conv);
+  }
+
+  long read_available(uint8_t* dst, size_t n) {
+    if (ring.size() == 0) {
+      if (io_error.load() != 0) return -1;
+      if (eof.load()) return -2;
+    }
+    return static_cast<long>(ring.pop(dst, n));
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -514,6 +618,94 @@ size_t sdsp_udp_available(void* s) {
 }
 unsigned long long sdsp_udp_dropped(void* s) {
   return static_cast<UdpSource*>(s)->dropped.load();
+}
+
+// TCP stream source: connects to host:port.  expect_rtl_header != 0 reads
+// and validates the 12-byte rtl_tcp greeting ("RTL0" + tuner type + gain
+// count) before streaming.  Returns NULL on connect/handshake failure.
+void* sdsp_tcp_create(const char* host, int port, int fmt,
+                      size_t ring_samples, int expect_rtl_header) {
+  if (iq_sample_bytes(fmt) == 0) return nullptr;
+  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  struct sockaddr_in addr;
+  std::memset(&addr, 0, sizeof(addr));
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+    ::close(fd);
+    return nullptr;
+  }
+  if (::connect(fd, reinterpret_cast<struct sockaddr*>(&addr),
+                sizeof(addr)) != 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  uint32_t tuner_type = 0, tuner_gains = 0;
+  if (expect_rtl_header) {
+    uint8_t hdr[12];
+    size_t got = 0;
+    while (got < sizeof(hdr)) {
+      ssize_t r = ::recv(fd, hdr + got, sizeof(hdr) - got, 0);
+      if (r <= 0) {
+        ::close(fd);
+        return nullptr;
+      }
+      got += static_cast<size_t>(r);
+    }
+    if (std::memcmp(hdr, "RTL0", 4) != 0) {
+      ::close(fd);
+      return nullptr;
+    }
+    tuner_type = (uint32_t(hdr[4]) << 24) | (uint32_t(hdr[5]) << 16) |
+                 (uint32_t(hdr[6]) << 8) | uint32_t(hdr[7]);
+    tuner_gains = (uint32_t(hdr[8]) << 24) | (uint32_t(hdr[9]) << 16) |
+                  (uint32_t(hdr[10]) << 8) | uint32_t(hdr[11]);
+  }
+  TcpSource* s = new (std::nothrow) TcpSource(fd, fmt, ring_samples * 8);
+  if (!s) {
+    ::close(fd);
+    return nullptr;
+  }
+  if (!s->ring.ok()) {
+    delete s;
+    return nullptr;
+  }
+  s->tuner_type = tuner_type;
+  s->tuner_gains = tuner_gains;
+  return s;
+}
+void sdsp_tcp_destroy(void* s) { delete static_cast<TcpSource*>(s); }
+long sdsp_tcp_read(void* s, float* out, long n_samples) {
+  long b = static_cast<TcpSource*>(s)->read_available(
+      reinterpret_cast<uint8_t*>(out), static_cast<size_t>(n_samples) * 8);
+  return b < 0 ? b : b / 8;
+}
+size_t sdsp_tcp_available(void* s) {
+  return static_cast<TcpSource*>(s)->ring.size() / 8;
+}
+unsigned long long sdsp_tcp_dropped(void* s) {
+  return static_cast<TcpSource*>(s)->dropped.load();
+}
+int sdsp_tcp_eof(void* s) {
+  TcpSource* t = static_cast<TcpSource*>(s);
+  return (t->eof.load() || t->io_error.load()) && t->ring.size() == 0;
+}
+unsigned int sdsp_tcp_tuner_type(void* s) {
+  return static_cast<TcpSource*>(s)->tuner_type;
+}
+// rtl_tcp 5-byte command: cmd byte + big-endian u32 parameter (e.g.
+// 0x01 = set center freq Hz, 0x02 = sample rate, 0x04 = gain).
+int sdsp_tcp_command(void* s, int cmd, unsigned int param) {
+  TcpSource* t = static_cast<TcpSource*>(s);
+  uint8_t msg[5];
+  msg[0] = static_cast<uint8_t>(cmd);
+  msg[1] = static_cast<uint8_t>(param >> 24);
+  msg[2] = static_cast<uint8_t>(param >> 16);
+  msg[3] = static_cast<uint8_t>(param >> 8);
+  msg[4] = static_cast<uint8_t>(param);
+  ssize_t w = ::send(t->sock, msg, sizeof(msg), MSG_NOSIGNAL);
+  return w == sizeof(msg) ? 0 : -1;
 }
 
 }  // extern "C"

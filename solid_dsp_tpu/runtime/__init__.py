@@ -27,11 +27,12 @@ import numpy as np
 from .build import ensure_built
 
 __all__ = [
-    "CircularBuffer", "BufferError_", "StreamPump", "UdpSource", "read_iq", "write_iq",
+    "CircularBuffer", "BufferError_", "StreamPump", "UdpSource",
+    "TcpSource", "RtlTcpSource", "read_iq", "write_iq",
     "IQ_FORMATS",
 ]
 
-IQ_FORMATS = {"cf32": 0, "ci16": 1, "ci8": 2, "cf64": 3}
+IQ_FORMATS = {"cf32": 0, "ci16": 1, "ci8": 2, "cf64": 3, "cu8": 4}
 
 _lib = C.CDLL(ensure_built())
 
@@ -72,6 +73,22 @@ _lib.sdsp_udp_available.restype = C.c_size_t
 _lib.sdsp_udp_available.argtypes = [C.c_void_p]
 _lib.sdsp_udp_dropped.restype = C.c_ulonglong
 _lib.sdsp_udp_dropped.argtypes = [C.c_void_p]
+_lib.sdsp_tcp_create.restype = C.c_void_p
+_lib.sdsp_tcp_create.argtypes = [C.c_char_p, C.c_int, C.c_int, C.c_size_t,
+                                 C.c_int]
+_lib.sdsp_tcp_destroy.argtypes = [C.c_void_p]
+_lib.sdsp_tcp_read.restype = C.c_long
+_lib.sdsp_tcp_read.argtypes = [C.c_void_p, C.c_void_p, C.c_long]
+_lib.sdsp_tcp_available.restype = C.c_size_t
+_lib.sdsp_tcp_available.argtypes = [C.c_void_p]
+_lib.sdsp_tcp_dropped.restype = C.c_ulonglong
+_lib.sdsp_tcp_dropped.argtypes = [C.c_void_p]
+_lib.sdsp_tcp_eof.restype = C.c_int
+_lib.sdsp_tcp_eof.argtypes = [C.c_void_p]
+_lib.sdsp_tcp_tuner_type.restype = C.c_uint
+_lib.sdsp_tcp_tuner_type.argtypes = [C.c_void_p]
+_lib.sdsp_tcp_command.restype = C.c_int
+_lib.sdsp_tcp_command.argtypes = [C.c_void_p, C.c_int, C.c_uint]
 
 
 class BufferError_(RuntimeError):
@@ -303,6 +320,109 @@ class UdpSource:
     def dropped(self) -> int:
         """Datagrams dropped because the ring was full."""
         return int(_lib.sdsp_udp_dropped(self._ptr))
+
+
+class TcpSource:
+    """TCP-stream IQ receiver (raw stream in any IQ_FORMAT).
+
+    Same live-source semantics as UdpSource: the C++ reader thread
+    converts the byte stream to complex64 into a lock-free ring (partial
+    samples carried across recv boundaries) and a full ring drops bytes
+    (counted) rather than back-pressuring the sender's TCP window.
+    ``eof`` turns True after the remote closes AND the ring drains.
+    """
+
+    _CREATE_RTL = 0
+
+    def __init__(self, host: str, port: int, fmt: str = "ci16",
+                 ring_samples: int = 1 << 22):
+        code = _fmt_code(fmt)
+        self._ptr = _lib.sdsp_tcp_create(host.encode(), int(port), code,
+                                         ring_samples, self._CREATE_RTL)
+        if not self._ptr:
+            raise OSError(f"cannot connect TCP {host}:{port}")
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            _lib.sdsp_tcp_destroy(self._ptr)
+            self._ptr = None
+
+    __del__ = close
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read(self, max_samples: int) -> np.ndarray:
+        """Non-blocking: up to max_samples complex64 (possibly empty)."""
+        out = np.empty(max_samples, dtype=np.complex64)
+        got = _lib.sdsp_tcp_read(self._ptr, out.ctypes.data_as(C.c_void_p),
+                                 max_samples)
+        if got == -1:
+            raise OSError("IO error in TCP receiver thread")
+        if got < 0:                      # -2: orderly EOF, drained
+            return out[:0]
+        return out[:got]
+
+    @property
+    def available(self) -> int:
+        return int(_lib.sdsp_tcp_available(self._ptr))
+
+    @property
+    def dropped(self) -> int:
+        """Bytes dropped because the ring was full."""
+        return int(_lib.sdsp_tcp_dropped(self._ptr))
+
+    @property
+    def eof(self) -> bool:
+        return bool(_lib.sdsp_tcp_eof(self._ptr))
+
+
+class RtlTcpSource(TcpSource):
+    """rtl_tcp client: THE standard SDR network protocol.
+
+    Connects to an ``rtl_tcp`` server, validates the 12-byte "RTL0"
+    greeting, streams the u8 offset-127.5 IQ (converted to complex64 in
+    the C++ thread), and exposes the 5-byte big-endian command channel
+    (set_center_freq / set_sample_rate / set_gain)::
+
+        with RtlTcpSource("127.0.0.1", 1234) as sdr:
+            sdr.set_center_freq(100_300_000)
+            sdr.set_sample_rate(2_048_000)
+            block = sdr.read(1 << 18)
+    """
+
+    _CREATE_RTL = 1
+
+    def __init__(self, host: str, port: int = 1234,
+                 ring_samples: int = 1 << 22):
+        super().__init__(host, port, fmt="cu8", ring_samples=ring_samples)
+
+    @property
+    def tuner_type(self) -> int:
+        return int(_lib.sdsp_tcp_tuner_type(self._ptr))
+
+    def command(self, cmd: int, param: int) -> None:
+        if _lib.sdsp_tcp_command(self._ptr, int(cmd),
+                                 int(param) & 0xFFFFFFFF) != 0:
+            raise OSError("rtl_tcp command send failed")
+
+    def set_center_freq(self, hz: int) -> None:
+        self.command(0x01, hz)
+
+    def set_sample_rate(self, hz: int) -> None:
+        self.command(0x02, hz)
+
+    def set_gain_mode(self, manual: bool) -> None:
+        self.command(0x03, 1 if manual else 0)
+
+    def set_gain(self, tenth_db: int) -> None:
+        self.command(0x04, tenth_db)
+
+    def set_agc(self, on: bool) -> None:
+        self.command(0x08, 1 if on else 0)
 
 
 # SigMF interop sits on read_iq/write_iq, so it imports from this module —

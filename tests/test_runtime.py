@@ -286,3 +286,110 @@ def test_udp_source_feeds_rx_chain():
     a = audio[512:]
     c = np.corrcoef(a, m4[512:512 + len(a)])[0, 1]
     assert c > 0.8, c
+
+
+class TestTcpSources:
+    def _serve(self, port, header, payload, stop_evt, cmds):
+        import socket
+
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        srv.settimeout(5.0)
+        conn, _ = srv.accept()
+        if header:
+            conn.sendall(header)
+        conn.sendall(payload)
+        conn.settimeout(0.2)
+        try:
+            while not stop_evt.is_set():
+                try:
+                    d = conn.recv(5)
+                    if not d:
+                        break
+                    cmds.append(d)
+                except socket.timeout:
+                    pass
+        finally:
+            conn.close()
+            srv.close()
+
+    def test_rtl_tcp_client_end_to_end(self):
+        import threading
+        import time
+
+        from solid_dsp_tpu.runtime import RtlTcpSource
+
+        rng = np.random.default_rng(0)
+        iq_u8 = rng.integers(0, 256, 20000, dtype=np.uint8)
+        hdr = (b"RTL0" + (5).to_bytes(4, "big")
+               + (29).to_bytes(4, "big"))
+        stop_evt, cmds = threading.Event(), []
+        th = threading.Thread(target=self._serve,
+                              args=(41713, hdr, iq_u8.tobytes(),
+                                    stop_evt, cmds))
+        th.start()
+        time.sleep(0.2)
+        try:
+            with RtlTcpSource("127.0.0.1", 41713) as sdr:
+                assert sdr.tuner_type == 5      # R820T per the header
+                sdr.set_center_freq(100_300_000)
+                sdr.set_sample_rate(2_048_000)
+                deadline = time.time() + 5.0
+                x = np.zeros(0, np.complex64)
+                while len(x) < 10000 and time.time() < deadline:
+                    x = np.concatenate([x, sdr.read(1 << 16)])
+                    time.sleep(0.05)
+                expect = (iq_u8.astype(np.float32) - 127.5) / 127.5
+                expect = expect[0::2] + 1j * expect[1::2]
+                assert len(x) == 10000
+                np.testing.assert_allclose(x, expect, atol=1e-6)
+                assert sdr.dropped == 0
+        finally:
+            stop_evt.set()
+            th.join()
+        # 5-byte big-endian command wire format
+        assert bytes.fromhex("0105fa74e0") in cmds
+        assert bytes.fromhex("02001f4000") in cmds
+
+    def test_raw_tcp_ci16_and_eof(self):
+        import threading
+        import time
+
+        from solid_dsp_tpu.runtime import TcpSource
+
+        rng = np.random.default_rng(1)
+        iq = rng.integers(-30000, 30000, 8192, dtype=np.int16)
+        stop_evt, cmds = threading.Event(), []
+        th = threading.Thread(target=self._serve,
+                              args=(41714, b"", iq.tobytes(), stop_evt,
+                                    cmds))
+        th.start()
+        time.sleep(0.2)
+        try:
+            with TcpSource("127.0.0.1", 41714, fmt="ci16") as src:
+                deadline = time.time() + 5.0
+                x = np.zeros(0, np.complex64)
+                while len(x) < 2048 and time.time() < deadline:
+                    x = np.concatenate([x, src.read(4096)])
+                    time.sleep(0.05)
+                expect = iq.astype(np.float32) / 32767.0
+                expect = expect[0::2] + 1j * expect[1::2]
+                np.testing.assert_allclose(x, expect[: len(x)], atol=1e-6)
+                stop_evt.set()          # server closes -> orderly EOF
+                deadline = time.time() + 5.0
+                while not src.eof and time.time() < deadline:
+                    src.read(4096)
+                    time.sleep(0.05)
+                assert src.eof
+                assert len(src.read(16)) == 0   # drained EOF: empty
+        finally:
+            stop_evt.set()
+            th.join()
+
+    def test_connect_refused_raises(self):
+        from solid_dsp_tpu.runtime import TcpSource
+
+        with pytest.raises(OSError):
+            TcpSource("127.0.0.1", 1, fmt="ci16")   # nothing listens
