@@ -85,7 +85,56 @@ def _cmd_rx(args) -> int:
             write_iq(args.output, y, "cf32")
         print(f"wrote {len(y)} output samples -> {args.output}",
               file=sys.stderr)
+    if args.wav:
+        if args.demod not in ("fm", "am"):
+            print("--wav needs an audio demod (fm/am)", file=sys.stderr)
+            return 1
+        if not args.rate:
+            print("--wav needs --rate (input sample rate in Hz)",
+                  file=sys.stderr)
+            return 1
+        demod_rate = args.rate / args.decimation
+        n = _write_audio_wav(args.wav, y.real.astype(np.float32),
+                             demod_rate, args.audio_rate,
+                             deemphasis=(args.demod == "fm"))
+        print(f"wrote {n} audio samples -> {args.wav} "
+              f"({args.audio_rate} Hz s16 mono)", file=sys.stderr)
     return 0
+
+
+def _write_audio_wav(path: str, audio, rate_in: float, rate_out: int,
+                     deemphasis: bool) -> int:
+    """Demod output at rate_in Hz -> 16-bit PCM mono WAV at rate_out."""
+    import wave
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops.resample import ArbitraryResampler
+
+    r = ArbitraryResampler(rate_out / rate_in, dtype=jnp.complex64)
+    a = np.asarray(r.execute_block(
+        jnp.asarray(np.asarray(audio).astype(np.complex64))))
+    a = np.concatenate([a, np.asarray(r.flush())]).real
+    if deemphasis and len(a):
+        # 75 us broadcast-FM de-emphasis: single-pole IIR at audio rate
+        tau = 75e-6
+        alpha = float(np.exp(-1.0 / (tau * rate_out)))
+        from .ops.iir import iir_apply, iir_init
+
+        y, _ = iir_apply(jnp.asarray([1.0 - alpha], jnp.complex64),
+                         jnp.asarray([-alpha], jnp.complex64),
+                         iir_init(1), jnp.asarray(a, jnp.complex64))
+        a = np.asarray(y).real
+    peak = float(np.max(np.abs(a))) if len(a) else 1.0
+    pcm = np.clip(a / (peak or 1.0) * 0.95 * 32767,
+                  -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(rate_out))
+        w.writeframes(pcm.tobytes())
+    return len(pcm)
 
 
 def _cmd_spectrum(args) -> int:
@@ -268,6 +317,11 @@ def main(argv=None) -> int:
     r.add_argument("--demod", default="fm", choices=["fm", "am", "qpsk",
                                                      "none"])
     r.add_argument("--block", type=int, default=1 << 20)
+    r.add_argument("--wav", default=None,
+                   help="also write demodulated audio as 16-bit mono WAV")
+    r.add_argument("--rate", type=float, default=None,
+                   help="input sample rate in Hz (required with --wav)")
+    r.add_argument("--audio-rate", type=int, default=48000)
     r.set_defaults(fn=_cmd_rx)
 
     s = sub.add_parser("spectrum", help="windowed-FFT analysis")

@@ -127,3 +127,35 @@ def test_cli_resample(tmp_path, capsys):
     f_out = k / 8192
     assert abs(f_out - f_in / 0.4) < 2e-3
     capsys.readouterr()
+
+
+def test_rx_wav_audio_output(tmp_path, capsys):
+    import wave
+
+    n = 1 << 16
+    fs = 240_000.0                       # pretend capture rate
+    tone_hz = 1000.0
+    msg = np.sin(2 * np.pi * (tone_hz / fs) * np.arange(n)
+                 ).astype(np.float32)
+    iq, _ = fm_modulate(jnp.asarray(msg), 0.1)
+    iq = np.asarray(iq) * 0.5 * np.exp(
+        2j * np.pi * (0.2 / (2 * np.pi)) * np.arange(n))
+    src = str(tmp_path / "in.cf32")
+    wav = str(tmp_path / "out.wav")
+    write_iq(src, iq.astype(np.complex64))
+    assert main(["rx", src, "--wav", wav, "--rate", str(fs),
+                 "--audio-rate", "48000", "--block", "16384"]) == 0
+    with wave.open(wav, "rb") as w:
+        assert w.getframerate() == 48000
+        assert w.getnchannels() == 1
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    # length ~ n / fs seconds of 48 kHz audio
+    assert abs(len(pcm) - n / fs * 48000) < 1500
+    # the 1 kHz message tone dominates the audio spectrum
+    a = pcm[2000:].astype(np.float64)
+    A = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f = np.fft.rfftfreq(len(a), 1 / 48000)
+    assert abs(f[10 + np.argmax(A[10:])] - tone_hz) < 30
+    # --wav without --rate is a clean error
+    assert main(["rx", src, "--wav", wav]) == 1
+    capsys.readouterr()
