@@ -27,12 +27,33 @@ import time
 BASELINE_SPS = 1.0e9  # north-star: 1 Gsample/s per chip
 
 
+def _canary_ok() -> bool:
+    """Quick health gate: the tunnel sometimes degrades to TOTAL HANGS
+    (every op blocks forever), in which case each full bench child would
+    burn its whole 900 s timeout — 4 attempts could outlive the driver's
+    patience before the fallback line ever prints.  A 180 s child doing
+    one tiny f32 jit + one c64 add answers 'is the chip usable at all'
+    first; on failure we go straight to the fallback (~3 min total)."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "a = jnp.arange(512, dtype=jnp.float32)\n"
+            "print(float(jax.jit(lambda v: v.sum())(a)))\n"
+            "c = jnp.asarray([1+2j, 3+4j], jnp.complex64)\n"
+            "print(complex((c + c)[0]))\n")
+    try:
+        out = subprocess.run([sys.executable, "-u", "-c", code],
+                             capture_output=True, text=True, timeout=180)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _supervise() -> None:
     """Process-level retry: one failed op poisons the whole PJRT client
     over the axon tunnel, so retrying means a FRESH process (fresh client)
     after a cool-down, not a try/except in this one.  Prints the child's
     single JSON line on success."""
-    for attempt in range(4):
+    attempts = 4 if _canary_ok() else 0
+    for attempt in range(attempts):
         env = dict(os.environ, BENCH_CHILD="1")
         try:
             out = subprocess.run(
