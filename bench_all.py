@@ -253,9 +253,13 @@ def bench_iir_bank():
     x = jnp.asarray((rng.standard_normal((T, C))
                      + 1j * rng.standard_normal((T, C))).astype(np.complex64))
 
+    # Mosaic kernels only run compiled on TPU; SMOKE (CPU structural
+    # validation) uses interpret mode
+    interp = SMOKE and jax.default_backend() != "tpu"
+
     @jax.jit
     def g(st, x):
-        y, st2 = iir_bank_apply(jnp.asarray(sos), st, x)
+        y, st2 = iir_bank_apply(jnp.asarray(sos), st, x, interpret=interp)
         return jnp.sum(jnp.abs(y)), st2
 
     def step(carry):
