@@ -28,6 +28,7 @@
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
+#include <netdb.h>
 #include <poll.h>
 #include <sys/socket.h>
 #include <unistd.h>
@@ -626,26 +627,49 @@ unsigned long long sdsp_udp_dropped(void* s) {
 void* sdsp_tcp_create(const char* host, int port, int fmt,
                       size_t ring_samples, int expect_rtl_header) {
   if (iq_sample_bytes(fmt) == 0) return nullptr;
-  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  // resolve hostnames AND numeric addresses (the Python API documents
+  // the parameter simply as "host")
+  char portstr[16];
+  std::snprintf(portstr, sizeof(portstr), "%d", port);
+  struct addrinfo hints;
+  std::memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  struct addrinfo* res = nullptr;
+  if (::getaddrinfo(host, portstr, &hints, &res) != 0 || !res)
+    return nullptr;
+  int fd = -1;
+  for (struct addrinfo* ai = res; ai; ai = ai->ai_next) {
+    fd = ::socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+    if (fd < 0) continue;
+    if (::connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+    ::close(fd);
+    fd = -1;
+  }
+  ::freeaddrinfo(res);
   if (fd < 0) return nullptr;
-  struct sockaddr_in addr;
-  std::memset(&addr, 0, sizeof(addr));
-  addr.sin_family = AF_INET;
-  addr.sin_port = htons(static_cast<uint16_t>(port));
-  if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
-    ::close(fd);
-    return nullptr;
-  }
-  if (::connect(fd, reinterpret_cast<struct sockaddr*>(&addr),
-                sizeof(addr)) != 0) {
-    ::close(fd);
-    return nullptr;
-  }
   uint32_t tuner_type = 0, tuner_gains = 0;
   if (expect_rtl_header) {
+    // bounded handshake: a server that accepts but never greets must
+    // not hang the constructor (the reader thread polls; so do we)
     uint8_t hdr[12];
     size_t got = 0;
+    int waited_ms = 0;
     while (got < sizeof(hdr)) {
+      struct pollfd pfd {fd, POLLIN, 0};
+      int pr = ::poll(&pfd, 1, 100);
+      if (pr < 0 && errno != EINTR) {
+        ::close(fd);
+        return nullptr;
+      }
+      if (pr <= 0) {
+        waited_ms += 100;
+        if (waited_ms >= 5000) {      // 5 s handshake deadline
+          ::close(fd);
+          return nullptr;
+        }
+        continue;
+      }
       ssize_t r = ::recv(fd, hdr + got, sizeof(hdr) - got, 0);
       if (r <= 0) {
         ::close(fd);

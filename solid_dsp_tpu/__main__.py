@@ -310,7 +310,7 @@ def main(argv=None) -> int:
     r.add_argument("input")
     r.add_argument("-o", "--output", default=None)
     r.add_argument("--format", default="cf32",
-                   choices=["cf32", "ci16", "ci8", "cf64"])
+                   choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     r.add_argument("--carrier", type=float, default=0.2)
     r.add_argument("--decimation", type=int, default=4)
     r.add_argument("--taps", type=int, default=64)
@@ -327,7 +327,7 @@ def main(argv=None) -> int:
     s = sub.add_parser("spectrum", help="windowed-FFT analysis")
     s.add_argument("input")
     s.add_argument("--format", default="cf32",
-                   choices=["cf32", "ci16", "ci8", "cf64"])
+                   choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     s.add_argument("--nfft", type=int, default=4096)
     s.add_argument("--window", default="hamming")
     s.set_defaults(fn=_cmd_spectrum)
@@ -346,7 +346,7 @@ def main(argv=None) -> int:
     t.add_argument("--interp", type=int, default=4)
     t.add_argument("--tone", type=float, default=0.002)
     t.add_argument("--format", default="cf32",
-                   choices=["cf32", "ci16", "ci8", "cf64"])
+                   choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_tx)
 
@@ -357,9 +357,9 @@ def main(argv=None) -> int:
     rs.add_argument("--rate", type=float, required=True,
                     help="f_out / f_in (e.g. 0.5 halves the rate)")
     rs.add_argument("--format", default="cf32",
-                    choices=["cf32", "ci16", "ci8", "cf64"])
+                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     rs.add_argument("--out-format", default="cf32",
-                    choices=["cf32", "ci16", "ci8", "cf64"])
+                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     rs.add_argument("--fpass", type=float, default=0.4)
     rs.add_argument("--attenuation", type=float, default=60.0)
     rs.add_argument("--block", type=int, default=1 << 20)
@@ -372,7 +372,7 @@ def main(argv=None) -> int:
         a = sub.add_parser(name, help=help_)
         a.add_argument("input")
         a.add_argument("--format", default="cf32",
-                       choices=["cf32", "ci16", "ci8", "cf64"])
+                       choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
         a.add_argument("--sps", type=int, default=2 if name == "adsb" else 8)
         if name == "adsb":
             a.add_argument("--threshold", type=float, default=0.7)

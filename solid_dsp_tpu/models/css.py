@@ -76,6 +76,10 @@ def css_demodulate(x, sf: int = 8) -> jnp.ndarray:
     """
     N = 1 << sf
     x = jnp.asarray(x)
+    if x.shape[-1] % N:
+        raise ValueError(
+            f"waveform length {x.shape[-1]} is not a multiple of the "
+            f"{N}-chip symbol (clipped burst?)")
     n_sym = x.shape[-1] // N
     down = jnp.asarray(css_base_chirp(sf, down=True).astype(np.complex64))
     d = x[: n_sym * N].reshape(n_sym, N) * down[None, :]

@@ -61,10 +61,9 @@ def _hop_phases(schedule: np.ndarray, n_channels: int, dwell: int,
     return 2.0 * np.pi * freqs[:, None] * t[None, :]
 
 
-@partial(jax.jit, static_argnames=("n_channels", "dwell", "bandwidth",
-                                   "conj"))
-def _apply_hops(x, schedule_ph, n_channels: int, dwell: int,
-                bandwidth: float, conj: bool):
+@partial(jax.jit, static_argnames=("dwell", "conj"))
+def _apply_hops(x, schedule_ph, dwell: int, conj: bool):
+    # n_channels/bandwidth are already baked into schedule_ph host-side
     n_hops = x.shape[-1] // dwell
     xb = x[..., : n_hops * dwell].reshape(*x.shape[:-1], n_hops, dwell)
     ph = schedule_ph.astype(xb.real.dtype)
@@ -110,8 +109,7 @@ class FHSS:
         if x.shape[-1] % self.dwell:
             raise ValueError("length must be a multiple of the dwell")
         ph = jnp.asarray(self._phases(x.shape[-1]))
-        return _apply_hops(x, ph, self.n_channels, self.dwell,
-                           self.bandwidth, False)
+        return _apply_hops(x, ph, self.dwell, False)
 
     def dehop(self, x) -> jnp.ndarray:
         """Despread with the same schedule (exact inverse of hop)."""
@@ -119,8 +117,7 @@ class FHSS:
         if x.shape[-1] % self.dwell:
             raise ValueError("length must be a multiple of the dwell")
         ph = jnp.asarray(self._phases(x.shape[-1]))
-        return _apply_hops(x, ph, self.n_channels, self.dwell,
-                           self.bandwidth, True)
+        return _apply_hops(x, ph, self.dwell, True)
 
     def __repr__(self):
         return (f"FHSS [channels={self.n_channels}] [dwell={self.dwell}]"

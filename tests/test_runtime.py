@@ -78,6 +78,7 @@ class TestCircularBuffer:
 class TestIQFiles:
     @pytest.mark.parametrize("fmt,tol", [
         ("cf32", 0.0), ("cf64", 1e-7), ("ci16", 3.2e-5), ("ci8", 8e-3),
+        ("cu8", 8e-3),
     ])
     def test_roundtrip(self, tmp_path, fmt, tol):
         rng = np.random.default_rng(0)
