@@ -26,6 +26,7 @@ __all__ = [
     "ebn0_to_noise_var", "awgn", "apply_cfo", "phase_noise",
     "multipath_apply", "rayleigh_doppler_fading",
     "qfunc", "ber_theory",
+    "TDL_PROFILES", "tdl_taps", "tdl_fading_channel",
 ]
 
 
@@ -177,3 +178,70 @@ def ber_theory(scheme: str, m: int, ebn0_db) -> np.ndarray:
         return (4.0 / k) * (1.0 - 1.0 / math.sqrt(m)) * qfunc(
             np.sqrt(3.0 * k / (m - 1.0) * ebn0))
     raise ValueError(f"unknown scheme {scheme!r}")
+
+
+# ------------------------------------------- frequency-selective fading
+
+# 3GPP tapped-delay-line power profiles (delay ns, power dB) — the
+# standard LTE evaluation channels.  Delays quantize to the caller's
+# sample rate; sub-sample taps merge into the nearest sample.
+TDL_PROFILES = {
+    "epa": ((0, 0.0), (30, -1.0), (70, -2.0), (90, -3.0), (110, -8.0),
+            (190, -17.2), (410, -20.8)),
+    "eva": ((0, 0.0), (30, -1.5), (150, -1.4), (310, -3.6), (370, -0.6),
+            (710, -9.1), (1090, -7.0), (1730, -12.0), (2510, -16.9)),
+    "etu": ((0, -1.0), (50, -1.0), (120, -1.0), (200, 0.0), (230, 0.0),
+            (500, 0.0), (1600, -3.0), (2300, -5.0), (5000, -7.0)),
+}
+
+
+def tdl_taps(profile, fs_hz: float) -> tuple:
+    """(delays_samples, amplitudes) for a named or custom TDL profile.
+
+    profile: "epa"/"eva"/"etu" or a sequence of (delay_ns, power_db).
+    Taps landing on the same sample add in POWER; amplitudes are
+    normalized to unit total power.
+    """
+    if isinstance(profile, str):
+        try:
+            prof = TDL_PROFILES[profile.lower()]
+        except KeyError:
+            raise ValueError(f"unknown TDL profile {profile!r}; one of "
+                             f"{sorted(TDL_PROFILES)}") from None
+    else:
+        prof = tuple(profile)
+    pow_by_delay: dict = {}
+    for delay_ns, p_db in prof:
+        d = int(round(delay_ns * 1e-9 * fs_hz))
+        pow_by_delay[d] = pow_by_delay.get(d, 0.0) + 10.0 ** (p_db / 10.0)
+    delays = np.asarray(sorted(pow_by_delay), np.int64)
+    powers = np.asarray([pow_by_delay[d] for d in delays])
+    amps = np.sqrt(powers / powers.sum())
+    return delays, amps
+
+
+def tdl_fading_channel(key, x, profile="eva", fs_hz: float = 30.72e6,
+                       doppler: float = 1e-4):
+    """Frequency-selective time-varying fading (TDL + per-tap Jakes).
+
+    Each tap of the power-delay profile fades INDEPENDENTLY with a
+    Jakes-spectrum Rayleigh gain (rayleigh_doppler_fading) — the
+    standard 3GPP evaluation channel.  y[n] = sum_k a_k g_k[n] x[n-d_k]
+    evaluated as a handful of shifted elementwise multiply-adds (one per
+    resolvable tap — typically 4-9), no convolution loop.  Returns
+    (y, h_taps) with h_taps (n_taps, T) the per-tap complex gains
+    (ground truth for equalizer/estimator tests).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    delays, amps = tdl_taps(profile, fs_hz)
+    keys = jax.random.split(key, len(delays))
+    gains = [amps[i].astype(np.float32)
+             * rayleigh_doppler_fading(keys[i], n, doppler, x.dtype)
+             for i in range(len(delays))]
+    y = jnp.zeros_like(x)
+    for d, g in zip(delays.tolist(), gains):
+        xd = jnp.concatenate([jnp.zeros(d, x.dtype), x[..., : n - d]],
+                             axis=-1) if d else x
+        y = y + g * xd
+    return y, jnp.stack(gains)

@@ -141,3 +141,64 @@ def test_fading_then_equalized_by_known_gain():
     # Rayleigh average BER at 15 dB: ~ 1/(4*Eb/N0) = 7.9e-3 (deep fades
     # dominate); far above the 6.9e-7 AWGN value — assert the band
     assert 3e-3 < ber < 2e-2
+
+
+class TestTDLFading:
+    def test_profiles_quantize_to_unit_power(self):
+        from solid_dsp_tpu.models.channel import TDL_PROFILES, tdl_taps
+        for name in TDL_PROFILES:
+            d, a = tdl_taps(name, 30.72e6)
+            assert d[0] == 0 and np.all(np.diff(d) > 0)
+            np.testing.assert_allclose(float((a ** 2).sum()), 1.0,
+                                       rtol=1e-12)
+        # sub-sample taps merge in power at a low rate
+        d1, a1 = tdl_taps("epa", 1e6)   # all delays < 1 sample -> 1 tap
+        assert len(d1) == 1 and abs(float(a1[0]) - 1.0) < 1e-12
+        import pytest
+        with pytest.raises(ValueError):
+            tdl_taps("bogus", 1e6)
+
+    def test_statistics_and_selectivity(self):
+        import jax
+
+        from solid_dsp_tpu.models.channel import tdl_fading_channel
+        rng = np.random.default_rng(0)
+        n = 1 << 16
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             / np.sqrt(2)).astype(np.complex64)
+        y, h = tdl_fading_channel(jax.random.PRNGKey(0), jnp.asarray(x),
+                                  "etu", 30.72e6, 3e-4)
+        y = np.asarray(y)
+        assert np.asarray(h).shape == (9, n)
+        # unit-power channel preserves average power (fading ensemble)
+        p = float(np.mean(np.abs(y) ** 2) / np.mean(np.abs(x) ** 2))
+        assert 0.5 < p < 2.0
+        # frequency selectivity: per-band received power varies >= 1.5x
+        Y = np.abs(np.fft.fft(y.reshape(16, 4096), axis=-1)) ** 2
+        band = Y.mean(axis=0).reshape(32, 128).mean(axis=1)
+        assert band.max() / band.min() > 1.5
+        # per-tap gains fade slowly at small doppler: adjacent-sample
+        # correlation near 1
+        g0 = np.asarray(h)[0]
+        c = np.abs(np.vdot(g0[1:], g0[:-1])) / np.vdot(g0, g0).real
+        assert c > 0.99
+
+    def test_custom_profile_and_ground_truth_reconstruction(self):
+        import jax
+
+        from solid_dsp_tpu.models.channel import (tdl_fading_channel,
+                                                  tdl_taps)
+        prof = ((0, 0.0), (2000, -3.0))
+        d, a = tdl_taps(prof, 1e6)       # 2 us at 1 MHz -> 2 samples
+        np.testing.assert_array_equal(d, [0, 2])
+        rng = np.random.default_rng(1)
+        n = 4096
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        y, h = tdl_fading_channel(jax.random.PRNGKey(1), jnp.asarray(x),
+                                  prof, 1e6, 1e-3)
+        # reconstruct y from the returned ground-truth tap gains
+        h = np.asarray(h)
+        xd = np.concatenate([np.zeros(2, np.complex64), x[:-2]])
+        y_ref = h[0] * x + h[1] * xd
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-5)
