@@ -86,3 +86,27 @@ def test_payload_validation_and_snr_report():
     out, info = mm.receive(rx)
     assert info["crc_ok"]
     assert 14.0 < info["snr_db"] < 27.0   # reported near the true 20 dB
+
+
+def test_through_3gpp_tdl_fading():
+    # EPA frequency-selective fading at slow doppler: the full-pilot
+    # channel estimate + comb-pilot phase tracking carry the burst
+    import jax
+
+    from solid_dsp_tpu.models.channel import tdl_fading_channel
+
+    rng = np.random.default_rng(9)
+    mm = OFDMModem(payload_bytes=48, m=4, scheme="psk")
+    data = rng.integers(0, 256, 48, dtype=np.uint8).tobytes()
+    tx = np.asarray(mm.transmit(data))
+    s = np.concatenate([np.zeros(300, np.complex64), tx,
+                        np.zeros(200, np.complex64)])
+    ok = 0
+    for seed in range(5):
+        y, _ = tdl_fading_channel(jax.random.PRNGKey(seed),
+                                  jnp.asarray(s), "epa", 20e6, 1e-5)
+        y = np.asarray(y) + 0.02 * (rng.standard_normal(len(s))
+                                    + 1j * rng.standard_normal(len(s)))
+        out, info = mm.receive(jnp.asarray(y.astype(np.complex64)))
+        ok += int(info["crc_ok"] and out == data)
+    assert ok >= 4, ok   # deep-fade realizations may legitimately fail
