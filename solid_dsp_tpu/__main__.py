@@ -212,6 +212,30 @@ def _cmd_tx(args) -> int:
     return 0
 
 
+def _cmd_monitor(args) -> int:
+    import numpy as np
+
+    from .models.monitor import SpectrumMonitor
+    from .runtime import StreamPump
+
+    mon = SpectrumMonitor(args.channels, high_db=args.high,
+                          low_db=args.low)
+    path = "/dev/stdin" if args.input == "-" else args.input
+    emitted = 0
+    with StreamPump(path, fmt=args.format, block=args.block) as pump:
+        for blk in pump:
+            blk = np.asarray(blk)
+            blk = blk[: len(blk) - len(blk) % args.channels]
+            if not len(blk):
+                break
+            mon.execute_block(blk)
+            while emitted < len(mon.events):
+                print(json.dumps(mon.events[emitted]))
+                emitted += 1
+    print(json.dumps(mon.summary()))
+    return 0
+
+
 def _cmd_resample(args) -> int:
     import numpy as np
 
@@ -349,6 +373,17 @@ def main(argv=None) -> int:
                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_tx)
+
+    mo = sub.add_parser("monitor",
+                        help="channel-occupancy events over a recording")
+    mo.add_argument("input")
+    mo.add_argument("--format", default="cf32",
+                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
+    mo.add_argument("--channels", type=int, default=64)
+    mo.add_argument("--high", type=float, default=10.0)
+    mo.add_argument("--low", type=float, default=6.0)
+    mo.add_argument("--block", type=int, default=1 << 18)
+    mo.set_defaults(fn=_cmd_monitor)
 
     rs = sub.add_parser("resample",
                         help="rate-convert an IQ recording by any factor")

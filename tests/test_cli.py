@@ -159,3 +159,28 @@ def test_rx_wav_audio_output(tmp_path, capsys):
     # --wav without --rate is a clean error
     assert main(["rx", src, "--wav", wav]) == 1
     capsys.readouterr()
+
+
+def test_cli_monitor(tmp_path, capsys):
+    import json as _json
+
+    rng = np.random.default_rng(3)
+    M = 32
+    nb, B = 12, 32 * 256
+    blocks = []
+    for b in range(nb):
+        x = 0.05 * (rng.standard_normal(B) + 1j * rng.standard_normal(B))
+        if 2 <= b < 6:
+            x = x + np.exp(2j * np.pi * (7 / M) * np.arange(B))
+        blocks.append(x.astype(np.complex64))
+    src = str(tmp_path / "wide.cf32")
+    write_iq(src, np.concatenate(blocks))
+    assert main(["monitor", src, "--channels", str(M),
+                 "--block", str(B)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [_json.loads(line) for line in out]
+    summary = rows[-1]
+    assert summary["blocks"] == nb
+    events = rows[:-1]
+    assert any(e["channel"] == 7 for e in events) or \
+        7 in summary["duty_cycle"]
