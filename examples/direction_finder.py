@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from solid_dsp_tpu.models.array_proc import (
-    beamform, music_doa, mvdr_weights, spatial_covariance, ula_steering)
+    beamform, esprit_doa, music_doa, mvdr_weights, root_music_doa,
+    spatial_covariance, ula_steering)
 
 
 def main() -> None:
@@ -48,6 +49,12 @@ def main() -> None:
     print(f"true bearings: {bearings} deg")
     print(f"MUSIC estimates: {np.round(doa, 2).tolist()} deg")
     assert np.allclose(np.sort(doa), np.sort(bearings), atol=0.5)
+    doa_e = np.rad2deg(esprit_doa(R, 2))
+    doa_r = np.rad2deg(root_music_doa(R, 2))
+    print(f"ESPRIT (gridless): {np.round(doa_e, 2).tolist()} deg")
+    print(f"root-MUSIC       : {np.round(doa_r, 2).tolist()} deg")
+    assert np.allclose(np.sort(doa_e), np.sort(bearings), atol=0.5)
+    assert np.allclose(np.sort(doa_r), np.sort(bearings), atol=0.5)
 
     # steer at the weak emitter, null the strong one
     a1 = ula_steering(n_ant, np.deg2rad(bearings[0]))
