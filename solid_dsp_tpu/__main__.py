@@ -94,17 +94,37 @@ def _cmd_rx(args) -> int:
                   file=sys.stderr)
             return 1
         demod_rate = args.rate / args.decimation
-        n = _write_audio_wav(args.wav, y.real.astype(np.float32),
-                             demod_rate, args.audio_rate,
-                             deemphasis=(args.demod == "fm"))
+        if args.stereo:
+            if args.demod != "fm":
+                print("--stereo needs --demod fm", file=sys.stderr)
+                return 1
+            from .models.fm import fm_stereo_decode
+
+            L, R, pilot = fm_stereo_decode(
+                jnp.asarray(y.real.astype(np.float32)), demod_rate,
+                deemphasis_tau=75e-6)
+            audio = np.stack([np.asarray(L), np.asarray(R)])
+            print(f"stereo pilot amplitude {float(pilot):.3f}",
+                  file=sys.stderr)
+            n = _write_audio_wav(args.wav, audio, demod_rate,
+                                 args.audio_rate, deemphasis=False)
+        else:
+            n = _write_audio_wav(args.wav, y.real.astype(np.float32),
+                                 demod_rate, args.audio_rate,
+                                 deemphasis=(args.demod == "fm"))
         print(f"wrote {n} audio samples -> {args.wav} "
-              f"({args.audio_rate} Hz s16 mono)", file=sys.stderr)
+              f"({args.audio_rate} Hz s16 "
+              f"{'stereo' if args.stereo else 'mono'})", file=sys.stderr)
     return 0
 
 
 def _write_audio_wav(path: str, audio, rate_in: float, rate_out: int,
                      deemphasis: bool) -> int:
-    """Demod output at rate_in Hz -> 16-bit PCM mono WAV at rate_out."""
+    """Demod output at rate_in Hz -> 16-bit PCM WAV at rate_out.
+
+    audio: (N,) mono or (C, N) multichannel (each channel resampled
+    through its own streaming chain and peak-normalized jointly).
+    """
     import wave
 
     import jax.numpy as jnp
@@ -112,29 +132,38 @@ def _write_audio_wav(path: str, audio, rate_in: float, rate_out: int,
 
     from .ops.resample import ArbitraryResampler
 
-    r = ArbitraryResampler(rate_out / rate_in, dtype=jnp.complex64)
-    a = np.asarray(r.execute_block(
-        jnp.asarray(np.asarray(audio).astype(np.complex64))))
-    a = np.concatenate([a, np.asarray(r.flush())]).real
-    if deemphasis and len(a):
+    audio = np.atleast_2d(np.asarray(audio))
+    chans = []
+    for ch in audio:
+        r = ArbitraryResampler(rate_out / rate_in, dtype=jnp.complex64)
+        a = np.asarray(r.execute_block(
+            jnp.asarray(ch.astype(np.complex64))))
+        a = np.concatenate([a, np.asarray(r.flush())]).real
+        chans.append(a)
+    n = min(len(a) for a in chans)
+    a = np.stack([c[:n] for c in chans])          # (C, N)
+    if deemphasis and a.size:
         # 75 us broadcast-FM de-emphasis: single-pole IIR at audio rate
         tau = 75e-6
         alpha = float(np.exp(-1.0 / (tau * rate_out)))
         from .ops.iir import iir_apply, iir_init
 
-        y, _ = iir_apply(jnp.asarray([1.0 - alpha], jnp.complex64),
-                         jnp.asarray([-alpha], jnp.complex64),
-                         iir_init(1), jnp.asarray(a, jnp.complex64))
-        a = np.asarray(y).real
-    peak = float(np.max(np.abs(a))) if len(a) else 1.0
+        rows = []
+        for ch in a:                     # <= 2 channels: loop is fine
+            y, _ = iir_apply(jnp.asarray([1.0 - alpha], jnp.complex64),
+                             jnp.asarray([-alpha], jnp.complex64),
+                             iir_init(1), jnp.asarray(ch, jnp.complex64))
+            rows.append(np.asarray(y).real)
+        a = np.stack(rows)
+    peak = float(np.max(np.abs(a))) if a.size else 1.0
     pcm = np.clip(a / (peak or 1.0) * 0.95 * 32767,
                   -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(a.shape[0])
         w.setsampwidth(2)
         w.setframerate(int(rate_out))
-        w.writeframes(pcm.tobytes())
-    return len(pcm)
+        w.writeframes(pcm.T.copy(order="C").tobytes())  # interleaved
+    return pcm.shape[-1]
 
 
 def _cmd_spectrum(args) -> int:
@@ -346,6 +375,8 @@ def main(argv=None) -> int:
     r.add_argument("--rate", type=float, default=None,
                    help="input sample rate in Hz (required with --wav)")
     r.add_argument("--audio-rate", type=int, default=48000)
+    r.add_argument("--stereo", action="store_true",
+                   help="decode the broadcast stereo MPX (fm only)")
     r.set_defaults(fn=_cmd_rx)
 
     s = sub.add_parser("spectrum", help="windowed-FFT analysis")

@@ -184,3 +184,44 @@ def test_cli_monitor(tmp_path, capsys):
     events = rows[:-1]
     assert any(e["channel"] == 7 for e in events) or \
         7 in summary["duty_cycle"]
+
+
+def test_rx_wav_stereo_output(tmp_path, capsys):
+    import wave
+
+    from solid_dsp_tpu.models.fm import fm_stereo_mpx
+
+    n = 1 << 17
+    fs = 960_000.0                      # capture rate; demod rate 240 kHz
+    t = np.arange(n // 4) / (fs / 4)
+    left = np.sin(2 * np.pi * 700.0 * t).astype(np.float32)
+    right = np.sin(2 * np.pi * 2100.0 * t).astype(np.float32)
+    mpx = np.asarray(fm_stereo_mpx(jnp.asarray(left), jnp.asarray(right),
+                                   fs / 4))
+    # upsample MPX x4 (zero-order hold is fine for a test), FM modulate
+    mpx4 = np.repeat(mpx, 4)[:n].astype(np.float32)
+    iq, _ = fm_modulate(jnp.asarray(0.9 * mpx4 / np.abs(mpx4).max()), 0.1)
+    iq = np.asarray(iq) * 0.5 * np.exp(
+        2j * np.pi * (0.2 / (2 * np.pi)) * np.arange(n))
+    src = str(tmp_path / "in.cf32")
+    wav = str(tmp_path / "st.wav")
+    write_iq(src, iq.astype(np.complex64))
+    assert main(["rx", src, "--wav", wav, "--rate", str(fs),
+                 "--stereo", "--audio-rate", "48000",
+                 "--block", "32768"]) == 0
+    with wave.open(wav, "rb") as w:
+        assert w.getnchannels() == 2
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    L = pcm[0::2].astype(np.float64)
+    R = pcm[1::2].astype(np.float64)
+
+    def tone_power(a, hz):
+        A = np.abs(np.fft.rfft(a[2000:] * np.hanning(len(a) - 2000)))
+        f = np.fft.rfftfreq(len(a) - 2000, 1 / 48000)
+        return float(A[np.argmin(np.abs(f - hz))] ** 2)
+
+    # channel separation: each rail's own tone dominates the other's
+    sep_L = 10 * np.log10(tone_power(L, 700) / tone_power(L, 2100))
+    sep_R = 10 * np.log10(tone_power(R, 2100) / tone_power(R, 700))
+    assert sep_L > 12 and sep_R > 12, (sep_L, sep_R)
+    capsys.readouterr()
