@@ -38,7 +38,10 @@ class OFDMModem:
     def __init__(self, payload_bytes: int = 64, nfft: int = 64,
                  cp: int = 16, n_active: int = 48, scheme: str = "qam",
                  m: int = 16, pilot_spacing: int = 6,
+                 fec_scheme: str = "conv", ldpc_iters: int = 30,
                  dtype=jnp.complex64):
+        if fec_scheme not in ("conv", "ldpc"):
+            raise ValueError(f"unknown fec_scheme {fec_scheme!r}")
         self.payload_bytes = int(payload_bytes)
         self.nfft, self.cp, self.n_active = int(nfft), int(cp), int(n_active)
         self.dtype = dtype
@@ -47,12 +50,21 @@ class OFDMModem:
 
         # FEC framing (same conventions as PacketModem)
         self.n_info = 8 * self.payload_bytes + 32
-        self.code = fec.ConvCode()
-        self.n_coded = (self.n_info + self.code.K - 1) * 2
-        r = int(np.sqrt(self.n_coded))
-        while self.n_coded % r:
-            r -= 1
-        self.ileave = (r, self.n_coded // r)
+        self.fec_scheme = fec_scheme
+        self.ldpc_iters = int(ldpc_iters)
+        if fec_scheme == "ldpc":
+            from . import ldpc as ldpc_mod
+            self.code = ldpc_mod.wifi_ldpc_648()
+            self.n_frames = -(-self.n_info // self.code.k)
+            self.n_coded = self.n_frames * self.code.n
+            self.ileave = (1, self.n_coded)   # LDPC graph scatters bursts
+        else:
+            self.code = fec.ConvCode()
+            self.n_coded = (self.n_info + self.code.K - 1) * 2
+            r = int(np.sqrt(self.n_coded))
+            while self.n_coded % r:
+                r -= 1
+            self.ileave = (r, self.n_coded // r)
 
         # pilot layout (comb in frequency order, edges pinned)
         coords = op.active_carrier_coords(nfft, n_active)
@@ -87,6 +99,12 @@ class OFDMModem:
         tail = ((c >> np.arange(32)) & 1).astype(np.int8)
         framed = np.concatenate([info, tail])
         scrambled = np.asarray(B.additive_scramble(framed))
+        if self.fec_scheme == "ldpc":
+            padded = np.zeros(self.n_frames * self.code.k, np.int32)
+            padded[: self.n_info] = scrambled
+            cw = np.asarray(self.code.encode(
+                padded.reshape(self.n_frames, self.code.k)))
+            return cw.reshape(-1)
         coded = np.asarray(self.code.encode(scrambled))
         return np.asarray(fec.interleave(coded, *self.ileave))
 
@@ -148,9 +166,15 @@ class OFDMModem:
                                        jnp.asarray(self.points,
                                                    self.dtype), nv))
         llr = llr[: self.n_coded]
-        llr = np.asarray(fec.deinterleave(jnp.asarray(llr), *self.ileave))
-        dec = np.asarray(self.code.decode(jnp.asarray(llr), soft=True)
-                         )[: self.n_info]
+        if self.fec_scheme == "ldpc":
+            frames = jnp.asarray(llr).reshape(self.n_frames, self.code.n)
+            dec, _ok = self.code.decode(frames, n_iters=self.ldpc_iters)
+            dec = np.asarray(dec).reshape(-1)[: self.n_info]
+        else:
+            llr = np.asarray(fec.deinterleave(jnp.asarray(llr),
+                                              *self.ileave))
+            dec = np.asarray(self.code.decode(jnp.asarray(llr),
+                                              soft=True))[: self.n_info]
         plain = np.asarray(B.additive_scramble(dec))
         payload_bits, crc_bits = plain[:-32], plain[-32:]
         got = B.crc32(payload_bits.astype(np.int8))

@@ -110,3 +110,14 @@ def test_through_3gpp_tdl_fading():
         out, info = mm.receive(jnp.asarray(y.astype(np.complex64)))
         ok += int(info["crc_ok"] and out == data)
     assert ok >= 4, ok   # deep-fade realizations may legitimately fail
+
+
+def test_ldpc_scheme_through_channel():
+    rng = np.random.default_rng(11)
+    mm = OFDMModem(payload_bytes=64, m=16, fec_scheme="ldpc")
+    data = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    rx = _channel(mm.transmit(data), rng, snr_db=18.0)
+    out, info = mm.receive(rx)
+    assert info["crc_ok"] and out == data
+    with pytest.raises(ValueError):
+        OFDMModem(fec_scheme="bogus")
