@@ -6,6 +6,9 @@ chain.  The other subcommands expose the framework as a usable SDR tool:
 
 * ``demo``     — reference main.rs parity run (prints head of the output)
 * ``rx``       — demodulate an IQ recording through the flagship RxChain
+               (``--wav [--stereo]`` writes broadcast audio)
+* ``resample`` — rate-convert an IQ recording by any real factor
+* ``monitor``  — channel-occupancy events over a wideband recording
 * ``spectrum`` — windowed-FFT spectral analysis of a recording (config 2)
 * ``bench``    — the headline throughput benchmark (same as bench.py)
 * ``tx``       — synthesize an IQ recording with the transmit chain
