@@ -193,3 +193,40 @@ class OFDMModem:
         return (f"OFDMModem [nfft={self.nfft}] [cp={self.cp}] "
                 f"[active={self.n_active}] [M={len(self.points)}] "
                 f"[{self.n_ofdm} symbols/frame]")
+
+    # ------------------------------------------------------- RX stream
+
+    def receive_stream(self, x, threshold: float = 0.5,
+                       max_bursts: int = 64) -> list:
+        """Decode EVERY burst in a long capture.
+
+        One Schmidl-Cox metric pass over the whole stream (batched
+        device math), then host peak-picking: plateau regions above
+        ``threshold`` separated by at least a frame, each decoded by the
+        single-burst path on a local slice (so per-burst CFO/channel
+        estimates stay independent).  Returns a list of (bytes, info)
+        with ``info["offset"]`` the slice position in x.
+        """
+        x = jnp.asarray(x, self.dtype)
+        M, _ = ofdm.schmidl_cox_metric(x, self.nfft)
+        M = np.asarray(M)
+        above = M > threshold
+        out = []
+        pos = 0
+        pre = len(self.preamble)
+        while len(out) < max_bursts:
+            nxt = np.argmax(above[pos:])
+            if not above[pos:][nxt]:
+                break
+            d = pos + int(nxt)
+            # center of the above-threshold plateau near d
+            end = d
+            while end < len(above) and above[end] and end - d < 2 * pre:
+                end += 1
+            lo = max(0, d - pre)
+            hi = min(x.shape[-1], d + self.frame_samples + pre)
+            data, info = self.receive(x[lo:hi])
+            info["offset"] = lo
+            out.append((data, info))
+            pos = min(len(above), d + self.frame_samples)
+        return out

@@ -121,3 +121,28 @@ def test_ldpc_scheme_through_channel():
     assert info["crc_ok"] and out == data
     with pytest.raises(ValueError):
         OFDMModem(fec_scheme="bogus")
+
+
+def test_receive_stream_multiple_bursts():
+    rng = np.random.default_rng(12)
+    mm = OFDMModem(payload_bytes=32, m=4, scheme="psk")
+    payloads = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+                for _ in range(3)]
+    parts = [np.zeros(400, np.complex64)]
+    for p in payloads:
+        parts += [np.asarray(mm.transmit(p)),
+                  np.zeros(int(rng.integers(300, 900)), np.complex64)]
+    s = np.concatenate(parts)
+    s = s + 0.03 * (rng.standard_normal(len(s))
+                    + 1j * rng.standard_normal(len(s)))
+    res = mm.receive_stream(jnp.asarray(s.astype(np.complex64)))
+    assert len(res) == 3
+    for (d, info), p in zip(res, payloads):
+        assert info["crc_ok"] and d == p
+    # offsets increase and roughly track the layout
+    offs = [info["offset"] for _, info in res]
+    assert offs == sorted(offs)
+    # quiet stream: nothing found
+    q = 0.03 * (rng.standard_normal(4000)
+                + 1j * rng.standard_normal(4000))
+    assert mm.receive_stream(jnp.asarray(q.astype(np.complex64))) == []
