@@ -146,3 +146,22 @@ def test_receive_stream_multiple_bursts():
     q = 0.03 * (rng.standard_normal(4000)
                 + 1j * rng.standard_normal(4000))
     assert mm.receive_stream(jnp.asarray(q.astype(np.complex64))) == []
+
+
+def test_sample_clock_offset_tolerance():
+    # 100 ppm TX/RX clock skew (simulated by fractional resampling):
+    # the short frame + comb-pilot CPE tracking absorb the drift
+    from solid_dsp_tpu.ops.resample import PfbArbitraryResampler
+
+    rng = np.random.default_rng(13)
+    mm = OFDMModem(payload_bytes=64, m=16)
+    data = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    s = np.concatenate([np.zeros(300, np.complex64),
+                        np.asarray(mm.transmit(data)),
+                        np.zeros(300, np.complex64)])
+    r = PfbArbitraryResampler(1.0 + 100e-6, dtype=jnp.complex128)
+    y = np.asarray(r.execute_block(jnp.asarray(s.astype(np.complex128))))
+    y = y + 0.01 * (rng.standard_normal(len(y))
+                    + 1j * rng.standard_normal(len(y)))
+    out, info = mm.receive(jnp.asarray(y.astype(np.complex64)))
+    assert info["crc_ok"] and out == data
