@@ -233,3 +233,35 @@ class PacketModem:
         traj = jnp.interp(jnp.arange(self.n_symbols, dtype=ph.dtype),
                           jnp.asarray(self.pilot_pos, ph.dtype), ph)
         return y_sym * jnp.exp(-1j * traj).astype(y_sym.dtype)
+
+    # ------------------------------------------------------- RX stream
+
+    def receive_stream(self, x, max_bursts: int = 64) -> list:
+        """Decode EVERY burst in a long capture.
+
+        One normalized preamble correlation over the whole stream
+        (batched device math), then host peak-picking: correlation peaks
+        above the FrameSync threshold separated by at least a frame,
+        each decoded by the single-burst path on a local slice so
+        per-burst CFO/phase estimates stay independent.  Returns a list
+        of (bytes, info) with ``info["offset"]`` the slice position.
+        """
+        x = jnp.asarray(x, self.dtype)
+        pp = jnp.asarray(self.sync.full_preamble()).astype(self.dtype)
+        rho2, _ = fs.preamble_correlate(x, pp)
+        above = np.asarray(rho2) > self.sync.threshold
+        out = []
+        pos = 0
+        pre = 2 * self.sync.L
+        while len(out) < max_bursts:
+            nxt = np.argmax(above[pos:])
+            if not above[pos:][nxt]:
+                break
+            d = pos + int(nxt)
+            lo = max(0, d - pre)
+            hi = min(x.shape[-1], d + self.frame_samples + pre)
+            data, info = self.receive(x[lo:hi])
+            info["offset"] = lo
+            out.append((data, info))
+            pos = min(len(above), d + self.frame_samples)
+        return out

@@ -132,3 +132,27 @@ def test_packet_polar_roundtrip_impaired():
     got, info = pm.receive(jnp.asarray(x))
     assert info["crc_ok"], info
     assert got == data
+
+
+def test_receive_stream_multiple_bursts():
+    rng = np.random.default_rng(21)
+    pm = PacketModem(payload_bytes=32)
+    payloads = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+                for _ in range(3)]
+    parts = [np.zeros(500, np.complex64)]
+    for p in payloads:
+        parts += [np.asarray(pm.transmit(p)),
+                  np.zeros(int(rng.integers(200, 800)), np.complex64)]
+    s = np.concatenate(parts)
+    s = s + 0.05 * (rng.standard_normal(len(s))
+                    + 1j * rng.standard_normal(len(s)))
+    res = pm.receive_stream(jnp.asarray(s.astype(np.complex64)))
+    assert len(res) == 3
+    for (d, info), p in zip(res, payloads):
+        assert info["crc_ok"] and d == p
+    offs = [info["offset"] for _, info in res]
+    assert offs == sorted(offs)
+    # quiet stream yields nothing
+    q = 0.05 * (rng.standard_normal(3000)
+                + 1j * rng.standard_normal(3000))
+    assert pm.receive_stream(jnp.asarray(q.astype(np.complex64))) == []
