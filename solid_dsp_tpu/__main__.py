@@ -88,6 +88,10 @@ def _cmd_rx(args) -> int:
             write_iq(args.output, y, "cf32")
         print(f"wrote {len(y)} output samples -> {args.output}",
               file=sys.stderr)
+    if args.stereo and not args.wav:
+        print("--stereo needs --wav (it selects the WAV decode path)",
+              file=sys.stderr)
+        return 1
     if args.wav:
         if args.demod not in ("fm", "am"):
             print("--wav needs an audio demod (fm/am)", file=sys.stderr)
@@ -254,12 +258,15 @@ def _cmd_monitor(args) -> int:
                           low_db=args.low)
     path = "/dev/stdin" if args.input == "-" else args.input
     emitted = 0
+    rem = np.zeros(0, np.complex64)     # channelizer alignment carry
     with StreamPump(path, fmt=args.format, block=args.block) as pump:
         for blk in pump:
-            blk = np.asarray(blk)
-            blk = blk[: len(blk) - len(blk) % args.channels]
+            blk = np.concatenate([rem, np.asarray(blk)])
+            keep = len(blk) - len(blk) % args.channels
+            rem = blk[keep:]
+            blk = blk[:keep]
             if not len(blk):
-                break
+                continue
             mon.execute_block(blk)
             while emitted < len(mon.events):
                 print(json.dumps(mon.events[emitted]))

@@ -235,13 +235,18 @@ def tdl_fading_channel(key, x, profile="eva", fs_hz: float = 30.72e6,
     x = jnp.asarray(x)
     n = x.shape[-1]
     delays, amps = tdl_taps(profile, fs_hz)
+    if int(delays[-1]) >= n:
+        raise ValueError(
+            f"signal length {n} shorter than the largest tap delay "
+            f"({int(delays[-1])} samples at fs={fs_hz:g})")
     keys = jax.random.split(key, len(delays))
     gains = [amps[i].astype(np.float32)
              * rayleigh_doppler_fading(keys[i], n, doppler, x.dtype)
              for i in range(len(delays))]
     y = jnp.zeros_like(x)
     for d, g in zip(delays.tolist(), gains):
-        xd = jnp.concatenate([jnp.zeros(d, x.dtype), x[..., : n - d]],
-                             axis=-1) if d else x
+        xd = (jnp.concatenate(
+            [jnp.zeros((*x.shape[:-1], d), x.dtype), x[..., : n - d]],
+            axis=-1) if d else x)
         y = y + g * xd
     return y, jnp.stack(gains)

@@ -33,7 +33,7 @@ from ..ops.fir import conv1d_mxu
 __all__ = [
     "preamble_correlate", "detect_preamble",
     "estimate_cfo_repeated", "estimate_cfo_kay", "estimate_phase",
-    "FrameSync",
+    "FrameSync", "scan_bursts",
 ]
 
 
@@ -145,3 +145,31 @@ class FrameSync:
         payload = xc[2 * self.L: 2 * self.L + self.payload_len]
         return payload, {"start": start, "rho2": peak, "found": found,
                          "cfo": cfo, "phase": phase}
+
+
+def scan_bursts(above, frame_samples: int, margin: int, n_total: int,
+                decode_fn, max_bursts: int = 64) -> list:
+    """Shared burst-capture scan for the packet modems' receive_stream.
+
+    above: host boolean detection metric (possibly shorter than the
+    capture — e.g. a sliding metric).  For each first-crossing d, calls
+    ``decode_fn(lo, hi)`` on the slice [d - margin, d + frame_samples +
+    margin) clipped to [0, n_total), records ``info["offset"] = lo``,
+    and advances past the frame.  Robust to detections near the end of
+    the capture (no empty-argmax crash).
+    """
+    above = np.asarray(above, bool)
+    out = []
+    pos = 0
+    while len(out) < max_bursts and pos < len(above):
+        nxt = int(np.argmax(above[pos:]))
+        if not above[pos + nxt]:
+            break
+        d = pos + nxt
+        lo = max(0, d - margin)
+        hi = min(n_total, d + frame_samples + margin)
+        data, info = decode_fn(lo, hi)
+        info["offset"] = lo
+        out.append((data, info))
+        pos = d + frame_samples
+    return out

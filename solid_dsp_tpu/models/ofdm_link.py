@@ -207,26 +207,11 @@ class OFDMModem:
         estimates stay independent).  Returns a list of (bytes, info)
         with ``info["offset"]`` the slice position in x.
         """
+        from . import framesync as fs
+
         x = jnp.asarray(x, self.dtype)
         M, _ = ofdm.schmidl_cox_metric(x, self.nfft)
-        M = np.asarray(M)
-        above = M > threshold
-        out = []
-        pos = 0
-        pre = len(self.preamble)
-        while len(out) < max_bursts:
-            nxt = np.argmax(above[pos:])
-            if not above[pos:][nxt]:
-                break
-            d = pos + int(nxt)
-            # center of the above-threshold plateau near d
-            end = d
-            while end < len(above) and above[end] and end - d < 2 * pre:
-                end += 1
-            lo = max(0, d - pre)
-            hi = min(x.shape[-1], d + self.frame_samples + pre)
-            data, info = self.receive(x[lo:hi])
-            info["offset"] = lo
-            out.append((data, info))
-            pos = min(len(above), d + self.frame_samples)
-        return out
+        return fs.scan_bursts(
+            np.asarray(M) > threshold, self.frame_samples,
+            len(self.preamble), int(x.shape[-1]),
+            lambda lo, hi: self.receive(x[lo:hi]), max_bursts)

@@ -249,19 +249,7 @@ class PacketModem:
         x = jnp.asarray(x, self.dtype)
         pp = jnp.asarray(self.sync.full_preamble()).astype(self.dtype)
         rho2, _ = fs.preamble_correlate(x, pp)
-        above = np.asarray(rho2) > self.sync.threshold
-        out = []
-        pos = 0
-        pre = 2 * self.sync.L
-        while len(out) < max_bursts:
-            nxt = np.argmax(above[pos:])
-            if not above[pos:][nxt]:
-                break
-            d = pos + int(nxt)
-            lo = max(0, d - pre)
-            hi = min(x.shape[-1], d + self.frame_samples + pre)
-            data, info = self.receive(x[lo:hi])
-            info["offset"] = lo
-            out.append((data, info))
-            pos = min(len(above), d + self.frame_samples)
-        return out
+        return fs.scan_bursts(
+            np.asarray(rho2) > self.sync.threshold, self.frame_samples,
+            2 * self.sync.L, int(x.shape[-1]),
+            lambda lo, hi: self.receive(x[lo:hi]), max_bursts)

@@ -112,3 +112,28 @@ def test_framesync_extract_is_jittable():
     payload, info = jitted(jnp.asarray(x))
     assert int(info["start"]) == 100
     assert payload.shape == (32,)
+
+
+def test_scan_bursts_detection_at_capture_end():
+    # regression: a burst whose frame extends past the capture end must
+    # not crash the scan (argmax-on-empty), and decodes what is there
+    from solid_dsp_tpu.models.framesync import scan_bursts
+
+    above = np.zeros(100, bool)
+    above[90] = True                      # detection 10 from the end
+    calls = []
+
+    def decode(lo, hi):
+        calls.append((lo, hi))
+        return b"x", {}
+
+    out = scan_bursts(above, frame_samples=50, margin=5, n_total=100,
+                      decode_fn=decode)
+    assert len(out) == 1
+    assert calls == [(85, 100)]           # clipped to the capture
+    assert out[0][1]["offset"] == 85
+    # multiple detections respect the frame advance and max_bursts
+    above2 = np.zeros(300, bool)
+    above2[[10, 20, 200]] = True          # 20 is within frame of 10
+    out2 = scan_bursts(above2, 100, 0, 300, decode, max_bursts=64)
+    assert [o[1]["offset"] for o in out2] == [10, 200]
