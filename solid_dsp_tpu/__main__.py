@@ -9,6 +9,7 @@ chain.  The other subcommands expose the framework as a usable SDR tool:
                (``--wav [--stereo]`` writes broadcast audio)
 * ``resample`` — rate-convert an IQ recording by any real factor
 * ``monitor``  — channel-occupancy events over a wideband recording
+* ``packets``  — decode framed packet bursts (single-carrier or OFDM)
 * ``spectrum`` — windowed-FFT spectral analysis of a recording (config 2)
 * ``bench``    — the headline throughput benchmark (same as bench.py)
 * ``tx``       — synthesize an IQ recording with the transmit chain
@@ -248,6 +249,41 @@ def _cmd_tx(args) -> int:
     return 0
 
 
+def _cmd_packets(args) -> int:
+    import numpy as np
+
+    from .runtime import read_iq
+
+    x = read_iq(args.input, args.format)
+    try:
+        if args.phy == "ofdm":
+            from .models.ofdm_link import OFDMModem
+
+            modem = OFDMModem(payload_bytes=args.payload_bytes,
+                              m=args.order, scheme=args.scheme,
+                              fec_scheme=args.fec)
+        else:
+            from .models.packet import PacketModem
+
+            modem = PacketModem(payload_bytes=args.payload_bytes,
+                                m=args.order, scheme=args.scheme,
+                                fec_scheme=args.fec)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    results = modem.receive_stream(x, max_bursts=args.max_bursts)
+    n_ok = 0
+    for data, info in results:
+        row = {"offset": int(info["offset"]),
+               "crc_ok": bool(info["crc_ok"])}
+        if info["crc_ok"]:
+            row["payload_hex"] = data.hex()
+            n_ok += 1
+        print(json.dumps(row))
+    print(json.dumps({"bursts": len(results), "crc_ok": n_ok}))
+    return 0
+
+
 def _cmd_monitor(args) -> int:
     import numpy as np
 
@@ -414,6 +450,21 @@ def main(argv=None) -> int:
                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_tx)
+
+    pk = sub.add_parser("packets",
+                        help="decode framed packet bursts (JSON lines)")
+    pk.add_argument("input")
+    pk.add_argument("--phy", default="psk", choices=["psk", "ofdm"])
+    pk.add_argument("--format", default="cf32",
+                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
+    pk.add_argument("--payload-bytes", type=int, default=64)
+    pk.add_argument("--order", type=int, default=4)
+    pk.add_argument("--scheme", default="psk",
+                    choices=["psk", "qam", "apsk"])
+    pk.add_argument("--fec", default="conv",
+                    choices=["conv", "ldpc", "polar", "turbo"])
+    pk.add_argument("--max-bursts", type=int, default=256)
+    pk.set_defaults(fn=_cmd_packets)
 
     mo = sub.add_parser("monitor",
                         help="channel-occupancy events over a recording")

@@ -225,3 +225,31 @@ def test_rx_wav_stereo_output(tmp_path, capsys):
     sep_R = 10 * np.log10(tone_power(R, 2100) / tone_power(R, 700))
     assert sep_L > 12 and sep_R > 12, (sep_L, sep_R)
     capsys.readouterr()
+
+
+def test_cli_packets(tmp_path, capsys):
+    import json as _json
+
+    from solid_dsp_tpu.models.packet import PacketModem
+
+    rng = np.random.default_rng(5)
+    pm = PacketModem(payload_bytes=16)
+    payloads = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+                for _ in range(2)]
+    parts = [np.zeros(400, np.complex64)]
+    for p in payloads:
+        parts += [np.asarray(pm.transmit(p)),
+                  np.zeros(500, np.complex64)]
+    s = np.concatenate(parts)
+    s = s + 0.05 * (rng.standard_normal(len(s))
+                    + 1j * rng.standard_normal(len(s)))
+    src = str(tmp_path / "pk.cf32")
+    write_iq(src, s.astype(np.complex64))
+    assert main(["packets", src, "--payload-bytes", "16"]) == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows[-1] == {"bursts": 2, "crc_ok": 2}
+    assert bytes.fromhex(rows[0]["payload_hex"]) == payloads[0]
+    # unsupported fec for the ofdm phy fails cleanly
+    assert main(["packets", src, "--phy", "ofdm", "--fec", "turbo"]) == 1
+    capsys.readouterr()
