@@ -250,8 +250,6 @@ def _cmd_tx(args) -> int:
 
 
 def _cmd_packets(args) -> int:
-    import numpy as np
-
     from .runtime import read_iq
 
     x = read_iq(args.input, args.format)
@@ -271,7 +269,13 @@ def _cmd_packets(args) -> int:
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 1
-    results = modem.receive_stream(x, max_bursts=args.max_bursts)
+    try:
+        results = modem.receive_stream(x, max_bursts=args.max_bursts)
+    except ValueError as e:
+        # e.g. a capture truncated mid-burst: report instead of crashing
+        print(json.dumps({"bursts": 0, "crc_ok": 0,
+                          "error": str(e)[:160]}))
+        return 0
     n_ok = 0
     for data, info in results:
         row = {"offset": int(info["offset"]),

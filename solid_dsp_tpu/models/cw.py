@@ -62,7 +62,7 @@ def cw_keyer(text: str, dit_samples: int = 64, freq: float = 0.1,
                 on += [0] * dit_samples
             on += [0] * (2 * dit_samples)        # 1 + 2 = 3 dits
         on += [0] * (4 * dit_samples)            # 3 + 4 = 7 dits
-    gate = np.asarray(on[: len(on)], np.float32)
+    gate = np.asarray(on[:-4 * dit_samples] if on else on, np.float32)
     n = len(gate)
     tone = np.exp(2j * np.pi * freq * np.arange(n)).astype(np.complex64)
     return jnp.asarray(amp * gate * tone)
@@ -74,8 +74,15 @@ def cw_decode(x, dit_samples: int | None = None,
 
     Envelope -> moving-average smoothing -> adaptive threshold (midpoint
     of the on/off envelope levels) -> run lengths -> blind dit-period
-    estimate (shortest mark cluster) -> ratio classification.
-    ``dit_samples`` overrides the blind estimate when known.
+    estimate (smallest duration cluster over marks AND inter-mark gaps,
+    robust to dot-free text like "TOM" and to isolated noise spikes) ->
+    ratio classification.  ``dit_samples`` overrides the blind estimate
+    (and its noise squelch) when the speed is known.
+
+    For REAL audio input, set ``smooth`` to at least one carrier period
+    (e.g. fs/f samples): |real tone| ripples at 2f and a too-short
+    moving average chops each mark into fragments.  Complex baseband
+    has a flat envelope and works with the default.
     """
     x = jnp.asarray(x)
     env = jnp.abs(x).astype(jnp.float32)
@@ -90,6 +97,11 @@ def cw_decode(x, dit_samples: int | None = None,
     lo = float(np.percentile(e, 5))
     if hi - lo < 0.25 * hi:                   # no keying present
         return ""
+    # bimodality gate: keyed CW has duty < ~55%, so the 35th-percentile
+    # level sits on the OFF floor, far below the on level; a noise-only
+    # envelope is unimodal (ratio ~1.3 after smoothing) and is squelched
+    if hi < 2.0 * float(np.percentile(e, 35)):
+        return ""
     thr = 0.5 * (hi + lo)
     gate = e > thr
     # run-length extraction
@@ -99,12 +111,23 @@ def cw_decode(x, dit_samples: int | None = None,
     marks = np.asarray([r for on, r in runs if on])
     if len(marks) == 0:
         return ""
-    dit = float(dit_samples if dit_samples else np.median(
-        marks[marks <= 2.0 * marks.min()]))
-    # squelch: noise crossings produce marks no longer than the
-    # smoothing span — a real keyed dit must clearly exceed it
-    if dit < 2.0 * smooth + 4.0:
-        return ""
+    if dit_samples:
+        dit = float(dit_samples)
+    else:
+        # duration pool: marks plus INTERIOR gaps — inter-element gaps
+        # are exactly 1 dit in every message (even dot-free ones like
+        # "TOM", whose shortest mark is a 3-dit dah).  Runs at or below
+        # the smoothing span are noise crossings, not keying: drop them
+        # so one impulse cannot poison the minimum, and require at least
+        # one surviving MARK (gaps alone = nothing was keyed).
+        floor = 2.0 * smooth + 4.0
+        good_marks = [r for on_, r in runs if on_ and r > floor]
+        if not good_marks:
+            return ""                         # squelch: nothing keyed
+        gaps = [r for i, (on_, r) in enumerate(runs)
+                if not on_ and 0 < i < len(runs) - 1 and r > floor]
+        durs = np.asarray(good_marks + gaps, float)
+        dit = float(np.median(durs[durs <= 2.0 * durs.min()]))
     out = []
     letter = ""
     for i, (on, r) in enumerate(runs):
@@ -114,7 +137,7 @@ def cw_decode(x, dit_samples: int | None = None,
         else:
             if i == 0 or i == len(runs) - 1:
                 continue                       # leading/trailing silence
-            if u >= 5.0:                       # word gap (7 dits)
+            if u >= 4.5:                       # word gap (7 dits, -30%)
                 out.append(_INV.get(letter, "?"))
                 out.append(" ")
                 letter = ""

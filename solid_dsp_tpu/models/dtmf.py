@@ -58,6 +58,9 @@ def dtmf_decode(x, fs: float = 8000.0, frame_len: int = 160,
     frame_len: analysis frame (160 = 20 ms at 8 kHz).  threshold:
     minimum per-tone amplitude (of the generator's unit scale).
     """
+    x = np.asarray(x)
+    if x.shape[-1] < frame_len:
+        return ""                              # shorter than one frame
     freqs = tuple(f / fs for f in DTMF_ROWS + DTMF_COLS)
     A = np.abs(np.asarray(goertzel_bank(jnp.asarray(x), freqs,
                                         frame_len)))      # (F, 8)
@@ -79,7 +82,11 @@ def dtmf_decode(x, fs: float = 8000.0, frame_len: int = 160,
             ok = twist <= max_twist_db
         if ok:
             key = _key(r, c)
-            run_len = run_len + 1 if key == run_key else 1
+            if key != run_key:
+                run_len = 1
+                armed = True                  # a key CHANGE is a new digit
+            else:
+                run_len += 1
             run_key = key
             if armed and run_len >= min_frames:
                 out.append(key)

@@ -53,3 +53,19 @@ def test_noise_only_squelched():
 def test_validation():
     with pytest.raises(ValueError):
         cw_keyer("SOS", dit_samples=2)
+
+
+def test_dot_free_message_and_explicit_dit():
+    # "TOM" has no dots: the blind estimate must use inter-element gaps
+    x = np.asarray(cw_keyer("TOM TOM", dit_samples=64))
+    assert cw_decode(jnp.asarray(x)) == "TOM TOM"
+    # explicit dit_samples bypasses the blind squelch for fast keying
+    y = np.asarray(cw_keyer("SOS", dit_samples=16))
+    assert cw_decode(jnp.asarray(y), dit_samples=16) == "SOS"
+
+
+def test_noise_spike_does_not_poison_estimate():
+    x = np.asarray(cw_keyer("PARIS", dit_samples=64))
+    x = x.copy()
+    x[10:13] += 3.0          # 3-sample impulse well above threshold
+    assert cw_decode(jnp.asarray(x)) == "PARIS"
