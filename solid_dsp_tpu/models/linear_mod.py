@@ -36,7 +36,7 @@ __all__ = [
     "bits_to_symbols", "symbols_to_bits", "modulate_symbols",
     "slice_symbols", "demap_soft", "pulse_shape", "matched_filter",
     "LinearModem",
-]
+ "vv_carrier_correct"]
 
 
 def _gray(n: int) -> np.ndarray:
@@ -331,3 +331,38 @@ def dpsk_demodulate(y, m: int = 4) -> jnp.ndarray:
     inv[_gray(m)] = np.arange(m)
     sym = jnp.asarray(inv)[slot]
     return symbols_to_bits(sym, k)
+
+
+# ------------------------------------- blind carrier phase (V&V)
+
+@partial(jax.jit, static_argnames=("m", "seg_len"))
+def vv_carrier_correct(y, m: int = 4, seg_len: int = 64):
+    """Viterbi&Viterbi M-th-power carrier phase tracking (pilot-free).
+
+    Raises symbols to the M-th power (wiping M-PSK modulation), averages
+    per length-``seg_len`` segment, unwraps the segment phases, divides
+    by M, interpolates per symbol, and derotates — the classic
+    feedforward tracker for residual CFO + phase noise on M-PSK.
+    Returns (y_corrected, phase_trajectory).
+
+    The estimate has the inherent M-fold ambiguity (the constellation
+    may come back rotated by a multiple of 2*pi/M): resolve downstream
+    with differential coding (dpsk_*), pilots (PacketModem), or a known
+    preamble.  Tail symbols beyond the last full segment reuse its
+    phase.
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    n_seg = n // seg_len
+    if n_seg < 1:
+        raise ValueError(f"need at least seg_len={seg_len} symbols")
+    yp = (y[: n_seg * seg_len] ** m).reshape(n_seg, seg_len)
+    s = jnp.sum(yp, axis=-1)
+    # remove the constellation's own M-th-power phase: with this
+    # module's convention (psk_constellation) QPSK sits at pi/4 + k
+    # pi/2, whose 4th power is -1; all other orders power to +1
+    ref = np.pi if m == 4 else 0.0
+    ph = jnp.unwrap(jnp.angle(s * np.exp(-1j * ref))) / m  # (n_seg,)
+    centers = (jnp.arange(n_seg) + 0.5) * seg_len
+    traj = jnp.interp(jnp.arange(n, dtype=ph.dtype), centers, ph)
+    return y * jnp.exp(-1j * traj).astype(y.dtype), traj

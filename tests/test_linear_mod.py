@@ -285,3 +285,40 @@ class TestDPSK:
             dpsk_modulate(np.zeros(4, int), 3)
         with pytest.raises(ValueError):
             dpsk_demodulate(np.ones(5, complex), 6)
+
+
+class TestVVCarrier:
+    @pytest.mark.parametrize("m", [2, 4, 8])
+    def test_tracks_cfo_and_phase_noise(self, m):
+        from solid_dsp_tpu.models.linear_mod import vv_carrier_correct
+
+        rng = np.random.default_rng(m)
+        pts = np.asarray(lm.psk_constellation(m))
+        idx = rng.integers(0, m, 20000)
+        y = pts[idx]
+        phase = (2 * np.pi * 1e-4 * np.arange(len(y))
+                 + np.cumsum(0.002 * rng.standard_normal(len(y))))
+        rx = (y * np.exp(1j * phase)
+              + 0.04 * (rng.standard_normal(len(y))
+                        + 1j * rng.standard_normal(len(y))))
+        yc, traj = vv_carrier_correct(
+            jnp.asarray(rx.astype(np.complex64)), m, 64)
+        yc = np.asarray(yc)
+        # fold the inherent M-fold ambiguity
+        best = 1.0
+        for k in range(m):
+            got = np.asarray(lm.slice_symbols(
+                jnp.asarray(yc * np.exp(-2j * np.pi * k / m)),
+                jnp.asarray(pts)))
+            best = min(best, float(np.mean(got != idx)))
+        assert best < 1e-3, (m, best)
+        # without correction the constellation is smeared
+        raw = np.asarray(lm.slice_symbols(
+            jnp.asarray(rx.astype(np.complex64)), jnp.asarray(pts)))
+        assert np.mean(raw != idx) > 0.3
+
+    def test_validation(self):
+        from solid_dsp_tpu.models.linear_mod import vv_carrier_correct
+
+        with pytest.raises(ValueError):
+            vv_carrier_correct(np.ones(10, np.complex64), 4, 64)
