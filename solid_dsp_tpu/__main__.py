@@ -10,6 +10,7 @@ chain.  The other subcommands expose the framework as a usable SDR tool:
 * ``resample`` — rate-convert an IQ recording by any real factor
 * ``monitor``  — channel-occupancy events over a wideband recording
 * ``packets``  — decode framed packet bursts (single-carrier or OFDM)
+* ``convert``  — convert IQ recording formats (incl. rtl_sdr cu8)
 * ``spectrum`` — windowed-FFT spectral analysis of a recording (config 2)
 * ``bench``    — the headline throughput benchmark (same as bench.py)
 * ``tx``       — synthesize an IQ recording with the transmit chain
@@ -249,6 +250,16 @@ def _cmd_tx(args) -> int:
     return 0
 
 
+def _cmd_convert(args) -> int:
+    from .runtime import read_iq, write_iq
+
+    x = read_iq(args.input, args.format)
+    write_iq(args.output, x, args.out_format)
+    print(f"converted {len(x)} samples {args.format} -> "
+          f"{args.out_format}", file=sys.stderr)
+    return 0
+
+
 def _cmd_packets(args) -> int:
     from .runtime import read_iq
 
@@ -454,6 +465,15 @@ def main(argv=None) -> int:
                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_tx)
+
+    cv = sub.add_parser("convert", help="convert IQ recording formats")
+    cv.add_argument("input")
+    cv.add_argument("output")
+    cv.add_argument("--format", default="cu8",
+                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
+    cv.add_argument("--out-format", default="cf32",
+                    choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
+    cv.set_defaults(fn=_cmd_convert)
 
     pk = sub.add_parser("packets",
                         help="decode framed packet bursts (JSON lines)")

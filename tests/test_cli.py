@@ -253,3 +253,17 @@ def test_cli_packets(tmp_path, capsys):
     # unsupported fec for the ofdm phy fails cleanly
     assert main(["packets", src, "--phy", "ofdm", "--fec", "turbo"]) == 1
     capsys.readouterr()
+
+
+def test_cli_convert(tmp_path, capsys):
+    rng = np.random.default_rng(9)
+    x = (rng.uniform(-0.9, 0.9, 1000)
+         + 1j * rng.uniform(-0.9, 0.9, 1000)).astype(np.complex64)
+    a = str(tmp_path / "a.ci16")
+    b = str(tmp_path / "b.cf32")
+    write_iq(a, x, "ci16")
+    assert main(["convert", a, b, "--format", "ci16",
+                 "--out-format", "cf32"]) == 0
+    y = read_iq(b)
+    np.testing.assert_allclose(y, x, atol=1e-4)
+    capsys.readouterr()
