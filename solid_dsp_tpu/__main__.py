@@ -251,11 +251,26 @@ def _cmd_tx(args) -> int:
 
 
 def _cmd_convert(args) -> int:
-    from .runtime import read_iq, write_iq
+    import numpy as np
 
-    x = read_iq(args.input, args.format)
-    write_iq(args.output, x, args.out_format)
-    print(f"converted {len(x)} samples {args.format} -> "
+    from .runtime import StreamPump, write_iq
+
+    # chunked: constant memory for arbitrarily large captures
+    path = "/dev/stdin" if args.input == "-" else args.input
+    total = 0
+    first = True
+    with StreamPump(path, fmt=args.format, block=args.block) as pump:
+        for blk in pump:
+            if not len(blk):
+                break
+            write_iq(args.output, np.asarray(blk), args.out_format,
+                     append=not first)
+            first = False
+            total += len(blk)
+    if first:                                   # empty input: valid file
+        write_iq(args.output, np.zeros(0, np.complex64),
+                 args.out_format)
+    print(f"converted {total} samples {args.format} -> "
           f"{args.out_format}", file=sys.stderr)
     return 0
 
@@ -469,10 +484,11 @@ def main(argv=None) -> int:
     cv = sub.add_parser("convert", help="convert IQ recording formats")
     cv.add_argument("input")
     cv.add_argument("output")
-    cv.add_argument("--format", default="cu8",
+    cv.add_argument("--format", default="cf32",
                     choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
     cv.add_argument("--out-format", default="cf32",
                     choices=["cf32", "ci16", "ci8", "cf64", "cu8"])
+    cv.add_argument("--block", type=int, default=1 << 20)
     cv.set_defaults(fn=_cmd_convert)
 
     pk = sub.add_parser("packets",

@@ -352,6 +352,9 @@ def vv_carrier_correct(y, m: int = 4, seg_len: int = 64):
     phase.
     """
     y = jnp.asarray(y)
+    if y.ndim != 1:
+        raise ValueError("vv_carrier_correct takes a 1-D symbol stream "
+                         "(vmap for batches)")
     n = y.shape[-1]
     n_seg = n // seg_len
     if n_seg < 1:

@@ -55,7 +55,10 @@ def estimate_cir(rx, length: int = 255, root: int = 7, cp: int = 64,
     """
     length = int(length)
     cp = int(cp)
-    max_delay = int(max_delay if max_delay is not None else cp or 64)
+    if repeats < 1:
+        raise ValueError("repeats must be >= 1")
+    max_delay = int(max_delay if max_delay is not None
+                    else min(cp or 64, length // 2))
     if max_delay > length // 2:
         raise ValueError("max_delay must be <= length/2 (ZC ambiguity)")
     rx = jnp.asarray(rx)
@@ -63,7 +66,9 @@ def estimate_cir(rx, length: int = 255, root: int = 7, cp: int = 64,
     need = period * repeats
     if rx.shape[-1] < need:
         raise ValueError(f"need {need} samples, got {rx.shape[-1]}")
-    z = jnp.asarray(np.asarray(zadoff_chu(root, length)), rx.dtype)
+    cdt = jnp.result_type(rx.dtype, jnp.complex64)
+    rx = rx.astype(cdt)
+    z = jnp.asarray(np.asarray(zadoff_chu(root, length)), cdt)
     # average the bodies coherently, then ONE circular correlation:
     # corr = IFFT(FFT(body) * conj(FFT(z))) / length
     bodies = rx[: need].reshape(repeats, period)[:, cp:]

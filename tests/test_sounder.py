@@ -74,3 +74,19 @@ def test_validation():
     with pytest.raises(ValueError):
         estimate_cir(np.zeros(1000, np.complex64), 255, 7, 64,
                      max_delay=200)
+
+
+def test_defaults_and_dtype_guards():
+    # matched default call pattern works even for cp > length//2
+    tx = np.asarray(sound(255, 7, 150))
+    h = np.zeros(5, np.complex64)
+    h[0] = 1.0
+    rx = np.convolve(tx, h)[: len(tx)].astype(np.complex64)
+    cir, info = estimate_cir(jnp.asarray(rx), 255, 7, 150)
+    assert len(cir) == 255 // 2
+    assert info["significant"][0]
+    # real input is promoted to complex (CAZAC needs both quadratures)
+    cir2, _ = estimate_cir(jnp.asarray(rx.real), 255, 7, 150)
+    assert np.iscomplexobj(np.asarray(cir2))
+    with pytest.raises(ValueError):
+        estimate_cir(rx, 255, 7, 64, repeats=0)
