@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..utils import bits as B
 from ..utils import sequences as seq
 from . import channel as ch  # noqa: F401  (re-exported convenience)
+from . import block_codes
 from . import fec
 from . import framesync as fs
 from . import ldpc as ldpc_mod
@@ -61,8 +62,12 @@ class PacketModem:
                  fec_scheme: str = "conv", ldpc_iters: int = 30,
                  polar_iters: int = 40, turbo_iters: int = 8,
                  pilot_every: int = 16, dtype=jnp.complex64):
-        if fec_scheme not in ("conv", "ldpc", "polar", "turbo"):
-            raise ValueError(f"unknown fec_scheme {fec_scheme!r}")
+        soft_schemes = ("conv", "ldpc", "polar", "turbo")
+        if fec_scheme not in soft_schemes and \
+                fec_scheme not in block_codes.SCHEMES:
+            raise ValueError(
+                f"unknown fec_scheme {fec_scheme!r}; one of "
+                f"{list(soft_schemes) + list(block_codes.SCHEMES)}")
         self.payload_bytes = int(payload_bytes)
         self.fec_scheme = fec_scheme
         self.ldpc_iters = int(ldpc_iters)
@@ -72,6 +77,15 @@ class PacketModem:
         if fec_scheme == "conv":
             self.code = fec.ConvCode()
             self.n_coded = (self.n_info + self.code.K - 1) * 2
+            self.ileave = _interleaver_dims(self.n_coded)
+        elif fec_scheme in block_codes.SCHEMES:
+            # hard-decision short block codes (Hamming/SECDED/Golay/rep/
+            # none): pack into (n, k) frames like LDPC/polar, but slice
+            # the LLRs to hard bits before the syndrome decode; an outer
+            # row/column interleaver scatters burst errors across blocks
+            self.code = block_codes.BlockCode(fec_scheme)
+            self.n_frames = -(-self.n_info // self.code.k)
+            self.n_coded = self.n_frames * self.code.n
             self.ileave = _interleaver_dims(self.n_coded)
         elif fec_scheme == "turbo":
             # stream code sized to the frame; the QPP interleaver inside
@@ -144,6 +158,12 @@ class PacketModem:
             cw = np.asarray(self.code.encode(
                 padded.reshape(self.n_frames, self.code.k)))
             return cw.reshape(-1)
+        if self.fec_scheme in block_codes.SCHEMES:
+            padded = np.zeros(self.n_frames * self.code.k, np.int32)
+            padded[: self.n_info] = scrambled
+            cw = np.asarray(self.code.encode(padded))
+            r, cdim = self.ileave
+            return np.asarray(fec.interleave(jnp.asarray(cw), r, cdim))
         coded = np.asarray(self.code.encode(scrambled))
         r, cdim = self.ileave
         return np.asarray(fec.interleave(coded, r, cdim))
@@ -195,6 +215,12 @@ class PacketModem:
                      else self.code.n_iters)
             dec, _ok = self.code.decode(frames, n_iters=iters)
             dec = np.asarray(dec).reshape(-1)[: self.n_info]
+        elif self.fec_scheme in block_codes.SCHEMES:
+            r, cdim = self.ileave
+            llr = np.asarray(fec.deinterleave(jnp.asarray(llr), r, cdim))
+            hard = jnp.asarray((llr < 0).astype(np.int32))
+            dec, _fail = self.code.decode(hard)
+            dec = np.asarray(dec)[: self.n_info]
         elif self.fec_scheme == "turbo":
             dec, _llr = self.code.decode(jnp.asarray(llr))
             dec = np.asarray(dec)[: self.n_info]

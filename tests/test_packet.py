@@ -156,3 +156,30 @@ def test_receive_stream_multiple_bursts():
     q = 0.05 * (rng.standard_normal(3000)
                 + 1j * rng.standard_normal(3000))
     assert pm.receive_stream(jnp.asarray(q.astype(np.complex64))) == []
+
+
+def test_packet_golay_roundtrip_noisy():
+    pm = PacketModem(payload_bytes=32, fec_scheme="g2412",
+                     dtype=jnp.complex128)
+    assert pm.n_coded == pm.n_frames * 24
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+    iq = pm.transmit(data)
+    x = _embed(iq, 301, len(iq) + 900, rng, sigma=0.0)
+    x = np.array(ch.apply_cfo(jnp.asarray(x), 3e-4, 0.4))
+    x += 0.10 * (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x)))
+    got, info = pm.receive(jnp.asarray(x))
+    assert info["crc_ok"], info
+    assert got == data
+
+
+def test_packet_uncoded_and_hamming_roundtrip():
+    for scheme in ("none", "h128"):
+        pm = PacketModem(payload_bytes=16, fec_scheme=scheme,
+                         dtype=jnp.complex128)
+        rng = np.random.default_rng(13)
+        data = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        x = _embed(pm.transmit(data), 77, pm.frame_samples + 500, rng,
+                   sigma=0.03)
+        got, info = pm.receive(jnp.asarray(x))
+        assert info["crc_ok"] and got == data, scheme
