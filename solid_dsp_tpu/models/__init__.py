@@ -13,6 +13,8 @@ from .channelizer import PolyphaseChannelizer, OversampledChannelizer  # noqa: F
 from .channel_bank import ChannelBank  # noqa: F401
 from . import timing, equalizer, fsk, ofdm, linear_mod, detect, impairments, ddc, tx_chain, fec, channel, framesync, packet, ldpc, rs, gmsk, dsss, ofdm_pilots, array_proc, dpd, cfr, polar, radar, adsb, ais, modclass, pocsag, rds, turbo, cvsd, mimo, ccsds, css, fhss, ofdm_link, monitor, cw, dtmf, sounder, block_codes  # noqa: F401
 from .block_codes import BlockCode  # noqa: F401
+from . import ber  # noqa: F401
+from .ber import ber_sweep, link_sim  # noqa: F401
 from .ldpc import LDPCCode  # noqa: F401
 from .turbo import TurboCode  # noqa: F401
 from .packet import PacketModem  # noqa: F401
