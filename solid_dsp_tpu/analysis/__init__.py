@@ -32,3 +32,7 @@ from .freq_response import (  # noqa: F401
     frequency_response_band,
     iir_frequency_response_band,
 )
+
+from .measurements import (  # noqa: F401
+    channel_power, acpr, occupied_bandwidth, papr_ccdf, sinad_db, enob,
+    sfdr_db)
