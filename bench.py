@@ -34,11 +34,16 @@ def _canary_ok() -> bool:
     patience before the fallback line ever prints.  A 180 s child doing
     one tiny f32 jit + one c64 add answers 'is the chip usable at all'
     first; on failure we go straight to the fallback (~3 min total)."""
+    # NOTE: all wire transfers stay REAL-typed.  The tunnel can lose
+    # complex transfers while complex compute still works (a complex
+    # h2d/d2h poisons the whole client) — so the canary builds complex
+    # on device with lax.complex and fetches a float, answering "is the
+    # chip usable" without tripping the known transfer hole.
     code = ("import jax, jax.numpy as jnp\n"
             "a = jnp.arange(512, dtype=jnp.float32)\n"
             "print(float(jax.jit(lambda v: v.sum())(a)))\n"
-            "c = jnp.asarray([1+2j, 3+4j], jnp.complex64)\n"
-            "print(complex((c + c)[0]))\n")
+            "c = jax.lax.complex(jnp.float32(1.0), jnp.float32(2.0))\n"
+            "print(float(jnp.abs(c * c)))\n")
     try:
         out = subprocess.run([sys.executable, "-u", "-c", code],
                              capture_output=True, text=True, timeout=180)
@@ -110,6 +115,7 @@ def main() -> None:
 
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
     from solid_dsp_tpu.utils.benchtime import measure_step
+    from solid_dsp_tpu.utils.transfer import put_complex
 
     cfg = RxChainConfig(
         carrier_freq=0.2,
@@ -124,7 +130,9 @@ def main() -> None:
 
     L = 1 << 24  # 16M samples per block
     k = np.arange(L)
-    x = jnp.asarray(
+    # put_complex: complex h2d over the tunnel can poison the client;
+    # ship real/imag as f32 and rebuild on device (utils/transfer.py).
+    x = put_complex(
         0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k),
         dtype=jnp.complex64,
     )

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from solid_dsp_tpu.utils.benchtime import measure_step
+from solid_dsp_tpu.utils.transfer import put_complex
 
 # BENCH_SMOKE=1: tiny sizes + short ks, for CPU structural validation only
 import os
@@ -66,9 +67,22 @@ def _row(metric, sps, unit="Msamples/s"):
             "vs_baseline": round(sps / 1e9, 3)}
 
 
-def _tone(L):
+def _tone_np(L):
     k = np.arange(L)
-    return jnp.asarray(0.1 * np.exp(2j * np.pi * 0.033 * k), jnp.complex64)
+    return (0.1 * np.exp(2j * np.pi * 0.033 * k)).astype(np.complex64)
+
+
+def _tone(L):
+    # put_complex: top-level complex h2d can poison the tunnel client —
+    # ship real/imag f32 and rebuild on device (utils/transfer.py)
+    return put_complex(_tone_np(L))
+
+
+def _noise(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return put_complex((rng.standard_normal(shape)
+                        + 1j * rng.standard_normal(shape)
+                        ).astype(np.complex64))
 
 
 def _chain_step(apply, x):
@@ -197,9 +211,7 @@ def bench_channelizer():
 
     M, K = 256, 8
     L = M * (64 if SMOKE else 4096)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
-                     ).astype(np.complex64))
+    x = _noise(L)
     taps = np.asarray(channelizer_taps(M, K), dtype=np.complex64)
 
     @jax.jit
@@ -224,9 +236,7 @@ def bench_os_channelizer():
 
     M, K = 256, 8
     L = M * (64 if SMOKE else 4096)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
-                     ).astype(np.complex64))
+    x = _noise(L)
     taps = np.asarray(channelizer_taps(M, K), dtype=np.complex64)
 
     @jax.jit
@@ -249,9 +259,7 @@ def bench_iir_bank():
     sos = np.array([[0.0675, 0.1349, 0.0675, -1.1430, 0.4128],
                     [0.25, 0.5, 0.25, -0.9, 0.3]], np.float32)
     T, C = (1024 if SMOKE else 65536), 256
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal((T, C))
-                     + 1j * rng.standard_normal((T, C))).astype(np.complex64))
+    x = _noise((T, C))
 
     # Mosaic kernels only run compiled on TPU; SMOKE (CPU structural
     # validation) uses interpret mode
@@ -274,9 +282,7 @@ def bench_iir_bank():
 
 def bench_fft():
     F, N = (64 if SMOKE else 4096), 4096
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal((F, N))
-                     + 1j * rng.standard_normal((F, N))).astype(np.complex64))
+    x = _noise((F, N))
     w = np.hamming(N).astype(np.float32)
     step = _stateless_step(
         lambda a: jnp.fft.fft(a * jnp.asarray(w).astype(a.dtype), axis=-1), x)
@@ -299,9 +305,7 @@ def bench_fused_halo_channelizer():
     mesh = Mesh(np.array(jax.devices()[:1]), ("time",))
     apply_fused = make_fused_channelizer_frontend(mesh, M, K)
     L = M * 4096
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
-                     ).astype(np.complex64))
+    x = _noise(L)
     tail0 = np.zeros((K, M), np.complex64)
 
     @jax.jit
@@ -327,9 +331,7 @@ def bench_frontend_ops():
     from solid_dsp_tpu.ops.halfband import firdes_halfband, halfband_decimate
 
     L = _size(22)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
-                     ).astype(np.complex64))
+    x = _noise(L)
     out = []
 
     # CIC via its equivalent-FIR boxcar^N conv (the shipped fast path).
@@ -374,10 +376,7 @@ def bench_fft_nonpow2():
     out = []
     for N in (1000, 1009, 4095, 10007):
         Fb = max(1, ((1 << 14) if SMOKE else (1 << 22)) // N)
-        rng = np.random.default_rng(N)
-        x = jnp.asarray((rng.standard_normal((Fb, N))
-                         + 1j * rng.standard_normal((Fb, N))
-                         ).astype(np.complex64))
+        x = _noise((Fb, N), seed=N)
         step = _stateless_step(lambda a, n=N: sfft(a, n), x)
         t = _measure(step, jnp.zeros(()))
         out.append(_row(f"fft_nonpow2_{N}", Fb * N / t))
@@ -408,16 +407,14 @@ def bench_modem_frontend():
     out = []
     pts = lm.constellation("qam", 64)
     T = _size(21)
-    ysym = jnp.asarray((rng.standard_normal(T) + 1j * rng.standard_normal(T)
-                        ).astype(np.complex64))
+    ysym = _noise(T)
     step = _stateless_step(lambda a: lm.demap_soft(a, pts, 0.1), ysym)
     t = _measure(step, jnp.zeros(()))
     out.append(_row("llr_demap_qam64", T / t, "Msymbols/s"))
 
     p = seq.zadoff_chu(5, 127)
     L = _size(22)
-    x = jnp.asarray((rng.standard_normal(L) + 1j * rng.standard_normal(L)
-                     ).astype(np.complex64))
+    x = _noise(L)
     step = _stateless_step(
         lambda a: fs.preamble_correlate(a, jnp.asarray(
             p.astype(np.complex64)))[0], x)
@@ -488,10 +485,10 @@ def bench_tx_dsp():
     out = []
     L = _size(22)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(0.2 * (rng.standard_normal(L) + 1j * rng.standard_normal(L)
-                           ).astype(np.complex64))
+    x = put_complex(0.2 * (rng.standard_normal(L)
+                           + 1j * rng.standard_normal(L)).astype(np.complex64))
     K, Q = 7, 3
-    c = jnp.asarray(np.r_[1.0, np.full(K * Q - 1, 1e-3)].astype(np.complex64))
+    c = put_complex(np.r_[1.0, np.full(K * Q - 1, 1e-3)].astype(np.complex64))
     step = _stateless_step(lambda a: mp_apply(c, a, K, Q), x)
     t = _measure(step, jnp.zeros(()))
     out.append(_row("dpd_mp_apply_k7q3", L / t))
@@ -527,9 +524,9 @@ def bench_tracking():
     n = 32
     init, rstep = make_rls(n, 0.9999, 1e-2)
     R0, p0, tail0 = init()
-    xr = jnp.asarray((rng.standard_normal(Lr) + 1j * rng.standard_normal(Lr)
+    xr = put_complex((rng.standard_normal(Lr) + 1j * rng.standard_normal(Lr)
                       ).astype(np.complex64))
-    d = jnp.asarray((rng.standard_normal(Lr) + 1j * rng.standard_normal(Lr)
+    d = put_complex((rng.standard_normal(Lr) + 1j * rng.standard_normal(Lr)
                      ).astype(np.complex64))
 
     @jax.jit
@@ -612,7 +609,7 @@ def bench_resample():
         out.append(_row(f"arb_resample_{tag}", L / t))
 
     B, N = (4, 1 << 10) if SMOKE else (256, 1 << 14)
-    xb = jnp.asarray(np.tile(np.asarray(_tone(N)), (B, 1)))
+    xb = put_complex(np.tile(_tone_np(N), (B, 1)))
     step = _stateless_step(
         lambda a: zoom_fft(a, 0.2, 0.3, 1024, fs=1.0), xb)
     t = _measure(step, jnp.zeros(()))

@@ -24,6 +24,7 @@ from ..ops import agc as agc_ops
 from ..ops import fir as fir_ops
 from ..ops import nco as nco_ops
 from ..streaming.state import ChainState
+from ..utils.transfer import put_tree
 from . import fm as fm_mod
 from . import qpsk as qpsk_mod
 
@@ -73,11 +74,13 @@ class RxChainConfig:
 
 
 def rx_chain_init(cfg: RxChainConfig) -> ChainState:
-    # Built ENTIRELY host-side in numpy, then shipped with one device_put:
-    # the axon tunnel intermittently rejects eager scalar primitives AND
+    # Built ENTIRELY host-side in numpy, then shipped via put_tree: the
+    # axon tunnel intermittently rejects eager scalar primitives AND
     # zero-input compiled executables (UNIMPLEMENTED, and a failed call
-    # poisons the whole client) — while plain host->device transfers stay
-    # reliable.  State construction must therefore never run device ops.
+    # poisons the whole client), and has additionally lost complex-typed
+    # transfers — put_tree ships complex leaves as real/imag f32 pairs
+    # rebuilt on device (utils/transfer.py).  State construction must
+    # therefore never run device ops or complex transfers.
     rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
     parts = dict(
         nco_theta=np.uint32(0),
@@ -92,7 +95,7 @@ def rx_chain_init(cfg: RxChainConfig) -> ChainState:
             "k": np.zeros((), cfg.dtype),
             "primed": np.zeros((), np.bool_),
         }
-    return jax.device_put(ChainState(**parts))
+    return put_tree(ChainState(**parts))
 
 
 def make_rx_chain(cfg: RxChainConfig):

@@ -116,7 +116,139 @@ def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
     return y[..., 0] if vec else y
 
 
+def _overlap_frames(x_ext: jnp.ndarray, hop: int, width: int) -> jnp.ndarray:
+    """Frame ``x_ext`` into overlapping windows (..., F, width), hop ``hop``.
+
+    F = ceil((len - (width - hop)) / hop); the input is zero-padded so the
+    last frame is full.  Built from pure reshape/slice/concat — no gathers
+    (the axon backend rejects large gathers) and no O(L*width) traffic:
+    bodies are a reshape, the ``width - hop`` overlap columns are one
+    shifted reshape.  Requires hop <= width <= 2*hop (overlap <= hop).
+    """
+    n1 = width - hop                      # overlap (e.g. ntaps-1)
+    ext = x_ext.shape[-1]
+    batch = x_ext.shape[:-1]
+    F = max(-(-(ext - n1) // hop), 1)
+    pad = F * hop + n1 - ext
+    xp = jnp.pad(x_ext, [(0, 0)] * len(batch) + [(0, max(pad, 0))])
+    bodies = xp[..., : F * hop].reshape(*batch, F, hop)
+    if n1 == 0:
+        return bodies
+    if F > 1:
+        heads = xp[..., hop : hop + (F - 1) * hop].reshape(
+            *batch, F - 1, hop)[..., :n1]
+        last = xp[..., F * hop : F * hop + n1].reshape(*batch, 1, n1)
+        heads = jnp.concatenate([heads, last], axis=-2)
+    else:
+        heads = xp[..., hop : hop + n1].reshape(*batch, 1, n1)
+    return jnp.concatenate([bodies, heads], axis=-1)
+
+
+def _toeplitz_bank(taps2: jnp.ndarray, width: int, stride: int,
+                   P: int) -> jnp.ndarray:
+    """Banded-Toeplitz tap matrix H (width, P*O) for frame matmuls.
+
+    H[j, p*O + o] = taps2[j - p*stride, o] (0 where out of range), so that
+    for a frame Fm[..., j] = x[f*hop + j]:
+
+        y[f*P + p, o] = sum_j Fm[f, j] * H[j, p*O + o]
+                      = sum_i taps2[i, o] * x[(f*P + p)*stride + i].
+
+    Built from P shifted zero-pads (compile-time constant when taps are a
+    closure constant, as in every chain config).
+    """
+    n, O = taps2.shape
+    cols = []
+    for p in range(P):
+        lo = p * stride
+        cols.append(jnp.pad(taps2, ((lo, width - n - lo), (0, 0))))
+    return jnp.stack(cols, axis=1).reshape(width, P * O)
+
+
+def fir_toeplitz(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
+                 precision=None, block: int | None = None) -> jnp.ndarray:
+    """Strided sliding correlation as ONE banded-Toeplitz MXU matmul.
+
+    Same contract as :func:`conv1d_mxu` (y[..., t(, o)] =
+    sum_i taps[i(, o)] * x[..., t*stride + i]), but the compute is a
+    plain ``dot_general`` over overlap-save frames instead of an XLA
+    convolution.  On backends where conv lowering is poor (measured 46 ms
+    for 64 taps x 16M samples over the axon tunnel vs ~1 ms for this
+    formulation) this is the difference between 0.4 and >10 Gs/s.
+
+    Cost model: frames carry a (width/hop)x redundancy in HBM traffic
+    (width = block*stride + ntaps - 1), and the matmul does
+    L*(width/stride) MACs — far below MXU speed-of-light for any
+    reasonable tap count, so the op stays bandwidth-bound.
+
+    ``block`` = outputs per frame (auto: aim for width ~ max(4*ntaps, 512),
+    the same 75%-useful-output rule as the FFT tiles).
+    """
+    vec = taps.ndim == 1
+    taps2 = taps[:, None] if vec else taps
+    n, O = taps2.shape
+    batch_shape = x.shape[:-1]
+    L = x.shape[-1]
+    T = (L - n) // stride + 1
+    if block is None:
+        target = max(4 * n, 512)
+        block = max(-(-(target - n + 1) // stride), 8)
+    # frames need overlap (n-1) <= hop (P*stride); also no point in P > T
+    P = max(min(block, T), -(-(n - 1) // stride), 1)
+    hop = P * stride
+    width = hop + n - 1
+    prec = (jax.lax.Precision.HIGHEST if precision in (None, "highest")
+            else jax.lax.Precision.DEFAULT if precision == "default"
+            else precision)
+    xb = x.reshape((-1, L))
+    # trim so frames cover exactly the T outputs (frames pad the tail)
+    xb = xb[:, : (T - 1) * stride + n]
+    cx = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    ck = jnp.issubdtype(taps2.dtype, jnp.complexfloating)
+    Fq = max(-(-T // P), 1)
+
+    def mm(fr, H):
+        return jax.lax.dot_general(
+            fr, H, (((fr.ndim - 1,), (0,)), ((), ())), precision=prec)
+
+    if not cx and not ck:
+        frames = _overlap_frames(xb, hop, width)           # (B, F, width)
+        y = mm(frames, _toeplitz_bank(taps2, width, stride, P).astype(x.dtype))
+        y = y.reshape(-1, Fq * P, O)[:, :T]
+    elif cx and not ck:
+        # complex signal, real taps: filter re/im as a 2-batch real matmul
+        rdt = xb.real.dtype
+        frames = _overlap_frames(
+            jnp.stack([xb.real, xb.imag], axis=0), hop, width)
+        H = _toeplitz_bank(taps2, width, stride, P).astype(rdt)
+        y2 = mm(frames, H).reshape(2, -1, Fq * P, O)[:, :, :T]
+        y = jax.lax.complex(y2[0], y2[1]).astype(x.dtype)
+    else:
+        cd = jnp.result_type(x.dtype, taps2.dtype, jnp.complex64)
+        xc = xb.astype(cd)
+        k = taps2.astype(cd)
+        rdt = xc.real.dtype
+        frames = _overlap_frames(
+            jnp.stack([xc.real, xc.imag], axis=0), hop, width)
+        Hr = _toeplitz_bank(k.real, width, stride, P).astype(rdt)
+        Hi = _toeplitz_bank(k.imag, width, stride, P).astype(rdt)
+        # re = fr@Hr - fi@Hi, im = fr@Hi + fi@Hr (XLA fuses the two mms)
+        yr = mm(frames, Hr).reshape(2, -1, Fq * P, O)[:, :, :T]
+        yi = mm(frames, Hi).reshape(2, -1, Fq * P, O)[:, :, :T]
+        y = jax.lax.complex(yr[0] - yi[1], yi[0] + yr[1]).astype(cd)
+    y = y.reshape(*batch_shape, T, O)
+    return y[..., 0] if vec else y
+
+
+def _use_toeplitz() -> bool:
+    """Conv lowering over the axon tunnel is ~50-100x off speed-of-light
+    (see fir_toeplitz); XLA:CPU's conv is fine.  Resolved at trace time."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def _fir_block_matmul(taps: jnp.ndarray, x_ext: jnp.ndarray) -> jnp.ndarray:
+    if _use_toeplitz():
+        return fir_toeplitz(x_ext, taps)
     return conv1d_mxu(x_ext, taps)
 
 
@@ -273,7 +405,10 @@ def fir_decim_apply(taps, tail, phase, x, scale, decimation: int,
     x_sub = jax.lax.dynamic_slice_in_dim(
         x_ext, first, (T - 1) * M + n, axis=x_ext.ndim - 1
     )
-    y = conv1d_mxu(x_sub, taps, stride=M, precision=precision) * scale
+    if _use_toeplitz():
+        y = fir_toeplitz(x_sub, taps, stride=M, precision=precision) * scale
+    else:
+        y = conv1d_mxu(x_sub, taps, stride=M, precision=precision) * scale
     new_tail = split_tail(x_ext, n - 1)
     new_phase = (phase + L) % M
     return y, new_tail, new_phase
@@ -300,7 +435,10 @@ def pfb_apply_all(branch_matrix, tail, x):
     """
     sub_len = branch_matrix.shape[0]
     x_ext = extend_with_tail(tail, x)
-    out = conv1d_mxu(x_ext, branch_matrix)  # (..., T, branches)
+    if _use_toeplitz():
+        out = fir_toeplitz(x_ext, branch_matrix)  # (..., T, branches)
+    else:
+        out = conv1d_mxu(x_ext, branch_matrix)  # (..., T, branches)
     return out, split_tail(x_ext, sub_len - 1)
 
 

@@ -1,0 +1,77 @@
+"""Tunnel-safe host<->device transfer helpers for complex arrays.
+
+The axon-tunneled PJRT client (the way a remote TPU chip is reached in
+this environment) can lose the ability to TRANSFER complex-typed buffers
+while complex COMPUTE on device keeps working: a single complex
+host->device or device->host copy fails with UNIMPLEMENTED and poisons
+the whole client (every later transfer in the process fails too).
+
+These helpers keep every wire transfer real-typed:
+
+- ``put_complex(x)``   — ship ``x.real``/``x.imag`` as two float arrays
+  and rebuild the complex array ON DEVICE with ``jax.lax.complex``.
+- ``get_complex(x)``   — fetch ``x.real``/``x.imag`` as two float arrays
+  (each computed on device) and rebuild the complex ndarray on host.
+- ``fetch(x)``         — dtype-dispatching device->host fetch (complex
+  arrays via ``get_complex``, everything else via ``np.asarray``).
+
+They are no-ops semantically: on a healthy backend the results are
+bit-identical to ``jnp.asarray`` / ``np.asarray``.  Benchmarks and any
+tool that talks to the real chip should route complex I/O through here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["put_complex", "get_complex", "fetch", "put_tree"]
+
+
+@jax.jit
+def _combine(re, im):
+    return jax.lax.complex(re, im)
+
+
+def put_complex(x, dtype=None):
+    """Host complex ndarray -> device complex array, real-only transfers."""
+    x = np.asarray(x)
+    if dtype is None:
+        dtype = jnp.complex64 if x.dtype != np.complex128 else jnp.complex128
+    ftype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    # NOTE: np.ascontiguousarray would promote 0-d to 1-d; np.asarray
+    # keeps scalar shapes intact (jnp.asarray copies regardless of layout)
+    re = jnp.asarray(np.asarray(x.real, ftype))
+    im = jnp.asarray(np.asarray(x.imag, ftype))
+    return _combine(re, im)
+
+
+def get_complex(x) -> np.ndarray:
+    """Device complex array -> host complex ndarray, real-only transfers."""
+    re = np.asarray(jnp.real(x))
+    im = np.asarray(jnp.imag(x))
+    return re + 1j * im
+
+
+def fetch(x) -> np.ndarray:
+    """Device array -> host ndarray; complex goes via get_complex."""
+    if jnp.iscomplexobj(x):
+        return get_complex(x)
+    return np.asarray(x)
+
+
+def put_tree(tree):
+    """``jax.device_put`` for a pytree, complex leaves via put_complex.
+
+    Use instead of ``jax.device_put`` whenever a state pytree built
+    host-side (numpy) may contain complex leaves and the target backend
+    might be the axon tunnel.
+    """
+    def _put(leaf):
+        leaf = np.asarray(leaf)
+        if np.iscomplexobj(leaf):
+            return put_complex(leaf, dtype=leaf.dtype)
+        return jnp.asarray(leaf)
+
+    return jax.tree_util.tree_map(_put, tree)
