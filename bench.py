@@ -115,8 +115,11 @@ def main() -> None:
 
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
     from solid_dsp_tpu.utils.benchtime import measure_step
-    from solid_dsp_tpu.utils.transfer import put_complex
 
+    # Fused-DDC fast path (ops/ddc.py): mix+FIR+decimate as one bandpass
+    # Toeplitz matmul on planar re/im planes + a decimated-rate rotation.
+    # fir_precision="x3" keeps ~f32 accuracy (>= 90 dB vs the unfused
+    # exact chain, gated in tests/test_rx_chain_fused.py).
     cfg = RxChainConfig(
         carrier_freq=0.2,
         decimation=4,
@@ -124,18 +127,20 @@ def main() -> None:
         agc_mode="block",
         demod="fm",
         nco_mode="exact",
+        input_format="planar",
+        fused_ddc="on",
+        fir_precision="x3",
         dtype=jnp.complex64,
     )
     init, apply = make_rx_chain(cfg)
 
     L = 1 << 24  # 16M samples per block
     k = np.arange(L)
-    # put_complex: complex h2d over the tunnel can poison the client;
-    # ship real/imag as f32 and rebuild on device (utils/transfer.py).
-    x = put_complex(
-        0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k),
-        dtype=jnp.complex64,
-    )
+    # planar (2, L) f32 planes: the TPU-native layout (and every wire
+    # transfer stays real-typed — complex transfers poison the tunnel).
+    sig = 0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
+    x = jax.device_put(
+        np.stack([sig.real, sig.imag]).astype(np.float32))
     state = init()
 
     # x is a runtime ARGUMENT, not a jit closure: embedding a committed

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..design import firdes
 from ..ops import agc as agc_ops
+from ..ops import ddc as ddc_ops
 from ..ops import fir as fir_ops
 from ..ops import nco as nco_ops
 from ..streaming.state import ChainState
@@ -52,18 +53,30 @@ class RxChainConfig:
     # Ingest format: "cf32" takes complex blocks; "ci16" takes raw (T, 2)
     # int16 IQ (the native SDR capture format) and converts ON DEVICE —
     # half the HBM ingest bytes per sample, conversion fused into the NCO
-    # mix by XLA.
+    # mix by XLA; "planar" takes (2, L) float re/im planes — the zero-copy
+    # TPU-native layout (complex64 is interleaved in HBM, so .real/.imag
+    # are strided loads; planar planes feed the DDC matmuls directly AND
+    # keep every wire transfer real-typed, see utils/transfer.py).
     input_format: str = "cf32"
+    # Fused digital down-conversion (ops/ddc.py): folds the NCO mix into
+    # complex bandpass FIR taps + one post-rotation at the DECIMATED rate,
+    # so nothing but the filter matmul touches the full-rate stream.
+    # "auto" enables it when nco_mode == "exact" (the fused math is the
+    # exact-mix identity; LUT-quantized mixing cannot fold).  Parity with
+    # the unfused chain is gated >= 100 dB in tests/test_ddc.py and
+    # tests/test_rx_chain_fused.py.
+    fused_ddc: str = "auto"           # "auto" | "on" | "off"
     # Front-end impairment correction (models.impairments): estimate DC
     # offset and IQ-imbalance per block (EMA-tracked in the ChainState)
     # and cancel them before the NCO mix.  Bandwidth is the per-block EMA
     # coefficient; 0 disables the stage.
     impairment_bw: float = 0.0
     # MXU contraction mode for the FIR stage: "highest" (default, full
-    # f32 — a multi-pass bf16 contraction on TPU) or "default" (native
-    # single-pass bf16, several times faster on v5e at ~45 dB accuracy —
-    # use when the link budget tolerates it; the 60 dB parity gates
-    # require "highest").
+    # f32 — a multi-pass bf16 contraction on TPU), "x3" (3-pass bf16
+    # BF16_BF16_F32_X3 algorithm, ~f32-grade mantissa at half the passes
+    # of "highest" — comfortably above the 60 dB gates), or "default"
+    # (native single-pass bf16, fastest, ~45 dB — use when the link
+    # budget tolerates it).
     fir_precision: str = "highest"
 
     def design_taps(self) -> np.ndarray:
@@ -106,25 +119,44 @@ def make_rx_chain(cfg: RxChainConfig):
     """
     if cfg.agc_mode not in ("exact", "parallel", "block"):
         raise ValueError(f"unknown agc_mode {cfg.agc_mode!r}")
-    if cfg.input_format not in ("cf32", "ci16"):
+    if cfg.input_format not in ("cf32", "ci16", "planar"):
         raise ValueError(f"unknown input_format {cfg.input_format!r}")
-    if cfg.fir_precision not in ("highest", "default"):
+    if cfg.fir_precision not in ("highest", "x3", "default"):
         raise ValueError(f"unknown fir_precision {cfg.fir_precision!r}")
+    if cfg.fused_ddc not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused_ddc {cfg.fused_ddc!r}")
+    fused = (cfg.fused_ddc == "on"
+             or (cfg.fused_ddc == "auto" and cfg.nco_mode == "exact"))
+    if cfg.fused_ddc == "on" and cfg.nco_mode != "exact":
+        raise ValueError("fused_ddc requires nco_mode='exact' "
+                         "(LUT-quantized mixing cannot fold into taps)")
     # NOTE: closure constants must stay HOST-side (numpy): jit embeds them as
     # MLIR constants, and embedding a committed device array forces a
     # device->host fetch that some backends (axon tunnel) cannot do.
     rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
-    taps = np.asarray(cfg.design_taps(), dtype=cfg.dtype)
+    taps_design = cfg.design_taps()          # real f64 prototype (host)
+    taps = np.asarray(taps_design, dtype=cfg.dtype)
     dtheta = nco_ops.constrain(cfg.carrier_freq)
     lut = nco_ops.make_sine_lut(rdtype)
 
     @jax.jit
     def apply(state: ChainState, x: jnp.ndarray):
+        planar_in = cfg.input_format == "planar"
         if cfg.input_format == "ci16":
             # raw interleaved int16 IQ -> complex on the VPU (fuses into
             # the mix); same scaling as the native runtime's iq_to_cf32
             xs = x.astype(rdtype) * np.asarray(1.0 / 32767.0, rdtype)
-            x = jax.lax.complex(xs[..., 0], xs[..., 1]).astype(cfg.dtype)
+            if fused and cfg.impairment_bw == 0.0:
+                x2 = xs.T  # (2, L) planes
+                planar_in = True
+            else:
+                x = jax.lax.complex(xs[..., 0], xs[..., 1]).astype(cfg.dtype)
+        elif planar_in:
+            if fused and cfg.impairment_bw == 0.0:
+                x2 = x.astype(rdtype)
+            else:
+                x = jax.lax.complex(x[0], x[1]).astype(cfg.dtype)
+                planar_in = False
         # 0. front-end impairment correction (optional; shared blend rule)
         if cfg.impairment_bw > 0.0:
             from . import impairments as imp_mod
@@ -134,16 +166,37 @@ def make_rx_chain(cfg: RxChainConfig):
                 x, st_i["dc"], st_i["k"],
                 jnp.asarray(cfg.impairment_bw, cfg.dtype), st_i["primed"])
             impair_state = {"dc": dc, "k": k, "primed": jnp.asarray(True)}
-        # 1. downconvert (closed-form phases, no sequential dependency)
-        mixed, theta_end = nco_ops.mix_down_block(
-            x, state.nco_theta, dtheta, lut, cfg.nco_mode
-        )
-        # 2. decimating FIR (polyphase matmul)
-        y, fir_tail, fir_phase = fir_ops.fir_decim_apply(
-            taps, state.fir_tail, state.fir_phase, mixed,
-            jnp.asarray(1.0, dtype=cfg.dtype), cfg.decimation,
-            precision=cfg.fir_precision,
-        )
+        if fused:
+            # 1+2 fused: bandpass-Toeplitz matmul + decimated-rate rotation
+            # (ops/ddc.py); semantics = exact mix -> fir_decim_apply,
+            # gated >= 100 dB in tests.  The carried tail is the PRE-mix
+            # raw stream (stored complex for checkpoint compatibility).
+            if planar_in:
+                tail2 = jnp.stack([jnp.real(state.fir_tail),
+                                   jnp.imag(state.fir_tail)])
+                out_re, out_im, tail2n, theta_end = ddc_ops.ddc_apply_planar(
+                    taps_design, dtheta, tail2, state.nco_theta, x2,
+                    cfg.decimation, precision=cfg.fir_precision)
+                y = jax.lax.complex(out_re, out_im).astype(cfg.dtype)
+                fir_tail = jax.lax.complex(
+                    tail2n[0], tail2n[1]).astype(cfg.dtype)
+            else:
+                y, fir_tail, theta_end = ddc_ops.ddc_apply(
+                    taps_design, dtheta, state.fir_tail, state.nco_theta,
+                    x, cfg.decimation, precision=cfg.fir_precision)
+                mixed = x  # for debug_checks; mix itself is folded away
+            fir_phase = state.fir_phase  # stays 0: L % M == 0 invariant
+        else:
+            # 1. downconvert (closed-form phases, no sequential dependency)
+            mixed, theta_end = nco_ops.mix_down_block(
+                x, state.nco_theta, dtheta, lut, cfg.nco_mode
+            )
+            # 2. decimating FIR (polyphase matmul)
+            y, fir_tail, fir_phase = fir_ops.fir_decim_apply(
+                taps, state.fir_tail, state.fir_phase, mixed,
+                jnp.asarray(1.0, dtype=cfg.dtype), cfg.decimation,
+                precision=cfg.fir_precision,
+            )
         y_fir = y
         # 3. AGC
         if cfg.agc_mode == "exact":
@@ -180,9 +233,15 @@ def make_rx_chain(cfg: RxChainConfig):
             new_parts["impair"] = impair_state
         new_state = ChainState(**new_parts)
         if cfg.debug_checks:
+            if fused and planar_in:
+                inp_ok = jnp.all(jnp.isfinite(x2))
+                mix_ok = inp_ok  # mix is folded into the DDC matmul
+            else:
+                inp_ok = jnp.all(jnp.isfinite(x))
+                mix_ok = jnp.all(jnp.isfinite(mixed))
             flags = {
-                "input": jnp.all(jnp.isfinite(x)),
-                "nco": jnp.all(jnp.isfinite(mixed)),
+                "input": inp_ok,
+                "nco": mix_ok,
                 "fir": jnp.all(jnp.isfinite(y_fir)),
                 "agc": jnp.all(jnp.isfinite(y)),
                 "demod": jnp.all(jnp.isfinite(out)),
@@ -227,6 +286,8 @@ def make_rx_chain_stream(cfg: RxChainConfig, block_size: int):
             raise ValueError("stream length must be a multiple of block_size")
         if cfg.input_format == "ci16":
             xb = x.reshape(n // block_size, block_size, 2)
+        elif cfg.input_format == "planar":
+            xb = x.reshape(2, n // block_size, block_size).swapaxes(0, 1)
         else:
             xb = x.reshape(n // block_size, block_size)
 
@@ -250,7 +311,8 @@ class RxChain:
 
     def execute_block(self, x):
         in_dtype = (jnp.int16 if self.cfg.input_format == "ci16"
-                    else self.cfg.dtype)
+                    else np.zeros(0, self.cfg.dtype).real.dtype
+                    if self.cfg.input_format == "planar" else self.cfg.dtype)
         out, self.state = self._apply(self.state, jnp.asarray(x, in_dtype))
         return out
 

@@ -116,73 +116,154 @@ def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
     return y[..., 0] if vec else y
 
 
-def _overlap_frames(x_ext: jnp.ndarray, hop: int, width: int) -> jnp.ndarray:
-    """Frame ``x_ext`` into overlapping windows (..., F, width), hop ``hop``.
+def _resolve_precision(precision):
+    """Map the framework's precision strings to XLA dot precision.
 
-    F = ceil((len - (width - hop)) / hop); the input is zero-padded so the
-    last frame is full.  Built from pure reshape/slice/concat — no gathers
-    (the axon backend rejects large gathers) and no O(L*width) traffic:
-    bodies are a reshape, the ``width - hop`` overlap columns are one
-    shifted reshape.  Requires hop <= width <= 2*hop (overlap <= hop).
+    "highest" (default): full f32 accuracy (multi-pass bf16 on TPU).
+    "x3": the BF16_BF16_F32_X3 dot algorithm — 3-pass bf16, ~f32-grade
+    mantissa at half the passes of HIGHEST (TPU only).
+    "default": native single-pass bf16 (fastest, ~45 dB).
     """
-    n1 = width - hop                      # overlap (e.g. ntaps-1)
-    ext = x_ext.shape[-1]
-    batch = x_ext.shape[:-1]
-    F = max(-(-(ext - n1) // hop), 1)
-    pad = F * hop + n1 - ext
-    xp = jnp.pad(x_ext, [(0, 0)] * len(batch) + [(0, max(pad, 0))])
-    bodies = xp[..., : F * hop].reshape(*batch, F, hop)
-    if n1 == 0:
-        return bodies
-    if F > 1:
-        heads = xp[..., hop : hop + (F - 1) * hop].reshape(
-            *batch, F - 1, hop)[..., :n1]
-        last = xp[..., F * hop : F * hop + n1].reshape(*batch, 1, n1)
-        heads = jnp.concatenate([heads, last], axis=-2)
-    else:
-        heads = xp[..., hop : hop + n1].reshape(*batch, 1, n1)
-    return jnp.concatenate([bodies, heads], axis=-1)
+    if precision in (None, "highest"):
+        return jax.lax.Precision.HIGHEST
+    if precision == "default":
+        return jax.lax.Precision.DEFAULT
+    if precision == "x3":
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return precision
 
 
-def _toeplitz_bank(taps2: jnp.ndarray, width: int, stride: int,
-                   P: int) -> jnp.ndarray:
-    """Banded-Toeplitz tap matrix H (width, P*O) for frame matmuls.
+def _auto_block(n: int, stride: int, O: int, T: int) -> int:
+    """Outputs-per-frame P for the banded-Toeplitz matmul.
 
-    H[j, p*O + o] = taps2[j - p*stride, o] (0 where out of range), so that
-    for a frame Fm[..., j] = x[f*hop + j]:
+    Balances MXU output-tile utilization (want N = P*O >= ~128 columns)
+    against FLOP redundancy (the dense band does (P*stride + n - 1) MACs
+    per output vs the useful n — redundancy grows linearly in P*stride).
+    Measured on-chip (v5e, 64 taps, stride 4, 16M samples): P=64 beats
+    P=128/256/512 — the redundancy cap binds before the tile target.
+    For multi-output banks (PFB: O large) the tile target is met by O
+    itself, so P shrinks toward its floor — keeping the bank matrix
+    MXU-tile-sized instead of the O(P*O) blowup flagged in review.
+    """
+    floor_p = max(-(-max(n - 1, 1) // stride), 1)   # heads need n-1 <= hop
+    tile = max(128 // max(O, 1), 8)                 # N-dim target
+    redundancy_cap = max((4 * n) // stride, 8)      # <=~5x extra MACs
+    return max(floor_p, min(tile, redundancy_cap, max(T, 1)))
 
-        y[f*P + p, o] = sum_j Fm[f, j] * H[j, p*O + o]
-                      = sum_i taps2[i, o] * x[(f*P + p)*stride + i].
 
-    Built from P shifted zero-pads (compile-time constant when taps are a
-    closure constant, as in every chain config).
+def _banks_np(taps2: np.ndarray, P: int, stride: int):
+    """Host-side banded-Toeplitz banks: body (hop, P*O) and heads
+    (n-1, P*O) rows of H[j, p*O+o] = taps2[j - p*stride, o]."""
+    n, O = taps2.shape
+    hop = P * stride
+    H = np.zeros((hop + n - 1, P * O), taps2.dtype)
+    for p in range(P):
+        H[p * stride : p * stride + n, p * O : (p + 1) * O] = taps2
+    return H[:hop], H[hop:]
+
+
+def _bank_rem_np(taps2: np.ndarray, Tr: int, stride: int):
+    """Bank for the remainder frame: (width_r, Tr*O) over the last
+    (Tr-1)*stride + n input samples."""
+    n, O = taps2.shape
+    wr = (Tr - 1) * stride + n
+    H = np.zeros((wr, Tr * O), taps2.dtype)
+    for p in range(Tr):
+        H[p * stride : p * stride + n, p * O : (p + 1) * O] = taps2
+    return H
+
+
+def _banks_traced(taps2: jnp.ndarray, P: int, stride: int, width: int):
+    """Traced-taps fallback: the bank is built on device from P shifted
+    zero-pads (bloats the jaxpr — pass concrete numpy taps where possible,
+    e.g. as jit closure constants, to get compile-time-constant banks)."""
+    n, O = taps2.shape
+    cols = [jnp.pad(taps2, ((p * stride, width - n - p * stride), (0, 0)))
+            for p in range(P)]
+    return jnp.stack(cols, axis=1).reshape(width, P * O)
+
+
+def _toep_real(xb: jnp.ndarray, taps2, P: int, stride: int, T: int,
+               prec) -> jnp.ndarray:
+    """Real banded-Toeplitz core: xb (B, L) real, taps2 (n, O) real.
+
+    Returns y (B, T, O) with y[b, t, o] = sum_i taps2[i, o] * xb[b, t*stride+i].
+
+    Zero-copy framing: bodies are a contiguous reshape of xb (XLA fuses the
+    slice+reshape into the dot operand — no (T, width) window matrix is ever
+    materialized), heads are one small shifted reshape, and the final
+    partial frame is a separate small matmul instead of padding the whole
+    block.  FLOPs carry a ((P*stride + n)/n)x redundancy (the dense band),
+    bounded by _auto_block; HBM traffic stays O(L).
     """
     n, O = taps2.shape
-    cols = []
-    for p in range(P):
-        lo = p * stride
-        cols.append(jnp.pad(taps2, ((lo, width - n - lo), (0, 0))))
-    return jnp.stack(cols, axis=1).reshape(width, P * O)
+    B, L = xb.shape
+    n1 = n - 1
+    hop = P * stride
+    concrete = not isinstance(taps2, jax.core.Tracer)
+    tn = np.asarray(taps2) if concrete else taps2
+    Ff = max((L - n1) // hop, 0) if hop > 0 else 0
+    Ff = min(Ff, T // P)                      # never emit more than T
+    pieces = []
+    if Ff > 0:
+        if concrete:
+            Hb, Hh = _banks_np(tn, P, stride)
+            Hb, Hh = jnp.asarray(Hb), jnp.asarray(Hh)
+        else:
+            H = _banks_traced(tn, P, stride, hop + n1)
+            Hb, Hh = H[:hop], H[hop:]
+        bodies = xb[:, : Ff * hop].reshape(B, Ff, hop)
+        ym = jax.lax.dot_general(
+            bodies, Hb.astype(xb.dtype), (((2,), (0,)), ((), ())),
+            precision=prec)
+        if n1 > 0:
+            if Ff > 1:
+                heads = xb[:, hop : Ff * hop].reshape(
+                    B, Ff - 1, hop)[..., :n1]
+                last = xb[:, Ff * hop : Ff * hop + n1].reshape(B, 1, n1)
+                heads = jnp.concatenate([heads, last], axis=1)
+            else:
+                heads = xb[:, hop : hop + n1].reshape(B, 1, n1)
+            ym = ym + jax.lax.dot_general(
+                heads, Hh.astype(xb.dtype), (((2,), (0,)), ((), ())),
+                precision=prec)
+        pieces.append(ym.reshape(B, Ff * P, O))
+    Tr = T - Ff * P
+    if Tr > 0:
+        start = Ff * hop
+        wr = (Tr - 1) * stride + n
+        if concrete:
+            Hr = jnp.asarray(_bank_rem_np(tn, Tr, stride))
+        else:
+            cols = [jnp.pad(tn, ((p * stride, wr - n - p * stride), (0, 0)))
+                    for p in range(Tr)]
+            Hr = jnp.stack(cols, axis=1).reshape(wr, Tr * O)
+        xr = xb[:, start : start + wr]
+        yr = jax.lax.dot_general(
+            xr, Hr.astype(xb.dtype), (((1,), (0,)), ((), ())),
+            precision=prec)
+        pieces.append(yr.reshape(B, Tr, O))
+    if len(pieces) == 1:
+        return pieces[0]
+    return jnp.concatenate(pieces, axis=1)
 
 
 def fir_toeplitz(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
                  precision=None, block: int | None = None) -> jnp.ndarray:
-    """Strided sliding correlation as ONE banded-Toeplitz MXU matmul.
+    """Strided sliding correlation as banded-Toeplitz MXU matmuls.
 
     Same contract as :func:`conv1d_mxu` (y[..., t(, o)] =
-    sum_i taps[i(, o)] * x[..., t*stride + i]), but the compute is a
-    plain ``dot_general`` over overlap-save frames instead of an XLA
-    convolution.  On backends where conv lowering is poor (measured 46 ms
-    for 64 taps x 16M samples over the axon tunnel vs ~1 ms for this
-    formulation) this is the difference between 0.4 and >10 Gs/s.
+    sum_i taps[i(, o)] * x[..., t*stride + i]), but the compute is plain
+    ``dot_general`` over overlap-save frames instead of an XLA
+    convolution.  On backends where conv lowering is poor (measured 33 ms
+    for 64 taps x 16M samples over the axon tunnel vs ~0.5 ms for this
+    formulation) this is the difference between 0.5 and >20 Gs/s.
 
-    Cost model: frames carry a (width/hop)x redundancy in HBM traffic
-    (width = block*stride + ntaps - 1), and the matmul does
-    L*(width/stride) MACs — far below MXU speed-of-light for any
-    reasonable tap count, so the op stays bandwidth-bound.
+    Complex data/taps decompose into real plane matmuls (complex taps ride
+    along as extra bank columns, so the MXU only ever sees real matrices).
 
-    ``block`` = outputs per frame (auto: aim for width ~ max(4*ntaps, 512),
-    the same 75%-useful-output rule as the FFT tiles).
+    ``block`` = outputs per frame (auto: see :func:`_auto_block`);
+    ``precision``: "highest" (default) | "x3" | "default" | XLA values.
     """
     vec = taps.ndim == 1
     taps2 = taps[:, None] if vec else taps
@@ -190,54 +271,50 @@ def fir_toeplitz(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
     batch_shape = x.shape[:-1]
     L = x.shape[-1]
     T = (L - n) // stride + 1
-    if block is None:
-        target = max(4 * n, 512)
-        block = max(-(-(target - n + 1) // stride), 8)
-    # frames need overlap (n-1) <= hop (P*stride); also no point in P > T
-    P = max(min(block, T), -(-(n - 1) // stride), 1)
-    hop = P * stride
-    width = hop + n - 1
-    prec = (jax.lax.Precision.HIGHEST if precision in (None, "highest")
-            else jax.lax.Precision.DEFAULT if precision == "default"
-            else precision)
+    if T <= 0:
+        raise ValueError("signal shorter than the filter")
+    P = max(min(block, T), -(-max(n - 1, 1) // stride), 1) if block \
+        else _auto_block(n, stride, O, T)
+    prec = _resolve_precision(precision)
     xb = x.reshape((-1, L))
-    # trim so frames cover exactly the T outputs (frames pad the tail)
-    xb = xb[:, : (T - 1) * stride + n]
+    B = xb.shape[0]
     cx = jnp.issubdtype(x.dtype, jnp.complexfloating)
     ck = jnp.issubdtype(taps2.dtype, jnp.complexfloating)
-    Fq = max(-(-T // P), 1)
-
-    def mm(fr, H):
-        return jax.lax.dot_general(
-            fr, H, (((fr.ndim - 1,), (0,)), ((), ())), precision=prec)
-
-    if not cx and not ck:
-        frames = _overlap_frames(xb, hop, width)           # (B, F, width)
-        y = mm(frames, _toeplitz_bank(taps2, width, stride, P).astype(x.dtype))
-        y = y.reshape(-1, Fq * P, O)[:, :T]
-    elif cx and not ck:
-        # complex signal, real taps: filter re/im as a 2-batch real matmul
-        rdt = xb.real.dtype
-        frames = _overlap_frames(
-            jnp.stack([xb.real, xb.imag], axis=0), hop, width)
-        H = _toeplitz_bank(taps2, width, stride, P).astype(rdt)
-        y2 = mm(frames, H).reshape(2, -1, Fq * P, O)[:, :, :T]
-        y = jax.lax.complex(y2[0], y2[1]).astype(x.dtype)
+    if ck:
+        # complex taps -> real bank with doubled output columns [re | im]
+        concrete = not isinstance(taps2, jax.core.Tracer)
+        if concrete:
+            tn = np.asarray(taps2)
+            tr = np.concatenate([tn.real, tn.imag], axis=1)
+        else:
+            tr = jnp.concatenate([taps2.real, taps2.imag], axis=1)
     else:
+        tr = taps2
+    if cx:
         cd = jnp.result_type(x.dtype, taps2.dtype, jnp.complex64)
         xc = xb.astype(cd)
-        k = taps2.astype(cd)
-        rdt = xc.real.dtype
-        frames = _overlap_frames(
-            jnp.stack([xc.real, xc.imag], axis=0), hop, width)
-        Hr = _toeplitz_bank(k.real, width, stride, P).astype(rdt)
-        Hi = _toeplitz_bank(k.imag, width, stride, P).astype(rdt)
-        # re = fr@Hr - fi@Hi, im = fr@Hi + fi@Hr (XLA fuses the two mms)
-        yr = mm(frames, Hr).reshape(2, -1, Fq * P, O)[:, :, :T]
-        yi = mm(frames, Hi).reshape(2, -1, Fq * P, O)[:, :, :T]
-        y = jax.lax.complex(yr[0] - yi[1], yi[0] + yr[1]).astype(cd)
-    y = y.reshape(*batch_shape, T, O)
-    return y[..., 0] if vec else y
+        planes = jnp.concatenate([xc.real, xc.imag], axis=0)  # (2B, L)
+        y = _toep_real(planes, tr, P, stride, T, prec)
+        if ck:
+            y = y.reshape(2, B, T, 2, O)
+            # planes x [Hre | Him]: re = xr@Hr - xi@Hi, im = xr@Hi + xi@Hr
+            out = jax.lax.complex(y[0, :, :, 0] - y[1, :, :, 1],
+                                  y[0, :, :, 1] + y[1, :, :, 0])
+        else:
+            y = y.reshape(2, B, T, O)
+            out = jax.lax.complex(y[0], y[1])
+        out = out.astype(cd)
+    else:
+        if ck:
+            cd = jnp.result_type(x.dtype, taps2.dtype, jnp.complex64)
+            rd = jnp.zeros(0, cd).real.dtype
+            y = _toep_real(xb.astype(rd), tr, P, stride, T, prec)
+            y = y.reshape(B, T, 2, O)
+            out = jax.lax.complex(y[:, :, 0], y[:, :, 1]).astype(cd)
+        else:
+            out = _toep_real(xb, tr, P, stride, T, prec)
+    out = out.reshape(*batch_shape, T, O)
+    return out[..., 0] if vec else out
 
 
 def _use_toeplitz() -> bool:

@@ -43,8 +43,11 @@ def main() -> int:
 
     NCHUNKS, B, CRASH_AT = 4, 1024, 2
     C = 2
+    # fused_ddc off: the sharded chain is the unfused algorithm, and this
+    # test verifies sharding/checkpointing at 1e-9 — which needs the
+    # single-chip reference to be the SAME algorithm bit-for-bit.
     cfg = RxChainConfig(dtype=jnp.complex128, nco_mode="exact",
-                        agc_mode="block", demod="fm")
+                        agc_mode="block", demod="fm", fused_ddc="off")
     mesh = parallel.make_mesh(channel=2, time=4)
     init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
 

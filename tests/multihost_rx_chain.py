@@ -38,8 +38,10 @@ def main() -> int:
 
     assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
 
+    # fused_ddc off: single-chip reference must match the (unfused)
+    # sharded algorithm bit-for-bit for the tight parity assert below.
     cfg = RxChainConfig(dtype=jnp.complex64, nco_mode="exact",
-                        agc_mode="block", demod="fm")
+                        agc_mode="block", demod="fm", fused_ddc="off")
     if layout == "channel_across_hosts":
         # device rows = channel: each host holds one channel shard; halos
         # (time axis) stay within a host

@@ -68,7 +68,7 @@ def test_sharded_fir_matches_single_chip(channel, time):
 def test_sharded_rx_chain_matches_single_chip():
     mesh = parallel.make_mesh(channel=2, time=4)
     cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod="fm",
-                        nco_mode="exact")
+                        nco_mode="exact", fused_ddc="off")
     C, L = 4, 2048
     x = np.stack([_tone(L, 0.2 / (2 * np.pi) + 0.001, amp=0.1, seed=c)
                   for c in range(C)])
@@ -155,7 +155,7 @@ def test_halo_primitives():
 def test_sharded_rx_chain_other_demods(demod):
     mesh = parallel.make_mesh(channel=2, time=4)
     cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod=demod,
-                        nco_mode="exact")
+                        nco_mode="exact", fused_ddc="off")
     C, L = 2, 1024
     x = np.stack([_tone(L, 0.035, amp=0.1, seed=c) for c in range(C)])
 
