@@ -172,6 +172,35 @@ def bench_rx_chain_stream():
     return _row("rx_chain_stream_8blk", NB * L / t)
 
 
+def _bench_chain_planar(metric, prec):
+    """Fused-DDC planar chain (the headline config, see bench.py)."""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="block", demod="fm", nco_mode="exact",
+                        input_format="planar", fused_ddc="on",
+                        fir_precision=prec, dtype=jnp.complex64)
+    init, apply = make_rx_chain(cfg)
+    L = _size(24)
+    k = np.arange(L)
+    sig = 0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
+    x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
+    step = _chain_step(apply, x)
+    st = _retried(init)
+    t = _measure(step, (jnp.zeros(()), st))
+    return _row(metric, L / t)
+
+
+def bench_rx_chain_planar_x3():
+    """Headline: fused DDC, planar ingest, x3 (~f32) MXU precision."""
+    return _bench_chain_planar("rx_chain_fused_planar_x3", "x3")
+
+
+def bench_rx_chain_planar_bf16():
+    """Fastest mode: fused DDC + native single-pass bf16 (~45 dB)."""
+    return _bench_chain_planar("rx_chain_fused_planar_bf16", "default")
+
+
 def bench_rx_chain_ci16_ingest():
     """Raw int16 IQ ingest converted on-device: half the HBM ingest bytes
     per sample vs cf32 (the chain is ingest-bandwidth-bound)."""
@@ -306,12 +335,14 @@ def bench_fused_halo_channelizer():
     apply_fused = make_fused_channelizer_frontend(mesh, M, K)
     L = M * 4096
     x = _noise(L)
-    tail0 = np.zeros((K, M), np.complex64)
+    # complex closure constants force a complex transfer at trace time;
+    # ship the zero tail as planar floats rebuilt on device (review r2)
+    tail0_dev = put_complex(np.zeros((K, M), np.complex64))
 
     @jax.jit
     def g(chk, x):
         y = jnp.fft.fft(
-            apply_fused(jnp.asarray(tail0),
+            apply_fused(tail0_dev,
                         x + (0.0 * chk).astype(x.dtype))[0], axis=-1)
         return jnp.sum(jnp.abs(y))
 
@@ -447,11 +478,9 @@ def bench_cyclo():
     """Cyclostationary alpha-grid scan (batched STFT cross-products)."""
     from solid_dsp_tpu.analysis.cyclo import cycle_profile
 
-    rng = np.random.default_rng(0)
     N = _size(16 if SMOKE else 20)
     A = 8 if SMOKE else 64
-    x = jnp.asarray((rng.standard_normal(N) + 1j * rng.standard_normal(N)
-                     ).astype(np.complex64))
+    x = _noise(N)  # complex h2d poisons the tunnel client — ship planar
     alphas = jnp.asarray(np.linspace(0.03, 0.4, A).astype(np.float32))
     step = _stateless_step(
         lambda a: cycle_profile(a, alphas, nfft=256, hop=64), x)
@@ -620,7 +649,9 @@ def bench_resample():
 def main():
     import sys
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
-    for fn in (bench_hbm_control, bench_rx_chain, bench_rx_chain_stream,
+    for fn in (bench_hbm_control, bench_rx_chain,
+               bench_rx_chain_planar_x3, bench_rx_chain_planar_bf16,
+               bench_rx_chain_stream,
                bench_rx_chain_ci16_ingest,
                bench_rx_chain_parity_parallel,
                bench_rx_chain_parity_scan, bench_channelizer,

@@ -35,10 +35,23 @@ def _combine(re, im):
 
 
 def put_complex(x, dtype=None):
-    """Host complex ndarray -> device complex array, real-only transfers."""
+    """Host complex ndarray -> device complex array, real-only transfers.
+
+    Raises when complex128 is requested while jax x64 is disabled: the
+    float64 parts would be silently downcast to f32 by ``jnp.asarray``,
+    violating the dtype-preserving contract (review r2 finding).
+    """
     x = np.asarray(x)
     if dtype is None:
         dtype = jnp.complex64 if x.dtype != np.complex128 else jnp.complex128
+        if (x.dtype == np.complex128
+                and not jax.config.jax_enable_x64):
+            dtype = jnp.complex64  # implicit default: downcast is expected
+    elif (np.dtype(dtype) == np.complex128
+            and not jax.config.jax_enable_x64):
+        raise ValueError(
+            "put_complex(dtype=complex128) requires jax_enable_x64; "
+            "with x64 disabled the parts would silently land as float32")
     ftype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
     # NOTE: np.ascontiguousarray would promote 0-d to 1-d; np.asarray
     # keeps scalar shapes intact (jnp.asarray copies regardless of layout)
@@ -71,7 +84,9 @@ def put_tree(tree):
     def _put(leaf):
         leaf = np.asarray(leaf)
         if np.iscomplexobj(leaf):
-            return put_complex(leaf, dtype=leaf.dtype)
+            # dtype=None mirrors jax.device_put semantics: complex128
+            # stays complex128 under x64, downcasts to complex64 otherwise
+            return put_complex(leaf)
         return jnp.asarray(leaf)
 
     return jax.tree_util.tree_map(_put, tree)
