@@ -270,12 +270,25 @@ def _bluestein(x: jnp.ndarray, n: int, sign: float) -> jnp.ndarray:
     return y * c_
 
 
+# Dot precision for the matmul (4-step) backend: BF16_BF16_F32_X3 holds
+# ~95 dB vs the f64 transform on chip (measured n=4096) at 1.4-11x the
+# throughput of the alternatives — see tools/bench_matfft.py.
+MATMUL_PRECISION = "x3"
+
+
 def fft(x, nfft: int | None = None, backend: str = "auto") -> jnp.ndarray:
     """Unnormalized forward DFT along the last axis.
 
-    backend: "auto" (native FFT for pow2/CPU, Bluestein otherwise),
-    "xla" (jnp.fft), "bluestein" (chirp-z), "plan" (structural reference
-    plan-tree execution — the parity path).
+    backend: "auto" (native FFT for pow2/CPU, matmul 4-step otherwise),
+    "xla" (jnp.fft), "matmul" (MXU 4-step, ops/matfft.py), "bluestein"
+    (chirp-z), "plan" (structural reference plan-tree execution — the
+    parity path).
+
+    Measured on-chip (tools/bench_matfft.py, 8M-sample batches): pow2
+    sizes are a tie between jnp.fft and the matmul path at "highest"
+    precision, so pow2 keeps the exact native FFT; non-pow2 through
+    Bluestein ran 0.97-1.33 Gs/s vs 9.6-11.2 Gs/s for the matmul 4-step
+    (7.7-11.5x), so non-pow2 auto-routes to "matmul" on TPU backends.
     """
     x = jnp.asarray(x)
     n = int(nfft or x.shape[-1])
@@ -286,8 +299,14 @@ def fft(x, nfft: int | None = None, backend: str = "auto") -> jnp.ndarray:
         x = jnp.pad(x, pad)
     if backend == "plan":
         return _cached_plan(n, FFTDirection.FORWARD).execute(x)
+    if backend == "matmul":
+        from .matfft import fft_mx
+        return fft_mx(x, n, precision=MATMUL_PRECISION)
     if backend == "xla" or resources.is_pow2(n) or (backend == "auto" and _xla_ok(n)):
         return jnp.fft.fft(x[..., :n], axis=-1)
+    if backend == "auto":
+        from .matfft import fft_mx
+        return fft_mx(x, n, precision=MATMUL_PRECISION)
     return _bluestein(x, n, -1.0)
 
 
@@ -299,8 +318,14 @@ def ifft(x, nfft: int | None = None, backend: str = "auto") -> jnp.ndarray:
     x = x.astype(cdtype)
     if backend == "plan":
         return _cached_plan(n, FFTDirection.REVERSE).execute(x)
+    if backend == "matmul":
+        from .matfft import ifft_mx
+        return ifft_mx(x, n, precision=MATMUL_PRECISION)
     if backend == "xla" or resources.is_pow2(n) or (backend == "auto" and _xla_ok(n)):
         return jnp.fft.ifft(x[..., :n], axis=-1) * n
+    if backend == "auto":
+        from .matfft import ifft_mx
+        return ifft_mx(x, n, precision=MATMUL_PRECISION)
     return _bluestein(x, n, 1.0)
 
 
@@ -308,7 +333,7 @@ def _xla_ok(n: int) -> bool:
     """Whether jnp.fft handles this size well on the current backend."""
     if jax.default_backend() in ("cpu",):
         return True  # pocketfft: any size
-    return resources.is_pow2(n)  # TPU: keep non-pow2 on the plan path
+    return resources.is_pow2(n)  # TPU: non-pow2 goes to the matmul path
 
 
 class FFT:
@@ -336,7 +361,7 @@ class FFT:
         x = jnp.ones(self.nfft, dtype=jnp.complex64)
         results = {}
         backends = (("plan", "xla") if _xla_ok(self.nfft)
-                    else ("plan", "bluestein"))
+                    else ("plan", "bluestein", "matmul"))
         for backend in backends:
             fn = jax.jit(lambda v, b=backend: (
                 fft(v, self.nfft, b) if self.direction == FFTDirection.FORWARD
