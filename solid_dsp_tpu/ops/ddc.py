@@ -85,9 +85,25 @@ def _plane_dot(lhs: jnp.ndarray, bank: np.ndarray, rdtype, prec):
         lhs, H, (((0, nd - 1), (0, 1)), ((), ())), precision=prec)
 
 
+def _use_pallas(engine: str, precision, rdtype) -> bool:
+    """Engine resolution for the body kernel (ops/pallas_ddc.py).
+
+    "auto" engages the Pallas kernel on TPU backends for the two
+    precision modes it implements (x3-equivalent and single-pass bf16);
+    "pallas" forces it (interpret-mode off-TPU, so CPU tests drive the
+    identical kernel); f64 planes always stay on the XLA path."""
+    if rdtype == jnp.float64:
+        return False
+    if engine == "pallas":
+        return True
+    return (engine == "auto"
+            and jax.default_backend() not in ("cpu",)
+            and precision in ("x3", "default"))
+
+
 def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
                      precision="highest", block: int | None = None,
-                     rot_mode: str = "fast"):
+                     rot_mode: str = "fast", engine: str = "auto"):
     """One fused DDC block on input planes.
 
     Args:
@@ -101,6 +117,9 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
       decimation: M.
       precision / block: see ops.fir.fir_toeplitz.
       rot_mode: "fast" (factorized oscillator, ~1 ulp) | "exact" | "lut".
+      engine: "auto" | "xla" | "pallas" — whether the aligned interior
+        runs as the fused Mosaic kernel (ops/pallas_ddc.py; 3x the XLA
+        path on chip at x3/default precision) with edges on XLA.
 
     Returns (out_re, out_im, new_tail2, theta_end) where out has length
     L // M and equals mix_down_block + fir_decim_apply of the unfused
@@ -139,6 +158,31 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
     # ---- piece 2: body frames, aligned to x ----------------------------
     shift0 = first + Th * M - n1        # in [0, M)
     Tb = T - Th
+    start = shift0
+    # ---- piece 2a: Pallas tiled interior (ops/pallas_ddc.py) -----------
+    if _use_pallas(engine, precision, rdtype):
+        from .pallas_ddc import (DEFAULT_P, DEFAULT_TF, HALO_FRAMES,
+                                 make_pallas_ddc_body,
+                                 pallas_body_supported)
+        Pp = DEFAULT_P
+        hop_p = Pp * M
+        if pallas_body_supported(n, M, Pp) and Tb > 0:
+            fb_avail = max((L - start - n1) // hop_p, 0)
+            fb_avail = min(fb_avail, Tb // Pp)
+            tiles = max((fb_avail - HALO_FRAMES) // DEFAULT_TF, 0)
+            if tiles > 0:
+                mode = "x3" if precision != "default" else "fast"
+                body_fn = make_pallas_ddc_body(
+                    ddc_taps(taps, np.uint32(dtheta)), M, tiles, mode=mode)
+                span = (tiles * DEFAULT_TF + HALO_FRAMES) * hop_p
+                xf = x2[:, start : start + span].reshape(2, -1, hop_p)
+                yp = body_fn(xf)                     # (tiles*TF, 2P)
+                pieces_re.append(yp[:, :Pp].reshape(-1).astype(rdtype))
+                pieces_im.append(yp[:, Pp:].reshape(-1).astype(rdtype))
+                emitted = tiles * DEFAULT_TF * Pp
+                start += tiles * DEFAULT_TF * hop_p
+                Tb -= emitted
+    # ---- piece 2b: XLA banded-Toeplitz over what remains ----------------
     if block:
         P = max(min(int(block), max(Tb, 1)), max(-(-n1 // M), 1))
     else:
@@ -147,19 +191,19 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
     hop = P * M
     Fb = 0
     if Tb > 0:
-        Fb = min(max((L - shift0 - n1) // hop, 0), Tb // P)
+        Fb = min(max((L - start - n1) // hop, 0), Tb // P)
     if Fb > 0:
         Hb_r, Hh_r = _banks_np(hr2, P, M)
         Hb_i, Hh_i = _banks_np(hi2, P, M)
-        bodies = x2[:, shift0 : shift0 + Fb * hop].reshape(2, Fb, hop)
+        bodies = x2[:, start : start + Fb * hop].reshape(2, Fb, hop)
         yb = _plane_dot(bodies, _fold_banks(Hb_r, Hb_i, bank_dt),
                         rdtype, prec)                        # (Fb, 2P)
         if n1 > 0:
-            s1 = shift0 + hop
+            s1 = start + hop
             if Fb > 1:
                 heads = x2[:, s1 : s1 + (Fb - 1) * hop].reshape(
                     2, Fb - 1, hop)[..., :n1]
-                sl = shift0 + Fb * hop
+                sl = start + Fb * hop
                 last = x2[:, sl : sl + n1].reshape(2, 1, n1)
                 heads = jnp.concatenate([heads, last], axis=1)
             else:
@@ -171,9 +215,9 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
     # ---- piece 3: straggler outputs past the last full frame -----------
     Trem = Tb - Fb * P
     if Trem > 0:
-        start = shift0 + Fb * hop
+        srem = start + Fb * hop
         wr = (Trem - 1) * M + n
-        zrem = x2[:, start : start + wr]
+        zrem = x2[:, srem : srem + wr]
         yr = _plane_dot(zrem, rem_bank(Trem), rdtype, prec)  # (2*Trem,)
         pieces_re.append(yr[:Trem])
         pieces_im.append(yr[Trem:])
@@ -206,7 +250,7 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
 
 def ddc_apply(taps, dtheta, tail, theta0, x, decimation: int,
               precision="highest", block: int | None = None,
-              rot_mode: str = "fast"):
+              rot_mode: str = "fast", engine: str = "auto"):
     """Complex-in/complex-out wrapper around :func:`ddc_apply_planar`.
 
     ``tail`` is the carried complex raw-input tail (ntaps-1,) — the same
@@ -217,7 +261,7 @@ def ddc_apply(taps, dtheta, tail, theta0, x, decimation: int,
     x2 = jnp.stack([jnp.real(x), jnp.imag(x)])
     out_re, out_im, new_tail2, theta_end = ddc_apply_planar(
         taps, dtheta, tail2, theta0, x2,
-        decimation, precision, block, rot_mode)
+        decimation, precision, block, rot_mode, engine)
     y = jax.lax.complex(out_re, out_im).astype(x.dtype)
     new_tail = jax.lax.complex(new_tail2[0], new_tail2[1]).astype(x.dtype)
     return y, new_tail, theta_end

@@ -129,6 +129,10 @@ def _resolve_precision(precision):
     if precision == "default":
         return jax.lax.Precision.DEFAULT
     if precision == "x3":
+        if jax.default_backend() in ("cpu",):
+            # XLA:CPU's elemental emitter rejects the X3 algorithm for
+            # small dots; x3 is a TPU optimization — full f32 on CPU
+            return jax.lax.Precision.HIGHEST
         return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
     return precision
 
