@@ -84,6 +84,13 @@ class RxChainConfig:
     # >= 100 dB parity gates); "xla" keeps the pure-XLA formulation;
     # "pallas" forces the kernel (interpret-mode off-TPU, for tests).
     ddc_engine: str = "auto"          # "auto" | "xla" | "pallas"
+    # Decimated-rate epilogue: "auto" collapses rotate -> AGC-scale ->
+    # demod into one elementwise pass over the unrotated DDC body output
+    # when the demod is rotation/gain-invariant (FM phase differences, AM
+    # envelope) and agc_mode is "block" (ops/ddc.py::ddc_fm_epilogue
+    # rationale); "rotate" always materializes the rotated, gained signal
+    # (reference-shaped staging — useful for stage-by-stage debugging).
+    epilogue: str = "auto"            # "auto" | "rotate"
 
     def design_taps(self) -> np.ndarray:
         taps = firdes.firdes_kaiser(
@@ -133,6 +140,8 @@ def make_rx_chain(cfg: RxChainConfig):
         raise ValueError(f"unknown fused_ddc {cfg.fused_ddc!r}")
     if cfg.ddc_engine not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown ddc_engine {cfg.ddc_engine!r}")
+    if cfg.epilogue not in ("auto", "rotate"):
+        raise ValueError(f"unknown epilogue {cfg.epilogue!r}")
     fused = (cfg.fused_ddc == "on"
              or (cfg.fused_ddc == "auto" and cfg.nco_mode == "exact"))
     if cfg.fused_ddc == "on" and cfg.nco_mode != "exact":
@@ -174,6 +183,69 @@ def make_rx_chain(cfg: RxChainConfig):
                 x, st_i["dc"], st_i["k"],
                 jnp.asarray(cfg.impairment_bw, cfg.dtype), st_i["primed"])
             impair_state = {"dc": dc, "k": k, "primed": jnp.asarray(True)}
+        # Collapsed decimated-rate epilogue (ops/ddc.py epilogue helpers):
+        # the post-rotation (|e^{-jw}| = 1) and the block AGC gain (real,
+        # > 0) are invisible to the FM discriminator's phase differences
+        # and scale the AM envelope linearly, so for those demods the
+        # whole rotate -> AGC-scale -> demod pipeline folds into one
+        # elementwise pass over the UNROTATED body output — no per-sample
+        # oscillator, no interleaved-complex materialization.  State
+        # (AGC carry, fm_prev) stays bit-compatible with the rotated path.
+        collapse = (fused and cfg.agc_mode == "block"
+                    and cfg.demod in ("fm", "am")
+                    and cfg.epilogue == "auto")
+        if collapse:
+            x2c = x2 if planar_in else jnp.stack([jnp.real(x), jnp.imag(x)])
+            tail2 = jnp.stack([jnp.real(state.fir_tail),
+                               jnp.imag(state.fir_tail)])
+            pieces, tail2n, theta_end, w0, dw = ddc_ops.ddc_apply_planar_pieces(
+                taps_design, dtheta, tail2, state.nco_theta, x2c,
+                cfg.decimation, precision=cfg.fir_precision,
+                engine=cfg.ddc_engine)
+            fir_tail = jax.lax.complex(tail2n[0], tail2n[1]).astype(cfg.dtype)
+            fir_phase = state.fir_phase
+            gain = state.agc["gain"]
+            T_dec = sum(ddc_ops._piece_len(p) for p in pieces)
+            ee = (gain * gain) * ddc_ops.ddc_energy_pieces(pieces)
+            agc_state = agc_ops.block_gain_update(
+                state.agc, ee, cfg.agc_bandwidth, T_dec)
+            if cfg.demod == "fm":
+                out, pr, pi = ddc_ops.ddc_fm_epilogue_pieces(
+                    pieces, w0, dw,
+                    jnp.real(state.fm_prev), jnp.imag(state.fm_prev),
+                    cfg.fm_kf, gain)
+                fm_prev = jax.lax.complex(pr, pi).astype(cfg.dtype)
+            else:  # "am"
+                out = ddc_ops.ddc_am_epilogue_pieces(pieces, gain)
+                fm_prev = state.fm_prev
+            new_parts = dict(
+                nco_theta=theta_end,
+                fir_tail=fir_tail,
+                fir_phase=fir_phase,
+                agc=agc_state,
+                fm_prev=fm_prev,
+            )
+            if cfg.impairment_bw > 0.0:
+                new_parts["impair"] = impair_state
+            new_state = ChainState(**new_parts)
+            if cfg.debug_checks:
+                z_ok = jnp.asarray(True)
+                for p in pieces:
+                    arrs = (p[1], p[2]) if p[0] == "flat" else (p[1],)
+                    for a in arrs:
+                        z_ok = z_ok & jnp.all(jnp.isfinite(a))
+                inp_ok = (jnp.all(jnp.isfinite(x2c)) if planar_in
+                          else jnp.all(jnp.isfinite(x)))
+                flags = {
+                    "input": inp_ok,
+                    "nco": inp_ok,  # mix folded into the DDC matmul
+                    "fir": z_ok,    # |z| finite <=> |y| finite (|rot| = 1)
+                    "agc": z_ok & jnp.isfinite(agc_state["gain"]),
+                    "demod": jnp.all(jnp.isfinite(out)),
+                }
+                return out, new_state, flags
+            return out, new_state
+
         if fused:
             # 1+2 fused: bandpass-Toeplitz matmul + decimated-rate rotation
             # (ops/ddc.py); semantics = exact mix -> fir_decim_apply,

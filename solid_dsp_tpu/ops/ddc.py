@@ -43,7 +43,11 @@ import numpy as np
 from .fir import _bank_rem_np, _banks_np, _resolve_precision
 from .nco import _U32, _TWO_PI, nco_complex_exponential
 
-__all__ = ["ddc_taps", "ddc_apply_planar", "ddc_apply"]
+__all__ = ["ddc_taps", "ddc_apply_planar", "ddc_apply",
+           "ddc_apply_planar_raw", "ddc_apply_planar_pieces",
+           "ddc_fm_epilogue", "ddc_am_epilogue",
+           "ddc_fm_epilogue_pieces", "ddc_am_epilogue_pieces",
+           "ddc_energy_pieces"]
 
 
 def ddc_taps(taps: np.ndarray, dtheta: np.uint32) -> np.ndarray:
@@ -101,29 +105,28 @@ def _use_pallas(engine: str, precision, rdtype) -> bool:
             and precision in ("x3", "default"))
 
 
-def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
-                     precision="highest", block: int | None = None,
-                     rot_mode: str = "fast", engine: str = "auto"):
-    """One fused DDC block on input planes.
+def ddc_apply_planar_pieces(taps, dtheta, tail2, theta0, x2, decimation: int,
+                            precision="highest", block: int | None = None,
+                            engine: str = "auto"):
+    """UNROTATED fused-DDC body, returned in its NATIVE piece layouts.
 
-    Args:
-      taps: CONCRETE real/complex prototype taps (numpy; design-time).
-      dtheta: concrete u32 NCO frequency word.
-      tail2: carried raw-input tail planes (2, ntaps-1), real dtype.
-      theta0: traced u32 phase word of the first sample of this block.
-      x2: input planes (2, L) — re/im rows, L % decimation == 0.  ONE
-        array, not two: plane slices of a (2, L) array stay fusable views
-        (stacking two separate (L,) planes costs a full-block copy).
-      decimation: M.
-      precision / block: see ops.fir.fir_toeplitz.
-      rot_mode: "fast" (factorized oscillator, ~1 ulp) | "exact" | "lut".
-      engine: "auto" | "xla" | "pallas" — whether the aligned interior
-        runs as the fused Mosaic kernel (ops/pallas_ddc.py; 3x the XLA
-        path on chip at x3/default precision) with edges on XLA.
+    The body computes the decimated outputs in up to four pieces (tail-
+    straddling head, Pallas tiled interior, XLA Toeplitz frames,
+    straggler) whose natural layouts differ; flattening them into one
+    (T,) array costs a full concatenate copy at the decimated rate.  This
+    entry point skips that: it returns
 
-    Returns (out_re, out_im, new_tail2, theta_end) where out has length
-    L // M and equals mix_down_block + fir_decim_apply of the unfused
-    chain (decimator phase 0) to float rounding.
+        (pieces, new_tail2, theta_end, w0, dw)
+
+    where each piece is ("flat", re_1d, im_1d) or ("cols", y2d, P) —
+    y2d of shape (F, 2P) holding [re-block | im-block] columns, output
+    index t running row-major over (F, P).  Piece order IS output order.
+    The true DDC output is y[t] = z[t] * e^{-j rad(w_t)} with z the raw
+    piece values and w_t = w0 + t*dw in wrapping u32 phase words.
+
+    Epilogues that are rotation-invariant (FM discriminator, AM envelope)
+    consume the pieces directly — see ddc_fm_epilogue_pieces /
+    ddc_am_epilogue_pieces; flat-output callers use ddc_apply_planar_raw.
     """
     taps = np.asarray(taps)
     n = len(taps)
@@ -145,16 +148,65 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
         return _fold_banks(_bank_rem_np(hr2, Tr, M),
                            _bank_rem_np(hi2, Tr, M), bank_dt)
 
+    # ---- full-coverage backward-halo Pallas path ------------------------
+    # When the geometry allows (taps reach back less than one frame and the
+    # block is frame-aligned), ONE kernel covers every output: the operand
+    # is the free reshape of the whole input argument (a sliced operand
+    # costs a full-rate XLA copy — measured 0.43 ms / 128 MB block), and
+    # the carried tail rides in as one tiny row, replacing the XLA head
+    # piece.  See ops/pallas_ddc.py::make_pallas_ddc_full.
+    if _use_pallas(engine, precision, rdtype):
+        from .pallas_ddc import (DEFAULT_P, DEFAULT_TF, HALO_FRAMES,
+                                 make_pallas_ddc_full,
+                                 pallas_full_supported)
+        Pp = DEFAULT_P
+        hop_p = Pp * M
+        D = n - M
+        if (pallas_full_supported(n, M, Pp) and L % hop_p == 0
+                and n1 >= first and L >= max(hop_p, n1)):
+            F_all = L // hop_p
+            TFp = DEFAULT_TF
+            for cand in (1024, 512, 256):
+                if F_all // cand >= 4:
+                    TFp = cand
+                    break
+            tiles = F_all // TFp
+            if tiles > 0:
+                mode = "x3" if precision != "default" else "fast"
+                body_fn = make_pallas_ddc_full(
+                    h_bp, M, tiles, TF=TFp, mode=mode)
+                xf = x2.reshape(2, F_all, hop_p)
+                tailrow = jnp.zeros((2, HALO_FRAMES, hop_p), rdtype)
+                tailrow = tailrow.at[:, HALO_FRAMES - 1, hop_p - D :].set(
+                    tail2[:, first:].astype(rdtype))
+                yp = body_fn(xf, tailrow)            # (tiles*TF, 2P)
+                pieces = [("cols", yp.astype(rdtype), Pp)]
+                t0 = tiles * TFp * Pp
+                Trem = T - t0
+                if Trem > 0:
+                    wr = (Trem - 1) * M + n
+                    zrem = x2[:, t0 * M - D : t0 * M - D + wr]
+                    yr = _plane_dot(zrem, rem_bank(Trem), rdtype, prec)
+                    pieces.append(("flat", yr[:Trem], yr[Trem:]))
+                d = int(np.uint32(dtheta))
+                w0 = (jnp.uint32(theta0)
+                      + jnp.uint32((first * d) & 0xFFFFFFFF)
+                      - jnp.uint32((n1 * d) & 0xFFFFFFFF))
+                dw = np.uint32((M * d) & 0xFFFFFFFF)
+                new_tail2 = x2[:, L - n1 :] if n1 > 0 else tail2[:, :0]
+                theta_end = (jnp.uint32(theta0)
+                             + jnp.uint32((L * d) & 0xFFFFFFFF))
+                return pieces, new_tail2, theta_end, w0, dw
+
     # ---- piece 1: head outputs that straddle the carried tail ----------
     Th = min(max(-(-(n1 - first) // M), 0), T)
-    pieces_re, pieces_im = [], []
+    pieces = []
     if Th > 0:
         head_w = (Th - 1) * M + n
         from_x = head_w - (n1 - first)
         zhead = jnp.concatenate([tail2[:, first:], x2[:, :from_x]], axis=1)
         yh = _plane_dot(zhead, rem_bank(Th), rdtype, prec)   # (2*Th,)
-        pieces_re.append(yh[:Th])
-        pieces_im.append(yh[Th:])
+        pieces.append(("flat", yh[:Th], yh[Th:]))
     # ---- piece 2: body frames, aligned to x ----------------------------
     shift0 = first + Th * M - n1        # in [0, M)
     Tb = T - Th
@@ -169,18 +221,27 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
         if pallas_body_supported(n, M, Pp) and Tb > 0:
             fb_avail = max((L - start - n1) // hop_p, 0)
             fb_avail = min(fb_avail, Tb // Pp)
-            tiles = max((fb_avail - HALO_FRAMES) // DEFAULT_TF, 0)
+            # Tile size: bigger tiles pipeline HBM->VMEM better (measured
+            # x3 21.9 -> 26.4 Gs/s going 128 -> 1024 frames/tile,
+            # tools/proto_pallas_ddc2.py) — take the largest that still
+            # gives a few grid steps, falling back for short blocks.
+            TFp = DEFAULT_TF
+            for cand in (1024, 512, 256):
+                if (fb_avail - HALO_FRAMES) // cand >= 4:
+                    TFp = cand
+                    break
+            tiles = max((fb_avail - HALO_FRAMES) // TFp, 0)
             if tiles > 0:
                 mode = "x3" if precision != "default" else "fast"
                 body_fn = make_pallas_ddc_body(
-                    ddc_taps(taps, np.uint32(dtheta)), M, tiles, mode=mode)
-                span = (tiles * DEFAULT_TF + HALO_FRAMES) * hop_p
+                    ddc_taps(taps, np.uint32(dtheta)), M, tiles, TF=TFp,
+                    mode=mode)
+                span = (tiles * TFp + HALO_FRAMES) * hop_p
                 xf = x2[:, start : start + span].reshape(2, -1, hop_p)
                 yp = body_fn(xf)                     # (tiles*TF, 2P)
-                pieces_re.append(yp[:, :Pp].reshape(-1).astype(rdtype))
-                pieces_im.append(yp[:, Pp:].reshape(-1).astype(rdtype))
-                emitted = tiles * DEFAULT_TF * Pp
-                start += tiles * DEFAULT_TF * hop_p
+                pieces.append(("cols", yp.astype(rdtype), Pp))
+                emitted = tiles * TFp * Pp
+                start += tiles * TFp * hop_p
                 Tb -= emitted
     # ---- piece 2b: XLA banded-Toeplitz over what remains ----------------
     if block:
@@ -210,8 +271,7 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
                 heads = x2[:, s1 : s1 + n1].reshape(2, 1, n1)
             yb = yb + _plane_dot(heads, _fold_banks(Hh_r, Hh_i, bank_dt),
                                  rdtype, prec)
-        pieces_re.append(yb[:, :P].reshape(-1).astype(rdtype))
-        pieces_im.append(yb[:, P:].reshape(-1).astype(rdtype))
+        pieces.append(("cols", yb.astype(rdtype), P))
     # ---- piece 3: straggler outputs past the last full frame -----------
     Trem = Tb - Fb * P
     if Trem > 0:
@@ -219,24 +279,15 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
         wr = (Trem - 1) * M + n
         zrem = x2[:, srem : srem + wr]
         yr = _plane_dot(zrem, rem_bank(Trem), rdtype, prec)  # (2*Trem,)
-        pieces_re.append(yr[:Trem])
-        pieces_im.append(yr[Trem:])
+        pieces.append(("flat", yr[:Trem], yr[Trem:]))
 
-    yre = pieces_re[0] if len(pieces_re) == 1 else jnp.concatenate(pieces_re)
-    yim = pieces_im[0] if len(pieces_im) == 1 else jnp.concatenate(pieces_im)
-
-    # ---- post-rotation at the decimated rate ---------------------------
-    # w_t = theta0 + (first - n1 + t*M) * dtheta, all u32 wrapping
+    # rotation phase words: w_t = theta0 + (first - n1 + t*M) * dtheta,
+    # all u32 wrapping
     d = int(np.uint32(dtheta))
     w0 = (jnp.uint32(theta0)
           + jnp.uint32((first * d) & 0xFFFFFFFF)
           - jnp.uint32((n1 * d) & 0xFFFFFFFF))
     dw = np.uint32((M * d) & 0xFFFFFFFF)
-    rot = nco_complex_exponential(w0, dw, T, mode=rot_mode)
-    c = jnp.real(rot).astype(rdtype)
-    s = jnp.imag(rot).astype(rdtype)
-    out_re = yre * c + yim * s
-    out_im = yim * c - yre * s
 
     if n1 == 0:
         new_tail2 = tail2[:, :0]
@@ -245,7 +296,280 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
     else:  # short block: the new tail keeps part of the old one
         new_tail2 = jnp.concatenate([tail2[:, L:], x2], axis=1)
     theta_end = jnp.uint32(theta0) + jnp.uint32((L * d) & 0xFFFFFFFF)
+    return pieces, new_tail2, theta_end, w0, dw
+
+
+def _pieces_flatten(pieces):
+    """Concatenate tagged pieces into flat (yre, yim) 1-D planes."""
+    res, ims = [], []
+    for p in pieces:
+        if p[0] == "flat":
+            res.append(p[1])
+            ims.append(p[2])
+        else:
+            y2d, P = p[1], p[2]
+            res.append(y2d[:, :P].reshape(-1))
+            ims.append(y2d[:, P:].reshape(-1))
+    yre = res[0] if len(res) == 1 else jnp.concatenate(res)
+    yim = ims[0] if len(ims) == 1 else jnp.concatenate(ims)
+    return yre, yim
+
+
+def ddc_apply_planar_raw(taps, dtheta, tail2, theta0, x2, decimation: int,
+                         precision="highest", block: int | None = None,
+                         engine: str = "auto"):
+    """UNROTATED fused-DDC body on input planes, flattened.
+
+    Same contract as :func:`ddc_apply_planar` but skips the decimated-rate
+    post-rotation: returns (yre, yim, new_tail2, theta_end, w0, dw) where
+    the true DDC output is y[t] = (yre[t] + j yim[t]) * e^{-j rad(w_t)},
+    w_t = w0 + t*dw in wrapping u32 phase words.  Callers that only need
+    rotation-invariant functionals of y should prefer the piece-layout
+    entry point (:func:`ddc_apply_planar_pieces`) — it skips this
+    function's decimated-rate concatenate.
+    """
+    pieces, new_tail2, theta_end, w0, dw = ddc_apply_planar_pieces(
+        taps, dtheta, tail2, theta0, x2, decimation,
+        precision=precision, block=block, engine=engine)
+    yre, yim = _pieces_flatten(pieces)
+    return yre, yim, new_tail2, theta_end, w0, dw
+
+
+def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
+                     precision="highest", block: int | None = None,
+                     rot_mode: str = "fast", engine: str = "auto"):
+    """One fused DDC block on input planes.
+
+    Args:
+      taps: CONCRETE real/complex prototype taps (numpy; design-time).
+      dtheta: concrete u32 NCO frequency word.
+      tail2: carried raw-input tail planes (2, ntaps-1), real dtype.
+      theta0: traced u32 phase word of the first sample of this block.
+      x2: input planes (2, L) — re/im rows, L % decimation == 0.  ONE
+        array, not two: plane slices of a (2, L) array stay fusable views
+        (stacking two separate (L,) planes costs a full-block copy).
+      decimation: M.
+      precision / block: see ops.fir.fir_toeplitz.
+      rot_mode: "fast" (factorized oscillator, ~1 ulp) | "exact" | "lut".
+      engine: "auto" | "xla" | "pallas" — whether the aligned interior
+        runs as the fused Mosaic kernel (ops/pallas_ddc.py; 3x the XLA
+        path on chip at x3/default precision) with edges on XLA.
+
+    Returns (out_re, out_im, new_tail2, theta_end) where out has length
+    L // M and equals mix_down_block + fir_decim_apply of the unfused
+    chain (decimator phase 0) to float rounding.
+    """
+    yre, yim, new_tail2, theta_end, w0, dw = ddc_apply_planar_raw(
+        taps, dtheta, tail2, theta0, x2, decimation,
+        precision=precision, block=block, engine=engine)
+    rdtype = x2.dtype
+    T = yre.shape[-1]
+    rot = nco_complex_exponential(w0, dw, T, mode=rot_mode)
+    c = jnp.real(rot).astype(rdtype)
+    s = jnp.imag(rot).astype(rdtype)
+    out_re = yre * c + yim * s
+    out_im = yim * c - yre * s
     return out_re, out_im, new_tail2, theta_end
+
+
+def _rot_scalar(w, rdtype):
+    """e^{-j rad(w)} for ONE u32 phase word -> (cos, -sin) scalars."""
+    rad = w.astype(jnp.float32) * np.float32(_TWO_PI / float(_U32))
+    return jnp.cos(rad).astype(rdtype), (-jnp.sin(rad)).astype(rdtype)
+
+
+def ddc_fm_epilogue(yre, yim, w0, dw, prev_re, prev_im, kf, gain):
+    """FM discriminator straight off the UNROTATED DDC body output.
+
+    The post-rotation y[t] = z[t] e^{-j rad(w_t)} and the (real, positive)
+    AGC gain g cancel inside the phase-difference discriminator:
+
+        d[t] = (g y[t]) conj(g y[t-1])
+             = g^2 z[t] conj(z[t-1]) e^{-j drad},   drad = rad(dw),
+
+    so arg d[t] needs only the raw cross products plus ONE constant
+    rotation — no per-sample oscillator, no complex materialization, no
+    gain application.  The t=0 term uses the carried previous output
+    sample (already rotated and gained by the previous block).
+
+    Args:
+      yre, yim: unrotated body output planes (T,) from
+        :func:`ddc_apply_planar_raw`.
+      w0, dw: its rotation phase words.
+      prev_re, prev_im: carried last CHAIN output sample (rotated, gained).
+      kf: modulation index; out = arg(d) / (2 pi kf).
+      gain: this block's (real, positive) AGC gain — used only to keep the
+        carried state bit-compatible with the rotated path.
+
+    Returns (out, new_prev_re, new_prev_im) where out matches
+    rotate+AGC+fm_demodulate to float rounding and the new prev pair is
+    the gained, rotated last sample (the rotated path's fm_prev state).
+    """
+    rdtype = yre.dtype
+    T = yre.shape[-1]
+    # interior cross products on [1:] vs [:-1] views — one fused pass
+    ure = yre[1:] * yre[:-1] + yim[1:] * yim[:-1]
+    uim = yim[1:] * yre[:-1] - yre[1:] * yim[:-1]
+    drad = float(np.float64(np.uint32(dw)) * (_TWO_PI / float(_U32)))
+    cd = np.asarray(np.cos(drad)).astype(rdtype)
+    sd = np.asarray(-np.sin(drad)).astype(rdtype)   # e^{-j drad}
+    dre = ure * cd - uim * sd
+    dim = uim * cd + ure * sd
+    # t = 0: y[0] conj(prev); y[0] = z[0] e^{-j rad(w0)}
+    c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
+    y0re = yre[0] * c0 - yim[0] * s0
+    y0im = yim[0] * c0 + yre[0] * s0
+    d0re = y0re * prev_re + y0im * prev_im
+    d0im = y0im * prev_re - y0re * prev_im
+    out = jnp.concatenate([
+        jnp.arctan2(d0im, d0re)[None],
+        jnp.arctan2(dim, dre),
+    ]) / np.asarray(2.0 * np.pi * kf).astype(rdtype)
+    # carried state: gained, rotated last sample (= rotated path's fm_prev)
+    wl = jnp.uint32(w0) + jnp.uint32((int(np.uint32(dw)) * (T - 1))
+                                     & 0xFFFFFFFF)
+    cl, sl = _rot_scalar(wl, rdtype)
+    g = gain.astype(rdtype)
+    new_prev_re = g * (yre[-1] * cl - yim[-1] * sl)
+    new_prev_im = g * (yim[-1] * cl + yre[-1] * sl)
+    return out, new_prev_re, new_prev_im
+
+
+def ddc_am_epilogue(yre, yim, gain):
+    """AM envelope off the unrotated body output: |g z e^{-j w}| = g |z|."""
+    return gain.astype(yre.dtype) * jnp.sqrt(yre * yre + yim * yim)
+
+
+def _piece_len(p):
+    if p[0] == "flat":
+        return int(p[1].shape[-1])
+    return int(p[1].shape[0]) * int(p[2])
+
+
+def _piece_last(p):
+    """Last raw output sample of a piece -> (re, im) scalars."""
+    if p[0] == "flat":
+        return p[1][-1], p[2][-1]
+    y2d, P = p[1], p[2]
+    return y2d[-1, P - 1], y2d[-1, 2 * P - 1]
+
+
+def ddc_energy_pieces(pieces):
+    """mean |z|^2 over all piece outputs (= mean |y|^2: |rot| = 1)."""
+    total = 0.0
+    count = 0
+    for p in pieces:
+        if p[0] == "flat":
+            total = total + jnp.sum(p[1] * p[1]) + jnp.sum(p[2] * p[2])
+        else:
+            y2d = p[1]
+            total = total + jnp.sum(y2d * y2d)   # [re | im] cols: both
+        count += _piece_len(p)
+    return total / count
+
+
+def ddc_fm_epilogue_pieces(pieces, w0, dw, prev_re, prev_im, kf, gain):
+    """FM discriminator straight off the body's NATIVE piece layouts.
+
+    Same math as :func:`ddc_fm_epilogue` (rotation and real positive gain
+    cancel in the phase differences; one constant e^{-j rad(dw)} rotation
+    remains) but consumes the tagged pieces of
+    :func:`ddc_apply_planar_pieces`, so the big Pallas tile piece is
+    demodulated in its (F, 2P) layout — no decimated-rate flatten/concat
+    of the complex signal ever materializes, only the (T,) f32 audio.
+
+    Pieces chain through RAW seam scalars (the cross product
+    z[t] conj(z[t-1]) e^{-j drad} is layout- and piece-independent for
+    every t >= 1); only the block's first output uses the carried
+    previous CHAIN output (rotated, gained) and the w0 rotation.
+
+    Returns (out, new_prev_re, new_prev_im) matching the rotated path's
+    (fm_demodulate after AGC) output and fm_prev state to float rounding.
+    """
+    rdtype = pieces[0][1].dtype
+    T = sum(_piece_len(p) for p in pieces)
+    drad = float(np.float64(np.uint32(dw)) * (_TWO_PI / float(_U32)))
+    cd = np.asarray(np.cos(drad)).astype(rdtype)
+    sd = np.asarray(-np.sin(drad)).astype(rdtype)   # e^{-j drad}
+    scale = np.asarray(1.0 / (2.0 * np.pi * kf)).astype(rdtype)
+
+    def disc(are, aim, bre, bim):
+        """atan2 of (a conj(b)) e^{-j drad}, scaled."""
+        ure = are * bre + aim * bim
+        uim = aim * bre - are * bim
+        return jnp.arctan2(uim * cd + ure * sd,
+                           ure * cd - uim * sd) * scale
+
+    audios = []
+    seam = None                       # raw z of the previous output
+    for p in pieces:
+        if p[0] == "flat":
+            re, im = p[1], p[2]
+            if seam is None:
+                # first output of the block: vs fm_prev (rotated, gained)
+                c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
+                y0re = re[0] * c0 - im[0] * s0
+                y0im = im[0] * c0 + re[0] * s0
+                d0 = jnp.arctan2(y0im * prev_re - y0re * prev_im,
+                                 y0re * prev_re + y0im * prev_im) * scale
+                audios.append(d0[None])
+                if re.shape[-1] > 1:
+                    audios.append(disc(re[1:], im[1:], re[:-1], im[:-1]))
+            else:
+                pre = jnp.concatenate([seam[0][None], re[:-1]])
+                pim = jnp.concatenate([seam[1][None], im[:-1]])
+                audios.append(disc(re, im, pre, pim))
+        else:
+            y2d, P = p[1], p[2]
+            zre, zim = y2d[:, :P], y2d[:, P:]
+            if seam is None:
+                # cols piece leading the block: bootstrap the seam with a
+                # duplicate of z[0], then overwrite output 0 afterwards
+                c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
+                y0re = zre[0, 0] * c0 - zim[0, 0] * s0
+                y0im = zim[0, 0] * c0 + zre[0, 0] * s0
+                first = jnp.arctan2(
+                    y0im * prev_re - y0re * prev_im,
+                    y0re * prev_re + y0im * prev_im) * scale
+                seam = (zre[0, 0], zim[0, 0])
+            else:
+                first = None
+            # col-0 neighbours: previous row's last column (seam at row 0)
+            pc_re = jnp.concatenate([seam[0][None], zre[:-1, P - 1]])
+            pc_im = jnp.concatenate([seam[1][None], zim[:-1, P - 1]])
+            a0 = disc(zre[:, 0], zim[:, 0], pc_re, pc_im)    # (F,)
+            arest = disc(zre[:, 1:], zim[:, 1:],
+                         zre[:, :-1], zim[:, :-1])           # (F, P-1)
+            a2d = jnp.concatenate([a0[:, None], arest], axis=1)
+            aflat = a2d.reshape(-1)
+            if first is not None:
+                aflat = jnp.concatenate([first[None], aflat[1:]])
+            audios.append(aflat)
+        seam = _piece_last(p)
+    out = audios[0] if len(audios) == 1 else jnp.concatenate(audios)
+    # carried state: gained, rotated last sample (rotated path's fm_prev)
+    wl = jnp.uint32(w0) + jnp.uint32((int(np.uint32(dw)) * (T - 1))
+                                     & 0xFFFFFFFF)
+    cl, sl = _rot_scalar(wl, rdtype)
+    g = jnp.asarray(gain).astype(rdtype)
+    new_prev_re = g * (seam[0] * cl - seam[1] * sl)
+    new_prev_im = g * (seam[1] * cl + seam[0] * sl)
+    return out, new_prev_re, new_prev_im
+
+
+def ddc_am_epilogue_pieces(pieces, gain):
+    """AM envelope off the native piece layouts: g |z| per piece."""
+    g = jnp.asarray(gain).astype(pieces[0][1].dtype)
+    outs = []
+    for p in pieces:
+        if p[0] == "flat":
+            outs.append(g * jnp.sqrt(p[1] * p[1] + p[2] * p[2]))
+        else:
+            y2d, P = p[1], p[2]
+            env = jnp.sqrt(y2d[:, :P] * y2d[:, :P]
+                           + y2d[:, P:] * y2d[:, P:])
+            outs.append((g * env).reshape(-1))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def ddc_apply(taps, dtheta, tail, theta0, x, decimation: int,

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .fir import _banks_np
 
 __all__ = ["make_pallas_ddc_body", "pallas_body_supported",
+           "make_pallas_ddc_full", "pallas_full_supported",
            "DEFAULT_P", "DEFAULT_TF", "HALO_FRAMES"]
 
 DEFAULT_P = 64     # outputs per frame (N = 2P = 128 bank columns)
@@ -181,5 +182,191 @@ def make_pallas_ddc_body(h_bp: np.ndarray, M: int, tiles: int,
 
     def run(xf):
         return call(xf, xf, *bank_const)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Backward-halo full-coverage kernel
+#
+# The forward kernel above needs its operand pre-sliced to the covered span,
+# and a pallas operand that is a strided slice of a runtime argument forces
+# XLA to materialize a full-rate copy (~0.43 ms / 128 MB block on chip —
+# measured sliced 1.06 ms vs full-buffer 0.63 ms, tools/proto_pallas_ddc2.py
+# follow-up).  This variant reformulates the band so output t reads
+# x[t*M - D .. t*M - D + n), D = n - M: every frame's outputs reach BACKWARD
+# into the previous frame only, so the kernel consumes the free reshape
+# (2, L) -> (2, F, hop) of the WHOLE input argument — no slice, no copy —
+# and the carried filter tail enters as one tiny extra row, replacing the
+# XLA head piece entirely.
+
+
+def pallas_full_supported(n_taps: int, M: int, P: int = DEFAULT_P) -> bool:
+    """Backward reach D = n_taps - M must fit one frame: 0 < D <= hop."""
+    return 0 < n_taps - M <= P * M
+
+
+@lru_cache(maxsize=64)
+def _banks_full_cached(h_bytes: bytes, n: int, M: int, P: int):
+    """Banks for the backward formulation.
+
+    _banks_np's Hfull[(p*M + j), p] = h[j] has its nonzero rows in
+    [0, hop + D) with D = n - M; output p's window covers frame-local
+    x rows [p*M - D, p*M - D + n).  Body rows (x_f[0..hop)) are
+    Hfull[D : D + hop]; rows [0, D) hit the PREVIOUS frame's trailing
+    columns [hop - D, hop), padded at the top to hpad (sublane multiple)
+    so the kernel slices prev[:, hop - hpad :].
+    """
+    h_bp = np.frombuffer(h_bytes, np.complex128).reshape(n)
+    hr2 = h_bp.real.astype(np.float32)[:, None]
+    hi2 = h_bp.imag.astype(np.float32)[:, None]
+    hop = P * M
+    D = n - M
+    hpad = min(hop, max(_round_up(D, 8), 8))
+    Hf_r = np.concatenate(_banks_np(hr2, P, M), axis=0)   # (hop + n-1, P)
+    Hf_i = np.concatenate(_banks_np(hi2, P, M), axis=0)
+
+    def fold(Hr, Hi, rows):
+        Br = np.zeros((rows, 2 * P), np.float32)
+        Bi = np.zeros((rows, 2 * P), np.float32)
+        r = Hr.shape[0]
+        Br[:r, :P] = Hr
+        Br[:r, P:] = Hi
+        Bi[:r, :P] = -Hi
+        Bi[:r, P:] = Hr
+        return Br, Bi
+
+    Bbr, Bbi = fold(Hf_r[D : D + hop], Hf_i[D : D + hop], hop)
+    prev_r = np.zeros((hpad, P), np.float32)
+    prev_i = np.zeros((hpad, P), np.float32)
+    prev_r[hpad - D :] = Hf_r[:D]
+    prev_i[hpad - D :] = Hf_i[:D]
+    Bpr, Bpi = fold(prev_r, prev_i, hpad)
+    return (Bbr, Bbi, Bpr, Bpi), hpad
+
+
+def _make_kernel_full(P: int, hop: int, hpad: int, mode: str):
+    if mode == "x3":
+        def dots(ah, al, bh, bl):
+            y = jnp.dot(ah, bh[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(al, bh[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(ah, bl[:], preferred_element_type=jnp.float32)
+            return y
+
+        def kernel(x_ref, lhalo_ref, tail_ref,
+                   brh, brl, bih, bil, prh, prl, pih, pil, o_ref):
+            i = pl.program_id(0)
+            r = x_ref[0]
+            im = x_ref[1]
+            rh, rl = _split_bf16(r)
+            ih, il = _split_bf16(im)
+            y = dots(rh, rl, brh, brl) + dots(ih, il, bih, bil)
+            # previous frame per row: in-tile shift; tile boundary row
+            # comes from the left halo (or the carried tail at tile 0)
+            pr0 = jnp.where(i == 0, tail_ref[0, 7:8], lhalo_ref[0, 7:8])
+            pi0 = jnp.where(i == 0, tail_ref[1, 7:8], lhalo_ref[1, 7:8])
+            p0h, p0l = _split_bf16(pr0)
+            q0h, q0l = _split_bf16(pi0)
+            pvh = jnp.concatenate([p0h, rh[:-1]], axis=0)[:, hop - hpad :]
+            pvl = jnp.concatenate([p0l, rl[:-1]], axis=0)[:, hop - hpad :]
+            qvh = jnp.concatenate([q0h, ih[:-1]], axis=0)[:, hop - hpad :]
+            qvl = jnp.concatenate([q0l, il[:-1]], axis=0)[:, hop - hpad :]
+            y += dots(pvh, pvl, prh, prl) + dots(qvh, qvl, pih, pil)
+            o_ref[:] = y
+    else:
+        def kernel(x_ref, lhalo_ref, tail_ref, br, bi, pr, pi_, o_ref):
+            i = pl.program_id(0)
+            r = x_ref[0].astype(jnp.bfloat16)
+            im = x_ref[1].astype(jnp.bfloat16)
+            y = jnp.dot(r, br[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(im, bi[:], preferred_element_type=jnp.float32)
+            pr0 = jnp.where(i == 0, tail_ref[0, 7:8],
+                            lhalo_ref[0, 7:8]).astype(jnp.bfloat16)
+            pi0 = jnp.where(i == 0, tail_ref[1, 7:8],
+                            lhalo_ref[1, 7:8]).astype(jnp.bfloat16)
+            pv = jnp.concatenate([pr0, r[:-1]], axis=0)[:, hop - hpad :]
+            qv = jnp.concatenate([pi0, im[:-1]], axis=0)[:, hop - hpad :]
+            y += jnp.dot(pv, pr[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(qv, pi_[:], preferred_element_type=jnp.float32)
+            o_ref[:] = y
+    return kernel
+
+
+def _split_banks_np(mats):
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+    out = []
+    for a in mats:
+        hi = np.asarray(a, bf16)   # pure numpy: safe inside jit traces
+        lo = np.asarray(a - np.asarray(hi, np.float32), bf16)
+        out += [hi, lo]
+    return out
+
+
+def make_pallas_ddc_full(h_bp: np.ndarray, M: int, tiles: int,
+                         P: int = DEFAULT_P, TF: int = DEFAULT_TF,
+                         mode: str = "x3",
+                         interpret: bool | None = None):
+    """Build the full-coverage backward-halo body function.
+
+    Returns fn(xf, tailrow) -> (tiles*TF, 2P) f32 where xf is the FREE
+    frame view (2, F, hop) of the whole input planes (F >= tiles*TF;
+    trailing frames beyond the tiles are untouched) and tailrow is a
+    (2, 8, hop) array whose LAST row holds the carried extended tail
+    x_ext[-hop:] = [zeros(hop - D) | tail2[:, M-1:]] (D = n - M).
+
+    Output index t = (tile*TF + f)*P + p runs over ALL outputs of the
+    covered frames starting at output 0 of the block — the tail
+    contribution is inside the kernel, so no separate XLA head piece.
+    """
+    h_bp = np.ascontiguousarray(np.asarray(h_bp, np.complex128))
+    n = h_bp.shape[0]
+    if not pallas_full_supported(n, M, P):
+        raise ValueError("backward reach out of range: need 0 < n-M <= P*M")
+    if TF % HALO_FRAMES:
+        raise ValueError(f"TF must be a multiple of {HALO_FRAMES}")
+    (banks, hpad) = _banks_full_cached(h_bp.tobytes(), n, M, P)
+    if mode == "x3":
+        bank_const = tuple(jnp.asarray(b) for b in _split_banks_np(banks))
+    else:
+        bank_const = tuple(jnp.asarray(b, jnp.bfloat16) for b in banks)
+    hop = P * M
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+    kern = _make_kernel_full(P, hop, hpad, mode)
+
+    in_specs = [
+        pl.BlockSpec((2, TF, hop), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        # left halo: the HALO_FRAMES frames before the tile (last row
+        # used); clamped at tile 0 where the tail row takes over
+        pl.BlockSpec((2, HALO_FRAMES, hop),
+                     lambda i: (0, jnp.maximum(i * (TF // HALO_FRAMES) - 1,
+                                               0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, HALO_FRAMES, hop), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for b in bank_const]
+
+    call = pl.pallas_call(
+        kern,
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TF, 2 * P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles * TF, 2 * P), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * TF * (hop + hpad) * 2 * P * 2
+                   * (3 if mode == "x3" else 1)) * tiles,
+            bytes_accessed=2 * tiles * TF * hop * 4
+            + tiles * TF * 2 * P * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def run(xf, tailrow):
+        return call(xf, xf, tailrow, *bank_const)
 
     return run
