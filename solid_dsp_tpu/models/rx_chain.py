@@ -198,6 +198,44 @@ def make_rx_chain(cfg: RxChainConfig):
             x2c = x2 if planar_in else jnp.stack([jnp.real(x), jnp.imag(x)])
             tail2 = jnp.stack([jnp.real(state.fir_tail),
                                jnp.imag(state.fir_tail)])
+            if cfg.demod == "fm":
+                # fully fused kernel (DDC body + discriminator in VMEM):
+                # the decimated-rate complex signal never touches HBM
+                fused_fm = ddc_ops.ddc_fm_fused(
+                    taps_design, dtheta, tail2, state.nco_theta, x2c,
+                    cfg.decimation, cfg.fir_precision, cfg.fm_kf,
+                    jnp.real(state.fm_prev), jnp.imag(state.fm_prev),
+                    state.agc["gain"], engine=cfg.ddc_engine)
+                if fused_fm is not None:
+                    out, pr, pi, ee_mean, tail2n, theta_end = fused_fm
+                    gain = state.agc["gain"]
+                    agc_state = agc_ops.block_gain_update(
+                        state.agc, (gain * gain) * ee_mean,
+                        cfg.agc_bandwidth, out.shape[-1])
+                    new_parts = dict(
+                        nco_theta=theta_end,
+                        fir_tail=jax.lax.complex(
+                            tail2n[0], tail2n[1]).astype(cfg.dtype),
+                        fir_phase=state.fir_phase,
+                        agc=agc_state,
+                        fm_prev=jax.lax.complex(pr, pi).astype(cfg.dtype),
+                    )
+                    if cfg.impairment_bw > 0.0:
+                        new_parts["impair"] = impair_state
+                    new_state = ChainState(**new_parts)
+                    if cfg.debug_checks:
+                        inp_ok = (jnp.all(jnp.isfinite(x2c)) if planar_in
+                                  else jnp.all(jnp.isfinite(x)))
+                        out_ok = jnp.all(jnp.isfinite(out))
+                        flags = {
+                            "input": inp_ok,
+                            "nco": inp_ok,
+                            "fir": out_ok,
+                            "agc": out_ok & jnp.isfinite(agc_state["gain"]),
+                            "demod": out_ok,
+                        }
+                        return out, new_state, flags
+                    return out, new_state
             pieces, tail2n, theta_end, w0, dw = ddc_ops.ddc_apply_planar_pieces(
                 taps_design, dtheta, tail2, state.nco_theta, x2c,
                 cfg.decimation, precision=cfg.fir_precision,

@@ -47,7 +47,7 @@ __all__ = ["ddc_taps", "ddc_apply_planar", "ddc_apply",
            "ddc_apply_planar_raw", "ddc_apply_planar_pieces",
            "ddc_fm_epilogue", "ddc_am_epilogue",
            "ddc_fm_epilogue_pieces", "ddc_am_epilogue_pieces",
-           "ddc_energy_pieces"]
+           "ddc_energy_pieces", "ddc_fm_fused"]
 
 
 def ddc_taps(taps: np.ndarray, dtheta: np.uint32) -> np.ndarray:
@@ -555,6 +555,117 @@ def ddc_fm_epilogue_pieces(pieces, w0, dw, prev_re, prev_im, kf, gain):
     new_prev_re = g * (seam[0] * cl - seam[1] * sl)
     new_prev_im = g * (seam[1] * cl + seam[0] * sl)
     return out, new_prev_re, new_prev_im
+
+
+def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
+                 precision, kf, prev_re, prev_im, gain, engine: str = "auto"):
+    """One-kernel DDC + FM demod (ops/pallas_ddc.py::make_pallas_ddc_fm).
+
+    The fully fused path: the Mosaic kernel computes the DDC body AND the
+    collapsed-epilogue FM discriminator in VMEM, emitting only the (T,) f32
+    audio plus a tiny per-tile stats row — the decimated-rate complex
+    signal never touches HBM.  Falls back by returning None when the
+    geometry or engine doesn't allow it (caller uses the pieces path).
+
+    Returns (out, new_prev_re, new_prev_im, ee_mean, new_tail2, theta_end)
+    where out matches the rotated rotate->AGC->fm_demodulate chain to
+    float rounding and ee_mean = mean |z|^2 for the AGC carry update.
+    """
+    taps = np.asarray(taps)
+    n = len(taps)
+    n1 = n - 1
+    M = int(decimation)
+    L = int(x2.shape[-1])
+    rdtype = x2.dtype
+    if L % M or rdtype == jnp.float64:
+        return None
+    if not _use_pallas(engine, precision, rdtype):
+        return None
+    from .pallas_ddc import (DEFAULT_P, DEFAULT_TF, HALO_FRAMES,
+                             make_pallas_ddc_fm, pallas_fm_supported)
+    Pp = DEFAULT_P
+    hop_p = Pp * M
+    D = n - M
+    if not (pallas_fm_supported(n, M, Pp) and L % hop_p == 0
+            and n1 >= M - 1 and L >= max(hop_p, n1)):
+        return None
+    F_all = L // hop_p
+    TFp = DEFAULT_TF
+    for cand in (1024, 512, 256):
+        if F_all // cand >= 4:
+            TFp = cand
+            break
+    tiles = F_all // TFp
+    if tiles <= 0:
+        return None
+
+    T = L // M
+    first = M - 1
+    h_bp = ddc_taps(taps, np.uint32(dtheta))
+    d = int(np.uint32(dtheta))
+    dw = np.uint32((M * d) & 0xFFFFFFFF)
+    w0 = (jnp.uint32(theta0)
+          + jnp.uint32((first * d) & 0xFFFFFFFF)
+          - jnp.uint32((n1 * d) & 0xFFFFFFFF))
+    mode = "x3" if precision != "default" else "fast"
+    body_fn = make_pallas_ddc_fm(h_bp, M, tiles, dw, kf, TF=TFp, mode=mode)
+    xf = x2.reshape(2, F_all, hop_p)
+    tailrow = jnp.zeros((2, HALO_FRAMES, hop_p), rdtype)
+    tailrow = tailrow.at[:, HALO_FRAMES - 1, hop_p - D :].set(
+        tail2[:, first:].astype(rdtype))
+    audio, stats8 = body_fn(xf, tailrow)  # (tiles*TF, P), (tiles*8, 128)
+    stats = stats8.reshape(tiles, 8, 128)[:, 0, :]   # row 0 carries data
+
+    scale = np.asarray(1.0 / (2.0 * np.pi * float(kf))).astype(rdtype)
+    drad = float(np.float64(np.uint32(dw)) * (_TWO_PI / float(_U32)))
+    cd = np.asarray(np.cos(drad)).astype(rdtype)
+    sd = np.asarray(-np.sin(drad)).astype(rdtype)   # e^{-j drad}
+
+    # exact output 0: the kernel's tile-0 seam window is one sample short
+    # (the carried tail is n-1 long); the carried fm_prev (rotated,
+    # gained previous chain output) gives the exact value instead.
+    z0re, z0im = stats[0, 3], stats[0, 4]
+    c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
+    y0re = z0re * c0 - z0im * s0
+    y0im = z0im * c0 + z0re * s0
+    v0 = jnp.arctan2(y0im * prev_re - y0re * prev_im,
+                     y0re * prev_re + y0im * prev_im) * scale
+    out = audio.reshape(-1).at[0].set(v0)
+
+    energy = jnp.sum(stats[:, 0])
+    seam_re, seam_im = stats[-1, 1], stats[-1, 2]
+    t0 = tiles * TFp * Pp
+    Trem = T - t0
+    if Trem > 0:
+        bank_dt = np.float32
+        hr2 = h_bp.real.astype(bank_dt)[:, None]
+        hi2 = h_bp.imag.astype(bank_dt)[:, None]
+        wr = (Trem - 1) * M + n
+        zrem = x2[:, t0 * M - D : t0 * M - D + wr]
+        Hr = _fold_banks(_bank_rem_np(hr2, Trem, M),
+                         _bank_rem_np(hi2, Trem, M), bank_dt)
+        yr = _plane_dot(zrem, Hr, rdtype, _resolve_precision(precision))
+        rre, rim = yr[:Trem], yr[Trem:]
+        pre = jnp.concatenate([seam_re[None], rre[:-1]])
+        pim = jnp.concatenate([seam_im[None], rim[:-1]])
+        ure = rre * pre + rim * pim
+        uim = rim * pre - rre * pim
+        arem = jnp.arctan2(uim * cd + ure * sd,
+                           ure * cd - uim * sd) * scale
+        out = jnp.concatenate([out, arem])
+        energy = energy + jnp.sum(rre * rre + rim * rim)
+        seam_re, seam_im = rre[-1], rim[-1]
+    ee_mean = energy / T
+
+    wl = jnp.uint32(w0) + jnp.uint32((int(np.uint32(dw)) * (T - 1))
+                                     & 0xFFFFFFFF)
+    cl, sl = _rot_scalar(wl, rdtype)
+    g = jnp.asarray(gain).astype(rdtype)
+    new_prev_re = g * (seam_re * cl - seam_im * sl)
+    new_prev_im = g * (seam_im * cl + seam_re * sl)
+    new_tail2 = x2[:, L - n1 :] if n1 > 0 else tail2[:, :0]
+    theta_end = jnp.uint32(theta0) + jnp.uint32((L * d) & 0xFFFFFFFF)
+    return out, new_prev_re, new_prev_im, ee_mean, new_tail2, theta_end
 
 
 def ddc_am_epilogue_pieces(pieces, gain):

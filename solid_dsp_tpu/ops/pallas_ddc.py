@@ -46,6 +46,7 @@ from .fir import _banks_np
 
 __all__ = ["make_pallas_ddc_body", "pallas_body_supported",
            "make_pallas_ddc_full", "pallas_full_supported",
+           "make_pallas_ddc_fm", "pallas_fm_supported",
            "DEFAULT_P", "DEFAULT_TF", "HALO_FRAMES"]
 
 DEFAULT_P = 64     # outputs per frame (N = 2P = 128 bank columns)
@@ -245,6 +246,33 @@ def _banks_full_cached(h_bytes: bytes, n: int, M: int, P: int):
     return (Bbr, Bbi, Bpr, Bpi), hpad
 
 
+def _atan2(y, x):
+    """f32 atan2 from supported Mosaic primitives (no atan/atan2 lowering).
+
+    Cephes atanf scheme: reduce to t = min/max in [0, 1], second range
+    reduction at tan(pi/8) via atan(t) = pi/4 + atan((t-1)/(t+1)), then a
+    4-term odd minimax polynomial; quadrant fixes with where/sign.  Max
+    error ~2e-7 rad vs the libm atan2 (measured in the parity tests) —
+    far below the chain's 90 dB gates.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, np.float32(1e-37))
+    red = t > np.float32(0.4142135623730951)      # tan(pi/8)
+    u = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    z = u * u
+    p = ((((np.float32(8.05374449538e-2) * z
+            - np.float32(1.38776856032e-1)) * z
+           + np.float32(1.99777106478e-1)) * z
+          - np.float32(3.33329491539e-1)) * z * u + u)
+    r = jnp.where(red, np.float32(np.pi / 4) + p, p)
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def _make_kernel_full(P: int, hop: int, hpad: int, mode: str):
     if mode == "x3":
         def dots(ah, al, bh, bl):
@@ -368,5 +396,232 @@ def make_pallas_ddc_full(h_bp: np.ndarray, M: int, tiles: int,
 
     def run(xf, tailrow):
         return call(xf, xf, tailrow, *bank_const)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Fully fused FM kernel: DDC body + discriminator in one VMEM pass
+#
+# With the collapsed-epilogue algebra (ops/ddc.py::ddc_fm_epilogue), the FM
+# audio is atan2 of z[t] conj(z[t-1]) e^{-j drad} — every term of which the
+# backward-halo kernel already has in VMEM: z[t-1] is the neighbouring
+# output inside the tile (previous column / previous row's last column),
+# and the one cross-tile seam is recomputed from the left-halo frame with a
+# single extra bank column.  Emitting the f32 audio (half the bytes of the
+# complex z) plus a tiny per-tile stats row removes the entire decimated-
+# rate XLA epilogue from HBM.
+
+
+def pallas_fm_supported(n_taps: int, M: int, P: int = DEFAULT_P) -> bool:
+    """Needs the backward-halo geometry AND the seam recompute window
+    (the previous frame's last output) to fit one frame: n <= hop."""
+    return pallas_full_supported(n_taps, M, P) and n_taps <= P * M
+
+
+@lru_cache(maxsize=64)
+def _seam_bank_cached(h_bytes: bytes, n: int, M: int, P: int):
+    """Bank for the previous frame's LAST output: its window is the
+    frame's trailing n samples (rows [hop-n, hop)).  Padded to 128 lanes
+    (cols 0/1 = re/im parts) so the dot shape is MXU-clean."""
+    h_bp = np.frombuffer(h_bytes, np.complex128).reshape(n)
+    hr = h_bp.real.astype(np.float32)
+    hi = h_bp.imag.astype(np.float32)
+    hop = P * M
+    Bs_r = np.zeros((hop, 128), np.float32)
+    Bs_i = np.zeros((hop, 128), np.float32)
+    Bs_r[hop - n :, 0] = hr
+    Bs_r[hop - n :, 1] = hi
+    Bs_i[hop - n :, 0] = -hi
+    Bs_i[hop - n :, 1] = hr
+    return Bs_r, Bs_i
+
+
+def _make_kernel_fm(P: int, hop: int, hpad: int, mode: str,
+                    cd: float, sd: float, scale: float):
+    # NumPy scalars (not jnp): device scalars made outside the kernel
+    # trace would be "captured constants", which pallas_call rejects
+    cd = np.float32(cd)
+    sd = np.float32(sd)
+    scale = np.float32(scale)
+
+    def pick11(v, i, j):
+        """v[i, j] as a (1, 1) value at register offset (0, 0) — direct
+        corner slices carry their source offsets, which Mosaic's concat
+        rejects on the non-concat dimension; a masked reduction lands
+        the value at offset 0."""
+        ri = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        m = (ri == i) & (ci == j)
+        return jnp.sum(jnp.where(m, v, 0.0), axis=(0, 1), keepdims=True)
+
+    def finish(y, zs, o_audio, o_stats):
+        zre = y[:, :P]
+        zim = y[:, P:]
+        # previous output in flattened (row-major) order via native
+        # rotates: lane-roll right by 1, then the wrapped column 0 takes
+        # the SUBLANE-rolled value (previous row's last column); the one
+        # remaining corner (row 0, col 0 = the cross-tile seam) comes
+        # from the recomputed zs.  Rolls are single VPU ops — the concat
+        # construction they replace cost ~0.3 ms/block in relayouts.
+        ci = jax.lax.broadcasted_iota(jnp.int32, zre.shape, 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, zre.shape, 0)
+        Are = pltpu.roll(zre, 1, 1)
+        Aim = pltpu.roll(zim, 1, 1)
+        Bre = pltpu.roll(Are, 1, 0)
+        Bim = pltpu.roll(Aim, 1, 0)
+        corner = (ri == 0) & (ci == 0)
+        pre = jnp.where(corner, pick11(zs, 0, 0),
+                        jnp.where(ci == 0, Bre, Are))
+        pim = jnp.where(corner, pick11(zs, 0, 1),
+                        jnp.where(ci == 0, Bim, Aim))
+        ure = zre * pre + zim * pim
+        uim = zim * pre - zre * pim
+        dre = ure * cd - uim * sd
+        dim = uim * cd + ure * sd
+        o_audio[:] = _atan2(dim, dre) * scale
+        one = jnp.zeros((1, 1), jnp.float32)
+        TFr = zre.shape[0]
+        stats = jnp.concatenate([
+            one + jnp.sum(y * y),            # [0] tile energy sum|z|^2
+            pick11(zre, TFr - 1, P - 1),     # [1] z_last re
+            pick11(zim, TFr - 1, P - 1),     # [2] z_last im
+            pick11(zre, 0, 0),               # [3] z_first re
+            pick11(zim, 0, 0),               # [4] z_first im
+            jnp.zeros((1, 128 - 5), jnp.float32),
+        ], axis=1)
+        # (8, 128) block: Mosaic needs the trailing dims of an output
+        # block to be sublane/lane aligned — row 0 carries the data
+        o_stats[:] = jnp.concatenate([stats] * 8, axis=0)
+
+    if mode == "x3":
+        def dots(ah, al, bh, bl):
+            y = jnp.dot(ah, bh[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(al, bh[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(ah, bl[:], preferred_element_type=jnp.float32)
+            return y
+
+        def kernel(x_ref, lhalo_ref, tail_ref,
+                   brh, brl, bih, bil, prh, prl, pih, pil,
+                   bsr, bsi, o_audio, o_stats):
+            i = pl.program_id(0)
+            r = x_ref[0]
+            im = x_ref[1]
+            rh, rl = _split_bf16(r)
+            ih, il = _split_bf16(im)
+            y = dots(rh, rl, brh, brl) + dots(ih, il, bih, bil)
+            pr0 = jnp.where(i == 0, tail_ref[0, 7:8], lhalo_ref[0, 7:8])
+            pi0 = jnp.where(i == 0, tail_ref[1, 7:8], lhalo_ref[1, 7:8])
+            p0h, p0l = _split_bf16(pr0)
+            q0h, q0l = _split_bf16(pi0)
+            pvh = jnp.concatenate([p0h, rh[:-1]], axis=0)[:, hop - hpad :]
+            pvl = jnp.concatenate([p0l, rl[:-1]], axis=0)[:, hop - hpad :]
+            qvh = jnp.concatenate([q0h, ih[:-1]], axis=0)[:, hop - hpad :]
+            qvl = jnp.concatenate([q0l, il[:-1]], axis=0)[:, hop - hpad :]
+            y += dots(pvh, pvl, prh, prl) + dots(qvh, qvl, pih, pil)
+            # seam: previous frame's last output, full-precision f32 dot
+            # (1 row — MXU cost is negligible)
+            zs = (jnp.dot(pr0, bsr[:], preferred_element_type=jnp.float32)
+                  + jnp.dot(pi0, bsi[:], preferred_element_type=jnp.float32))
+            finish(y, zs, o_audio, o_stats)
+    else:
+        def kernel(x_ref, lhalo_ref, tail_ref, br, bi, pr, pi_,
+                   bsr, bsi, o_audio, o_stats):
+            i = pl.program_id(0)
+            r16 = x_ref[0].astype(jnp.bfloat16)
+            i16 = x_ref[1].astype(jnp.bfloat16)
+            y = jnp.dot(r16, br[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(i16, bi[:], preferred_element_type=jnp.float32)
+            pr0 = jnp.where(i == 0, tail_ref[0, 7:8], lhalo_ref[0, 7:8])
+            pi0 = jnp.where(i == 0, tail_ref[1, 7:8], lhalo_ref[1, 7:8])
+            pv = jnp.concatenate([pr0.astype(jnp.bfloat16), r16[:-1]],
+                                 axis=0)[:, hop - hpad :]
+            qv = jnp.concatenate([pi0.astype(jnp.bfloat16), i16[:-1]],
+                                 axis=0)[:, hop - hpad :]
+            y += jnp.dot(pv, pr[:], preferred_element_type=jnp.float32)
+            y += jnp.dot(qv, pi_[:], preferred_element_type=jnp.float32)
+            zs = (jnp.dot(pr0, bsr[:], preferred_element_type=jnp.float32)
+                  + jnp.dot(pi0, bsi[:], preferred_element_type=jnp.float32))
+            finish(y, zs, o_audio, o_stats)
+    return kernel
+
+
+def make_pallas_ddc_fm(h_bp: np.ndarray, M: int, tiles: int, dw: np.uint32,
+                       kf: float, P: int = DEFAULT_P, TF: int = DEFAULT_TF,
+                       mode: str = "x3",
+                       interpret: bool | None = None):
+    """Build the fused DDC+FM body: fn(xf, tailrow) -> (audio, stats).
+
+    audio: (tiles*TF, P) f32, audio[t] = atan2 of z[t] conj(z[t-1])
+    rotated by the constant e^{-j rad(dw)}, scaled by 1/(2 pi kf) — i.e.
+    the collapsed-epilogue FM discriminator (ops/ddc.py) for every output
+    of the covered frames.  Output 0 of tile 0 uses a seam recomputed
+    from the carried tail row that is missing the oldest tap sample
+    (the tail carries n-1, the seam window wants n) — the caller
+    overwrites audio[0] exactly from the carried fm_prev state.
+
+    stats: (tiles*8, 128) f32 — per tile an (8, 128) block whose row 0 is
+    [energy sum|z|^2, z_last re, z_last im, z_first re, z_first im, 0...]
+    (8 identical rows: output blocks need sublane-aligned shapes) — the
+    AGC energy and seam values the caller needs, so the complex z never
+    leaves VMEM.
+    """
+    h_bp = np.ascontiguousarray(np.asarray(h_bp, np.complex128))
+    n = h_bp.shape[0]
+    if not pallas_fm_supported(n, M, P):
+        raise ValueError("fused FM needs 0 < n-M <= hop and n <= hop")
+    if TF % HALO_FRAMES:
+        raise ValueError(f"TF must be a multiple of {HALO_FRAMES}")
+    (banks, hpad) = _banks_full_cached(h_bp.tobytes(), n, M, P)
+    if mode == "x3":
+        bank_const = tuple(jnp.asarray(b) for b in _split_banks_np(banks))
+    else:
+        bank_const = tuple(jnp.asarray(b, jnp.bfloat16) for b in banks)
+    seam_const = tuple(jnp.asarray(b)
+                       for b in _seam_bank_cached(h_bp.tobytes(), n, M, P))
+    hop = P * M
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+    drad = float(np.float64(np.uint32(dw)) * (2.0 * np.pi / 4294967296.0))
+    kern = _make_kernel_fm(P, hop, hpad, mode,
+                           np.cos(drad), -np.sin(drad),
+                           1.0 / (2.0 * np.pi * float(kf)))
+
+    in_specs = [
+        pl.BlockSpec((2, TF, hop), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, HALO_FRAMES, hop),
+                     lambda i: (0, jnp.maximum(i * (TF // HALO_FRAMES) - 1,
+                                               0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, HALO_FRAMES, hop), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for b in bank_const + seam_const]
+
+    call = pl.pallas_call(
+        kern,
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((TF, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles * TF, P), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * 8, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * TF * (hop + hpad) * 2 * P * 2
+                   * (3 if mode == "x3" else 1)) * tiles,
+            bytes_accessed=2 * tiles * TF * hop * 4 + tiles * TF * P * 4,
+            transcendentals=tiles * TF * P),
+        interpret=interpret,
+    )
+
+    def run(xf, tailrow):
+        return call(xf, xf, tailrow, *bank_const, *seam_const)
 
     return run
