@@ -38,7 +38,11 @@ from solid_dsp_tpu.utils.transfer import put_complex
 # BENCH_SMOKE=1: tiny sizes + short ks, for CPU structural validation only
 import os
 SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
-KS = (1, 2, 3) if SMOKE else (2, 10, 18)
+# Longer chains + 2 repetitions: with ~1 ms iterations the tunnel's
+# round-trip jitter dominates 3-point slopes at small k (r02 sweep rows
+# swung far above/below bench.py's repeated-run numbers).
+KS = (1, 2, 3) if SMOKE else (4, 16, 48)
+REPS = 1 if SMOKE else 2
 
 
 def _size(bits: int) -> int:
@@ -57,7 +61,7 @@ def _retried(fn, attempts: int = 3, sleep_s: float = 45.0):
             time.sleep(sleep_s)
 
 
-def _measure(step, s0, ks=KS, reps=1):
+def _measure(step, s0, ks=KS, reps=REPS):
     r = _retried(lambda: measure_step(step, s0, ks=ks, reps=reps, warmup=3))
     return r["t_iter"]
 
@@ -103,12 +107,19 @@ def _chain_step(apply, x):
 
 
 def _stateless_step(f, x):
-    """Thread the checksum INTO the next call's input so iterations form a
-    true device-side dependency chain (no reordering/elision)."""
+    """Chain iterations through the CHECKSUM only.
+
+    The previous form threaded the checksum into the input
+    (``x + 0.0*chk``) — that forces a full read+write copy of the input
+    every iteration (~0.76 ms per 128 MB at the measured HBM bandwidth),
+    which DEFLATED every stateless measurement; it capped kernels at
+    ~16 Gs/s regardless of their real speed (PERF_NOTES.md #8).
+    Summing into the carry is sound: k sequential dispatches of the same
+    executable cannot be elided or CSE'd across calls, and a single
+    TensorCore serializes their execution."""
     @jax.jit
     def g(chk, x):
-        y = f(x + (0.0 * chk).astype(x.dtype))
-        return jnp.sum(jnp.abs(y))
+        return chk + jnp.sum(jnp.abs(f(x)))
 
     def step(chk):
         c2 = g(chk, x)
@@ -646,22 +657,27 @@ def bench_resample():
     return out
 
 
-def main():
-    import sys
-    picks = [a for a in sys.argv[1:] if not a.startswith("-")]
-    for fn in (bench_hbm_control, bench_rx_chain,
-               bench_rx_chain_planar_x3, bench_rx_chain_planar_bf16,
-               bench_rx_chain_stream,
-               bench_rx_chain_ci16_ingest,
-               bench_rx_chain_parity_parallel,
-               bench_rx_chain_parity_scan, bench_channelizer,
-               bench_os_channelizer,
-               bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
-               bench_fft_nonpow2, bench_frontend_ops,
-               bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
-               bench_cyclo, bench_tx_dsp,
-               bench_tracking, bench_detection, bench_resample,
-               bench_rx_chain_bf16_fir):
+BENCHES = None  # filled below (after all defs)
+
+
+def _bench_list():
+    return (bench_hbm_control, bench_rx_chain,
+            bench_rx_chain_planar_x3, bench_rx_chain_planar_bf16,
+            bench_rx_chain_stream,
+            bench_rx_chain_ci16_ingest,
+            bench_rx_chain_parity_parallel,
+            bench_rx_chain_parity_scan, bench_channelizer,
+            bench_os_channelizer,
+            bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
+            bench_fft_nonpow2, bench_frontend_ops,
+            bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
+            bench_cyclo, bench_tx_dsp,
+            bench_tracking, bench_detection, bench_resample,
+            bench_rx_chain_bf16_fir)
+
+
+def _run_inline(picks):
+    for fn in _bench_list():
         if picks and not any(p in fn.__name__ for p in picks):
             continue
         try:
@@ -671,6 +687,56 @@ def main():
         except Exception as e:  # keep sweeping even if one workload trips
             print(json.dumps({"metric": fn.__name__, "error": str(e)[:120]}),
                   flush=True)
+
+
+def _run_isolated(picks):
+    """One CHILD PROCESS per bench: a single UNIMPLEMENTED from the axon
+    tunnel poisons the whole PJRT client, so an in-process sweep loses
+    every bench after the first failure (observed: 17 of 25 rows lost).
+    A fresh process per bench = a fresh client; stragglers get one retry
+    after a cool-down."""
+    import subprocess
+    import sys
+
+    for fn in _bench_list():
+        if picks and not any(p in fn.__name__ for p in picks):
+            continue
+        got = False
+        for attempt in range(2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-u", __file__, fn.__name__,
+                     "--inline"],
+                    capture_output=True, text=True, timeout=900)
+            except subprocess.TimeoutExpired:
+                if attempt == 0:
+                    time.sleep(60)
+                continue
+            for line in out.stdout.splitlines():
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if "value" in row:
+                    print(line, flush=True)
+                    got = True
+            if got:
+                break
+            if attempt == 0:
+                time.sleep(60)
+        if not got:
+            print(json.dumps({"metric": fn.__name__,
+                              "error": "no result after 2 child attempts"}),
+                  flush=True)
+
+
+def main():
+    import sys
+    picks = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--inline" in sys.argv or SMOKE:
+        _run_inline(picks)
+    else:
+        _run_isolated(picks)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,11 @@ def hbm_read_control(nbytes: int = 1 << 28) -> dict:
 
     Run this alongside any throughput claim; a workload implying more
     HBM traffic than this control sustains is a measurement artifact.
+
+    Long iteration chains (k up to 48) on purpose: short-k slopes over
+    the tunnel OVERESTIMATE badly (a 920 GB/s "measurement" of this very
+    control was observed with k <= 16 — above the chip's HBM speed of
+    light; k <= 48 lands at ~340 GB/s, consistent across harnesses).
     """
     a = jnp.ones((nbytes // 4,), jnp.float32)
 
@@ -105,6 +110,7 @@ def hbm_read_control(nbytes: int = 1 << 28) -> dict:
         chk = red(a, seed)
         return chk, chk
 
-    r = measure_step(step, jnp.zeros((), jnp.float32))
+    r = measure_step(step, jnp.zeros((), jnp.float32), ks=(4, 16, 48),
+                     reps=3)
     r["gbps"] = nbytes / r["t_iter"] / 1e9
     return r
