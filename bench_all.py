@@ -676,9 +676,10 @@ def _bench_list():
             bench_rx_chain_bf16_fir)
 
 
-def _run_inline(picks):
+def _run_inline(picks, exact=False):
     for fn in _bench_list():
-        if picks and not any(p in fn.__name__ for p in picks):
+        if picks and not any((p == fn.__name__) if exact else (p in fn.__name__)
+                             for p in picks):
             continue
         try:
             res = fn()
@@ -706,7 +707,7 @@ def _run_isolated(picks):
             try:
                 out = subprocess.run(
                     [sys.executable, "-u", __file__, fn.__name__,
-                     "--inline"],
+                     "--inline", "--exact"],
                     capture_output=True, text=True, timeout=900)
             except subprocess.TimeoutExpired:
                 if attempt == 0:
@@ -734,7 +735,7 @@ def main():
     import sys
     picks = [a for a in sys.argv[1:] if not a.startswith("-")]
     if "--inline" in sys.argv or SMOKE:
-        _run_inline(picks)
+        _run_inline(picks, exact="--exact" in sys.argv)
     else:
         _run_isolated(picks)
 
