@@ -389,6 +389,19 @@ class DecimatingIIRFilter:
     def get_decimation(self) -> int:
         return self.decimation
 
+    # inner-filter delegations (ref decim.rs:72-142)
+    def numerator_coefs(self) -> np.ndarray:
+        return self.filter.numerator_coefs()
+
+    def denominator_coefs(self) -> np.ndarray:
+        return self.filter.denominator_coefs()
+
+    def second_order_filters(self) -> list:
+        return self.filter.second_order_filters()
+
+    def iir_type(self) -> str:
+        return self.filter.iir_type()
+
     def frequency_response(self, frequency: float) -> complex:
         return self.filter.frequency_response(frequency)
 
@@ -425,6 +438,19 @@ class InterpolatingIIRFilter:
 
     def get_interpolation(self) -> int:
         return self.interpolation
+
+    # inner-filter delegations (ref interp.rs:70-140)
+    def numerator_coefs(self) -> np.ndarray:
+        return self.filter.numerator_coefs()
+
+    def denominator_coefs(self) -> np.ndarray:
+        return self.filter.denominator_coefs()
+
+    def second_order_filters(self) -> list:
+        return self.filter.second_order_filters()
+
+    def iir_type(self) -> str:
+        return self.filter.iir_type()
 
     def frequency_response(self, frequency: float) -> complex:
         return self.filter.frequency_response(frequency)

@@ -19,9 +19,13 @@ __all__ = ["CircularBuffer", "BufferError", "BufferErrorCode"]
 
 
 class BufferErrorCode:
-    FULL = "full"
-    EMPTY = "empty"
-    TOO_MANY_ELEMENTS = "too_many_elements"
+    """Reference BufferErrorCode parity (circular_buffer/mod.rs:27-33)."""
+
+    FULL = "full"                    # FullBuffer
+    EMPTY = "empty"                  # EmptyBuffer
+    NOT_ENOUGH = "not_enough"        # NotEnoughBuffer
+    NEGATIVE = "negative"            # NegativeBuffer
+    TOO_MANY_ELEMENTS = NOT_ENOUGH   # legacy alias (pre-r4 name)
 
 
 class BufferError(RuntimeError):
@@ -79,11 +83,12 @@ class CircularBuffer:
         self._len += 1
 
     def append(self, other) -> None:
-        """Append a block; BufferError(TOO_MANY_ELEMENTS) if it won't fit."""
+        """Append a block; BufferError(NOT_ENOUGH) if it won't fit
+        (reference append :469-494 returns NotEnoughBuffer)."""
         other = np.asarray(other)
         n = len(other)
         if n > self.reserved():
-            raise BufferError(BufferErrorCode.TOO_MANY_ELEMENTS)
+            raise BufferError(BufferErrorCode.NOT_ENOUGH)
         w = self.write_index()
         first = min(n, self._capacity - w)
         self._buf[w : w + first] = other[:first]
@@ -101,9 +106,15 @@ class CircularBuffer:
         return v
 
     def release(self, n: int) -> None:
-        """Drop the oldest n elements; BufferError(EMPTY) if n > len."""
+        """Drop the oldest n elements.
+
+        Reference release (:548-557): n < 0 -> NegativeBuffer,
+        n > len -> NotEnoughBuffer.
+        """
+        if n < 0:
+            raise BufferError(BufferErrorCode.NEGATIVE)
         if n > self._len:
-            raise BufferError(BufferErrorCode.EMPTY)
+            raise BufferError(BufferErrorCode.NOT_ENOUGH)
         self._read = (self._read + n) % self._capacity
         self._len -= n
 
@@ -111,6 +122,13 @@ class CircularBuffer:
         """Rotate storage so the read index is 0 (contiguous view)."""
         self._buf = np.roll(self._buf, -self._read)
         self._read = 0
+
+    def __getitem__(self, i):
+        """RAW storage indexing — the reference Derefs to the underlying
+        slice (circular_buffer/mod.rs:595-609), so ``buffer[0]`` is storage
+        slot 0, not the oldest element, until ``linearize()`` is called.
+        Kept for doctest parity; use ``to_vec()`` for logical order."""
+        return self._buf[i]
 
     def to_vec(self) -> np.ndarray:
         """Contents oldest-first as a contiguous array."""
