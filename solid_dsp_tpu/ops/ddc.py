@@ -47,7 +47,8 @@ __all__ = ["ddc_taps", "ddc_apply_planar", "ddc_apply",
            "ddc_apply_planar_raw", "ddc_apply_planar_pieces",
            "ddc_fm_epilogue", "ddc_am_epilogue",
            "ddc_fm_epilogue_pieces", "ddc_am_epilogue_pieces",
-           "ddc_energy_pieces", "ddc_fm_fused"]
+           "ddc_energy_pieces", "ddc_fm_fused",
+           "fm_first_sample", "ddc_pieces_last_rotated"]
 
 
 def ddc_taps(taps: np.ndarray, dtheta: np.uint32) -> np.ndarray:
@@ -373,9 +374,49 @@ def ddc_apply_planar(taps, dtheta, tail2, theta0, x2, decimation: int,
 
 
 def _rot_scalar(w, rdtype):
-    """e^{-j rad(w)} for ONE u32 phase word -> (cos, -sin) scalars."""
-    rad = w.astype(jnp.float32) * np.float32(_TWO_PI / float(_U32))
+    """e^{-j rad(w)} for ONE u32 phase word -> (cos, -sin) scalars.
+
+    The phase-word -> radians conversion runs at the OUTPUT precision:
+    f32 chains keep the cheap f32 path; f64 (golden/parity) chains must
+    not round the seam phase through f32 — shard-boundary discriminator
+    samples would pick up ~1e-7 error vs the single-chip chain.
+    """
+    ph_dt = jnp.float64 if rdtype == jnp.float64 else jnp.float32
+    rad = w.astype(ph_dt) * np.dtype(ph_dt).type(_TWO_PI / float(_U32))
     return jnp.cos(rad).astype(rdtype), (-jnp.sin(rad)).astype(rdtype)
+
+
+def fm_first_sample(z0re, z0im, w0, prev_re, prev_im, kf):
+    """Exact first FM output of a block: z0 rotated by w0 vs the carried
+    previous CHAIN output (rotated, gained).  Shared by the single-chip
+    fused path and the time-sharded chain (where ``prev`` arrives from the
+    left-neighbor device instead of the carried state)."""
+    rdtype = z0re.dtype
+    scale = np.asarray(1.0 / (2.0 * np.pi * float(kf))).astype(rdtype)
+    c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
+    y0re = z0re * c0 - z0im * s0
+    y0im = z0im * c0 + z0re * s0
+    return jnp.arctan2(y0im * prev_re - y0re * prev_im,
+                       y0re * prev_re + y0im * prev_im) * scale
+
+
+def ddc_pieces_last_rotated(pieces, w0, dw, gain):
+    """Gained, rotated LAST output of the block from its raw pieces.
+
+    This is the chain's ``fm_prev`` carry — and, under time sharding, the
+    seam a shard ships to its RIGHT neighbor (whose first discriminator
+    output consumes it).  Identical math to the tail of
+    :func:`ddc_fm_epilogue_pieces`.
+    """
+    rdtype = pieces[0][1].dtype
+    T = sum(_piece_len(p) for p in pieces)
+    wl = jnp.uint32(w0) + jnp.uint32((int(np.uint32(dw)) * (T - 1))
+                                     & 0xFFFFFFFF)
+    cl, sl = _rot_scalar(wl, rdtype)
+    last_re, last_im = _piece_last(pieces[-1])
+    g = jnp.asarray(gain).astype(rdtype)
+    return (g * (last_re * cl - last_im * sl),
+            g * (last_im * cl + last_re * sl))
 
 
 def ddc_fm_epilogue(yre, yim, w0, dw, prev_re, prev_im, kf, gain):
@@ -548,17 +589,13 @@ def ddc_fm_epilogue_pieces(pieces, w0, dw, prev_re, prev_im, kf, gain):
         seam = _piece_last(p)
     out = audios[0] if len(audios) == 1 else jnp.concatenate(audios)
     # carried state: gained, rotated last sample (rotated path's fm_prev)
-    wl = jnp.uint32(w0) + jnp.uint32((int(np.uint32(dw)) * (T - 1))
-                                     & 0xFFFFFFFF)
-    cl, sl = _rot_scalar(wl, rdtype)
-    g = jnp.asarray(gain).astype(rdtype)
-    new_prev_re = g * (seam[0] * cl - seam[1] * sl)
-    new_prev_im = g * (seam[1] * cl + seam[0] * sl)
+    new_prev_re, new_prev_im = ddc_pieces_last_rotated(pieces, w0, dw, gain)
     return out, new_prev_re, new_prev_im
 
 
 def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
-                 precision, kf, prev_re, prev_im, gain, engine: str = "auto"):
+                 precision, kf, prev_re, prev_im, gain, engine: str = "auto",
+                 with_seams: bool = False):
     """One-kernel DDC + FM demod (ops/pallas_ddc.py::make_pallas_ddc_fm).
 
     The fully fused path: the Mosaic kernel computes the DDC body AND the
@@ -570,6 +607,12 @@ def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
     Returns (out, new_prev_re, new_prev_im, ee_mean, new_tail2, theta_end)
     where out matches the rotated rotate->AGC->fm_demodulate chain to
     float rounding and ee_mean = mean |z|^2 for the AGC carry update.
+
+    with_seams=True appends (z0re, z0im, w0) — the raw first body output
+    and the block's rotation phase word — so a caller whose true ``prev``
+    is not yet known at call time (the time-sharded chain receives it from
+    the left-neighbor device) can pass a dummy prev and overwrite out[0]
+    via :func:`fm_first_sample` once the halo arrives.
     """
     taps = np.asarray(taps)
     n = len(taps)
@@ -625,11 +668,7 @@ def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
     # (the carried tail is n-1 long); the carried fm_prev (rotated,
     # gained previous chain output) gives the exact value instead.
     z0re, z0im = stats[0, 3], stats[0, 4]
-    c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
-    y0re = z0re * c0 - z0im * s0
-    y0im = z0im * c0 + z0re * s0
-    v0 = jnp.arctan2(y0im * prev_re - y0re * prev_im,
-                     y0re * prev_re + y0im * prev_im) * scale
+    v0 = fm_first_sample(z0re, z0im, w0, prev_re, prev_im, kf)
     out = audio.reshape(-1).at[0].set(v0)
 
     energy = jnp.sum(stats[:, 0])
@@ -665,6 +704,9 @@ def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
     new_prev_im = g * (seam_im * cl + seam_re * sl)
     new_tail2 = x2[:, L - n1 :] if n1 > 0 else tail2[:, :0]
     theta_end = jnp.uint32(theta0) + jnp.uint32((L * d) & 0xFFFFFFFF)
+    if with_seams:
+        return (out, new_prev_re, new_prev_im, ee_mean, new_tail2,
+                theta_end, z0re, z0im, w0)
     return out, new_prev_re, new_prev_im, ee_mean, new_tail2, theta_end
 
 

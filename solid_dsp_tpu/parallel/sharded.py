@@ -34,6 +34,7 @@ from ..models import qpsk as qpsk_mod
 from ..models.channelizer import channelizer_taps
 from ..models.rx_chain import RxChainConfig
 from ..ops import agc as agc_ops
+from ..ops import ddc as ddc_ops
 from ..ops import fir as fir_ops
 from ..ops import nco as nco_ops
 
@@ -82,42 +83,231 @@ def sharded_fir(taps, mesh: Mesh, scale=1.0):
 # ---------------------------------------------------------------------------
 
 def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
-    """Multi-chip RxChain: NCO -> decimating FIR -> AGC -> FM demod.
+    """Multi-chip RxChain: NCO -> decimating FIR -> AGC -> demod.
 
     Returns ``(init, apply)``:
 
-    * ``init(num_channels) -> ChainState`` with per-channel leaves,
+    * ``init(num_channels) -> ChainState`` with per-channel leaves
+      (``init(None)`` / ``init()`` for the single-stream planar mode),
     * ``apply(state, x) -> (out, state)`` jitted over the mesh; ``x`` has
       shape (C, L) sharded ``P('channel', 'time')`` and ``out`` has shape
-      (C, L // decimation) with the same sharding.
+      (C, L // decimation) with the same sharding.  With
+      ``cfg.input_format == "planar"`` (single stream), ``x`` is (2, L)
+      re/im planes sharded ``P(None, 'time')`` and ``out`` is (L // M,).
 
-    Per-shard semantics match the single-chip chain except AGC, which runs in
-    block mode with the block energy ``pmean``-ed over the ``time`` axis —
-    identical to single-chip *block-mode* AGC on the full block.
+    ONE engine, two deployments: when the fused DDC applies (same rule as
+    models/rx_chain.py — nco_mode "exact"), the per-shard front end IS the
+    round-3 engine (ops/ddc.py pieces path / ops/pallas_ddc.py fused FM
+    kernel); the only sharded additions are the raw-input left halo
+    (replacing the carried tail on shards > 0), one ppermute of the
+    1-sample discriminator seam, and the pmean of the AGC block energy.
+    The LUT-NCO parity mode keeps the unfused mix->fir staging, exactly
+    like the single-chip chain does.
+
+    AGC always runs in block mode with the block energy ``pmean``-ed over
+    the ``time`` axis — identical to single-chip *block-mode* AGC on the
+    full block.
     """
     if cfg.demod not in ("fm", "qpsk", "am", "none"):
         raise ValueError(f"unknown demod {cfg.demod!r}")
+    if cfg.fused_ddc == "on" and cfg.nco_mode != "exact":
+        raise ValueError("fused_ddc requires nco_mode='exact'")
+    fused = (cfg.fused_ddc == "on"
+             or (cfg.fused_ddc == "auto" and cfg.nco_mode == "exact"))
+    planar = cfg.input_format == "planar"
+    if planar and not fused:
+        raise ValueError("planar sharded input requires the fused DDC path")
+    if planar and mesh.shape.get("channel", 1) != 1:
+        raise ValueError("planar mode is single-stream: channel axis must "
+                         "have size 1")
     # host-side closure constants (see models/rx_chain.py note)
-    taps = np.asarray(cfg.design_taps(), dtype=cfg.dtype)
+    taps_design = cfg.design_taps()          # real f64 prototype (host)
+    taps = np.asarray(taps_design, dtype=cfg.dtype)
     n = int(taps.shape[-1])
+    n1 = n - 1
     M = int(cfg.decimation)
     dtheta = nco_ops.constrain(cfg.carrier_freq)
-    lut = nco_ops.make_sine_lut(np.zeros(0, dtype=cfg.dtype).real.dtype)
+    rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
+    lut = nco_ops.make_sine_lut(rdtype)
     n_time = mesh.shape["time"]
 
-    def init(num_channels: int) -> ChainState:
-        rdtype = np.zeros(0, dtype=cfg.dtype).real.dtype
+    def init(num_channels: int | None = None) -> ChainState:
+        bs = () if (planar or num_channels is None) else (num_channels,)
         return ChainState(
             nco_theta=jnp.uint32(0),
-            fir_tail=fir_ops.fir_init(n, dtype=cfg.dtype,
-                                      batch_shape=(num_channels,)),
+            fir_tail=fir_ops.fir_init(n, dtype=cfg.dtype, batch_shape=bs),
             fir_phase=jnp.int32(0),
-            agc=agc_ops.agc_init(rdtype, batch_shape=(num_channels,)),
-            fm_prev=fm_mod.fm_demod_init(cfg.dtype,
-                                         batch_shape=(num_channels,)),
+            agc=agc_ops.agc_init(rdtype, batch_shape=bs),
+            fm_prev=fm_mod.fm_demod_init(cfg.dtype, batch_shape=bs),
         )
 
-    def local_fn(state: ChainState, x):
+    # ---------------- fused per-stream front end (the round-3 engine) ----
+    def _front(tail2_c, theta0_l, x2_c, gain_c):
+        """One stream's DDC front end; prev seam deferred to the caller."""
+        if cfg.demod == "fm":
+            res = ddc_ops.ddc_fm_fused(
+                taps_design, dtheta, tail2_c, theta0_l, x2_c, M,
+                cfg.fir_precision, cfg.fm_kf,
+                jnp.asarray(1.0, rdtype), jnp.asarray(0.0, rdtype),
+                gain_c, engine=cfg.ddc_engine, with_seams=True)
+            if res is not None:
+                return "kernel", res
+        return "pieces", ddc_ops.ddc_apply_planar_pieces(
+            taps_design, dtheta, tail2_c, theta0_l, x2_c, M,
+            precision=cfg.fir_precision, engine=cfg.ddc_engine)
+
+    def _planes(xc):
+        return jnp.stack([jnp.real(xc), jnp.imag(xc)]).astype(rdtype)
+
+    def local_fused(state: ChainState, x):
+        L_local = x.shape[-1]
+        if L_local % M:
+            raise ValueError(
+                "per-shard block length must be a multiple of the decimation"
+            )
+        T_loc = L_local // M
+        t_idx = jax.lax.axis_index("time")
+        offset = time_offset("time", L_local)
+        theta0_l = (state.nco_theta + offset * dtheta).astype(jnp.uint32)
+        theta_end = (state.nco_theta
+                     + jnp.uint32(n_time * L_local) * dtheta
+                     ).astype(jnp.uint32)
+
+        if planar:
+            x2s = [x.astype(rdtype)]                       # [(2, L_loc)]
+            halo2 = left_halo(x[:, -n1:], "time").astype(rdtype)
+            tails = [jnp.where(t_idx == 0, _planes(state.fir_tail), halo2)]
+            gains = [state.agc["gain"]]
+            prev_state = [state.fm_prev]
+        else:
+            C_loc = x.shape[0]
+            halo = left_halo(x[..., -n1:], "time")         # raw complex
+            x2s = [_planes(x[c]) for c in range(C_loc)]
+            tails = [jnp.where(t_idx == 0, _planes(state.fir_tail[c]),
+                               _planes(halo[c])) for c in range(C_loc)]
+            gains = [state.agc["gain"][c] for c in range(C_loc)]
+            prev_state = [state.fm_prev[c] for c in range(C_loc)]
+
+        fronts = [_front(tails[c], theta0_l, x2s[c], gains[c])
+                  for c in range(len(x2s))]
+
+        if cfg.demod in ("fm", "am"):
+            # collapsed decimated-rate epilogue; FM chains through a
+            # 1-sample rotated+gained seam shipped right over ICI
+            ee_cs, outs, seam_cs = [], [], []
+            for c, (kind, payload) in enumerate(fronts):
+                if kind == "kernel":
+                    (out_c, npr, npi, ee_c, _t2, _te,
+                     z0re, z0im, w0) = payload
+                    seam_cs.append((npr, npi))
+                    ee_cs.append(ee_c)
+                    outs.append((kind, out_c, (z0re, z0im, w0)))
+                else:
+                    pieces, _t2, _te, w0, dw = payload
+                    ee_cs.append(ddc_ops.ddc_energy_pieces(pieces))
+                    if cfg.demod == "fm":
+                        seam_cs.append(ddc_ops.ddc_pieces_last_rotated(
+                            pieces, w0, dw, gains[c]))
+                        outs.append((kind, pieces, (w0, dw)))
+                    else:
+                        outs.append(
+                            (kind,
+                             ddc_ops.ddc_am_epilogue_pieces(pieces,
+                                                            gains[c]),
+                             None))
+            if cfg.demod == "fm":
+                seams = jnp.stack([jnp.stack([r, i]) for r, i in seam_cs])
+                prev_in = left_halo(seams, "time")          # (C, 2)
+                final = []
+                for c, (kind, body, aux) in enumerate(outs):
+                    pr = jnp.where(t_idx == 0,
+                                   jnp.real(prev_state[c]).astype(rdtype),
+                                   prev_in[c, 0])
+                    pi = jnp.where(t_idx == 0,
+                                   jnp.imag(prev_state[c]).astype(rdtype),
+                                   prev_in[c, 1])
+                    if kind == "kernel":
+                        z0re, z0im, w0 = aux
+                        v0 = ddc_ops.fm_first_sample(
+                            z0re, z0im, w0, pr, pi, cfg.fm_kf)
+                        final.append(body.at[0].set(v0))
+                    else:
+                        w0, dw = aux
+                        out_c, _, _ = ddc_ops.ddc_fm_epilogue_pieces(
+                            body, w0, dw, pr, pi, cfg.fm_kf, gains[c])
+                        final.append(out_c)
+                new_fm_prev = from_last_shard(
+                    jax.lax.complex(seams[:, 0], seams[:, 1]
+                                    ).astype(cfg.dtype), "time")
+                if planar:
+                    new_fm_prev = new_fm_prev[0]
+            else:  # am: memoryless epilogue, fm_prev carried through
+                final = [body for _, body, _ in outs]
+                new_fm_prev = state.fm_prev
+            out = final[0] if planar else jnp.stack(final)
+            ee = jax.lax.pmean(jnp.stack(ee_cs), "time")
+            if planar:
+                ee = ee[0]
+            gain = state.agc["gain"]
+            agc_state = agc_ops.block_gain_update(
+                state.agc, (gain * gain) * ee, cfg.agc_bandwidth,
+                T_loc * n_time)
+        else:
+            # qpsk / none: rotated output materialized, then the shared
+            # sharded AGC + demod staging
+            ys = []
+            for c, (kind, payload) in enumerate(fronts):
+                pieces, _t2, _te, w0, dw = payload
+                yre, yim = ddc_ops._pieces_flatten(pieces)
+                rot = nco_ops.nco_complex_exponential(w0, dw, T_loc,
+                                                      mode="fast")
+                cr = jnp.real(rot).astype(rdtype)
+                sr = jnp.imag(rot).astype(rdtype)
+                ys.append(jax.lax.complex(
+                    yre * cr + yim * sr,
+                    yim * cr - yre * sr).astype(cfg.dtype))
+            y = ys[0][None] if planar else jnp.stack(ys)
+            st_agc = state.agc
+            if planar:
+                st_agc = {k: v[None] for k, v in st_agc.items()}
+            y, agc_state = _agc_block_sharded(st_agc, y, cfg.agc_bandwidth,
+                                              "time")
+            if planar:
+                agc_state = {k: v[0] for k, v in agc_state.items()}
+            if cfg.demod == "qpsk":
+                y_full = jax.lax.all_gather(y, "time", axis=y.ndim - 1,
+                                            tiled=True)
+                out_full, _, _ = qpsk_mod.qpsk_carrier_block(y_full)
+                lo = y.shape[-1]
+                out = jax.lax.dynamic_slice_in_dim(
+                    out_full, t_idx * lo, lo, axis=out_full.ndim - 1)
+            else:
+                out = y
+            new_fm_prev = from_last_shard(y[..., -1], "time")
+            if planar:
+                out = out[0]
+                new_fm_prev = new_fm_prev[0]
+
+        # fused chains carry the RAW input tail (pre-mix), like the
+        # single-chip fused chain
+        if planar:
+            tail_pl = from_last_shard(x[:, -n1:], "time").astype(rdtype)
+            new_fir_tail = jax.lax.complex(tail_pl[0],
+                                           tail_pl[1]).astype(cfg.dtype)
+        else:
+            new_fir_tail = from_last_shard(x[..., -n1:], "time")
+
+        new_state = ChainState(
+            nco_theta=theta_end,
+            fir_tail=new_fir_tail,
+            fir_phase=state.fir_phase,
+            agc=agc_state,
+            fm_prev=new_fm_prev,
+        )
+        return out, new_state
+
+    # ---------------- unfused (LUT-NCO parity) staging --------------------
+    def local_unfused(state: ChainState, x):
         L_local = x.shape[-1]
         if L_local % M:
             raise ValueError(
@@ -181,20 +371,27 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
         )
         return out, new_state
 
+    local_fn = local_fused if fused else local_unfused
+    chanspec = P() if planar else P("channel")
     state_spec = ChainState(
         nco_theta=P(),
-        fir_tail=P("channel"),
+        fir_tail=chanspec,
         fir_phase=P(),
-        agc={"gain": P("channel"), "energy": P("channel"),
-             "lock": P("channel"), "mode": P("channel"),
-             "timer": P("channel")},
-        fm_prev=P("channel"),
+        agc={"gain": chanspec, "energy": chanspec,
+             "lock": chanspec, "mode": chanspec,
+             "timer": chanspec},
+        fm_prev=chanspec,
     )
+    in_spec = P(None, "time") if planar else P("channel", "time")
+    out_spec = P("time") if planar else P("channel", "time")
     mapped = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(state_spec, P("channel", "time")),
-        out_specs=(P("channel", "time"), state_spec),
+        in_specs=(state_spec, in_spec),
+        out_specs=(out_spec, state_spec),
+        # pallas_call out_shapes carry no vma annotation; the fused kernel
+        # path needs the varying-across-mesh checker off (as pallas_halo)
+        check_vma=False,
     )
     return init, jax.jit(mapped)
 

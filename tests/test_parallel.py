@@ -224,3 +224,140 @@ def test_sharded_rx_chain_rejects_unknown_demod():
     cfg = RxChainConfig(dtype=jnp.complex128, demod="chirp")
     with pytest.raises(ValueError):
         parallel.make_sharded_rx_chain(cfg, mesh)
+
+
+# --------------------------------------------------------------------------
+# round-4 unification: the sharded chain calls the SAME fused DDC engine
+# (ops/ddc.py pieces path / ops/pallas_ddc.py kernel) as models/rx_chain.py
+# --------------------------------------------------------------------------
+
+@needs8
+def test_sharded_rx_chain_fused_matches_single_chip():
+    """Fused-DDC sharded chain == single-chip fused chain (f64, XLA path)."""
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod="fm",
+                        nco_mode="exact", fused_ddc="auto")
+    C, L = 4, 2048
+    x = np.stack([_tone(L, 0.2 / (2 * np.pi) + 0.001, amp=0.1, seed=c)
+                  for c in range(C)])
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    st = init_s(C)
+    out_shard, st2 = apply_s(st, jnp.asarray(x))
+
+    init1, apply1 = make_rx_chain(cfg)
+    for c in range(C):
+        s1 = init1()
+        out_ref, s1b = apply1(s1, jnp.asarray(x[c]))
+        np.testing.assert_allclose(np.asarray(out_shard[c]),
+                                   np.asarray(out_ref), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st2.agc["gain"][c]),
+                                   np.asarray(s1b.agc["gain"]), rtol=1e-9)
+        # fused chains carry the RAW input tail
+        np.testing.assert_allclose(np.asarray(st2.fir_tail[c]),
+                                   np.asarray(s1b.fir_tail), atol=1e-12)
+    assert int(st2.nco_theta) == int(s1b.nco_theta)
+
+    # streaming continuation across the sharded/carried-state boundary
+    x2 = np.stack([_tone(L, 0.2 / (2 * np.pi) + 0.001, amp=0.1, seed=50 + c)
+                   for c in range(C)])
+    out2_shard, _ = apply_s(st2, jnp.asarray(x2))
+    for c in range(C):
+        s1 = init1()
+        _, s1b = apply1(s1, jnp.asarray(x[c]))
+        out2_ref, _ = apply1(s1b, jnp.asarray(x2[c]))
+        np.testing.assert_allclose(np.asarray(out2_shard[c]),
+                                   np.asarray(out2_ref), rtol=1e-7, atol=1e-9)
+
+
+@needs8
+@pytest.mark.parametrize("demod", ["am", "none", "qpsk"])
+def test_sharded_rx_chain_fused_other_demods(demod):
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod=demod,
+                        nco_mode="exact", fused_ddc="auto")
+    C, L = 2, 1024
+    x = np.stack([_tone(L, 0.035, amp=0.1, seed=c) for c in range(C)])
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    out_shard, _ = apply_s(init_s(C), jnp.asarray(x))
+
+    init1, apply1 = make_rx_chain(cfg)
+    for c in range(C):
+        out_ref, _ = apply1(init1(), jnp.asarray(x[c]))
+        # qpsk/none materialize the decimated-rate rotation through the
+        # factorized fast oscillator, whose per-shard restart regroups the
+        # products (~1 ulp class) — hence atol 1e-6 instead of exact
+        np.testing.assert_allclose(np.asarray(out_shard[c]),
+                                   np.asarray(out_ref), rtol=1e-6, atol=1e-6)
+
+
+@needs8
+def test_sharded_rx_chain_planar_single_stream():
+    """Planar (2, L) single-stream mode — the flagship on-chip layout —
+    time-sharded over 8 devices vs the single-chip planar fused chain."""
+    mesh = parallel.make_mesh(channel=1, time=8)
+    cfg = RxChainConfig(dtype=jnp.complex64, agc_mode="block", demod="fm",
+                        nco_mode="exact", fused_ddc="on",
+                        input_format="planar", fir_precision="x3")
+    L = 8 * 2048
+    k = np.arange(L)
+    sig = 0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
+    x2 = np.stack([sig.real, sig.imag]).astype(np.float32)
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    st = init_s()
+    out_shard, st2 = apply_s(st, jnp.asarray(x2))
+
+    init1, apply1 = make_rx_chain(cfg)
+    s1 = init1()
+    out_ref, s1b = apply1(s1, jnp.asarray(x2))
+    out_shard = np.asarray(out_shard)
+    out_ref = np.asarray(out_ref)
+    assert out_shard.shape == out_ref.shape
+    # f32 + different piece boundaries: gate at >= 60 dB (driver fidelity bar)
+    err = out_shard - out_ref
+    snr = 10 * np.log10(np.mean(out_ref ** 2) / max(np.mean(err ** 2), 1e-30))
+    assert snr > 60.0, f"sharded planar chain SNR {snr:.1f} dB"
+    np.testing.assert_allclose(float(st2.agc["gain"]),
+                               float(s1b.agc["gain"]), rtol=1e-5)
+    assert int(st2.nco_theta) == int(s1b.nco_theta)
+
+    # continuation
+    sig2 = 0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * (k + L))
+    x2b = np.stack([sig2.real, sig2.imag]).astype(np.float32)
+    out2_shard, _ = apply_s(st2, jnp.asarray(x2b))
+    out2_ref, _ = apply1(s1b, jnp.asarray(x2b))
+    err2 = np.asarray(out2_shard) - np.asarray(out2_ref)
+    snr2 = 10 * np.log10(np.mean(np.asarray(out2_ref) ** 2)
+                         / max(np.mean(err2 ** 2), 1e-30))
+    assert snr2 > 60.0, f"continuation SNR {snr2:.1f} dB"
+
+
+@needs8
+@pytest.mark.slow
+def test_sharded_rx_chain_pallas_kernel_engine():
+    """ddc_engine='pallas' (interpret off-TPU): the sharded chain drives the
+    fused FM Mosaic kernel with the deferred-seam handoff."""
+    mesh = parallel.make_mesh(channel=1, time=2)
+    cfg = RxChainConfig(dtype=jnp.complex64, agc_mode="block", demod="fm",
+                        nco_mode="exact", fused_ddc="on",
+                        input_format="planar", fir_precision="x3",
+                        ddc_engine="pallas")
+    # per-shard: >= 1 kernel tile (TF=128 frames of hop 256) per shard
+    L = 2 * (128 + 8) * 256
+    k = np.arange(L)
+    sig = 0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
+    x2 = np.stack([sig.real, sig.imag]).astype(np.float32)
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    out_shard, st2 = apply_s(init_s(), jnp.asarray(x2))
+
+    init1, apply1 = make_rx_chain(cfg)
+    out_ref, s1b = apply1(init1(), jnp.asarray(x2))
+    err = np.asarray(out_shard) - np.asarray(out_ref)
+    snr = 10 * np.log10(np.mean(np.asarray(out_ref) ** 2)
+                        / max(np.mean(err ** 2), 1e-30))
+    assert snr > 60.0, f"pallas sharded chain SNR {snr:.1f} dB"
+    np.testing.assert_allclose(float(st2.agc["gain"]),
+                               float(s1b.agc["gain"]), rtol=1e-5)
