@@ -230,6 +230,35 @@ def bench_rx_chain_ci16_ingest():
     return _row("rx_chain_ci16_ingest", L / t)
 
 
+def bench_rx_chain_qpsk():
+    """Config 4's QPSK half: fused-DDC front end + block carrier recovery.
+
+    QPSK is carrier-coherent, so the decimated-rate rotation cannot
+    collapse into the demod the way FM/AM do (ops/ddc.py epilogue
+    algebra); the chain takes the rotated path — DDC body kernel, then
+    rotation + AGC + 4th-power carrier recovery at the DECIMATED rate."""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="block", demod="qpsk", nco_mode="exact",
+                        input_format="planar", fused_ddc="on",
+                        fir_precision="x3", dtype=jnp.complex64)
+    init, apply = make_rx_chain(cfg)
+    L = _size(24)
+    rng = np.random.default_rng(3)
+    M = int(cfg.decimation)
+    sym = np.exp(1j * (np.pi / 4 + np.pi / 2
+                       * rng.integers(0, 4, L // M)))
+    bb = 0.5 * np.repeat(sym, M)  # rect-pulse QPSK at the symbol rate
+    k = np.arange(L)
+    sig = bb * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 1e-5) * k)
+    x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
+    step = _chain_step(apply, x)
+    st = _retried(init)
+    t = _measure(step, (jnp.zeros(()), st))
+    return _row("rx_chain_qpsk_fused_planar_x3", L / t)
+
+
 def bench_rx_chain_parity_parallel():
     """EXACT reference AGC semantics (Newton solve) + LUT-parity NCO."""
     return _bench_chain_cfg("rx_chain_parity_parallel_agc_lut_nco", _size(23),
@@ -267,6 +296,39 @@ def bench_channelizer():
     tail = channelizer_init(M, K, jnp.complex64)
     t = _measure(step, (jnp.zeros(()), tail))
     return _row("channelizer_256ch", L / t)
+
+
+def bench_channelizer_planar():
+    """Planar matmul-DFT channelizer (round-4 formulation): re/im float
+    planes end to end, output DFT on the MXU instead of the weak batched
+    FFT lowering.  Two precision modes, like the rx chain."""
+    from solid_dsp_tpu.models.channelizer import (
+        channelizer_apply_planar, channelizer_dft_bank, channelizer_taps)
+
+    M, K = 256, 8
+    L = M * (64 if SMOKE else 4096)
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+    x2 = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
+    taps = channelizer_taps(M, K)
+    bank = channelizer_dft_bank(M, K)
+    out = []
+    for prec, tag in (("x3", "x3"), ("default", "bf16")):
+        @jax.jit
+        def g(tail, x2, _prec=prec):
+            Y2, tail2 = channelizer_apply_planar(taps, bank, tail, x2, M,
+                                                 precision=_prec)
+            return jnp.sum(jnp.abs(Y2)), tail2
+
+        def step(carry):
+            chk, tail = carry
+            c2, tail2 = g(tail, x2)
+            return c2, (c2, tail2)
+
+        tail = jnp.zeros((2, K * M - 1), jnp.float32)
+        t = _measure(step, (jnp.zeros(()), tail))
+        out.append(_row(f"channelizer_planar_{tag}_256ch", L / t))
+    return out
 
 
 def bench_os_channelizer():
@@ -665,8 +727,10 @@ def _bench_list():
             bench_rx_chain_planar_x3, bench_rx_chain_planar_bf16,
             bench_rx_chain_stream,
             bench_rx_chain_ci16_ingest,
+            bench_rx_chain_qpsk,
             bench_rx_chain_parity_parallel,
             bench_rx_chain_parity_scan, bench_channelizer,
+            bench_channelizer_planar,
             bench_os_channelizer,
             bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
             bench_fft_nonpow2, bench_frontend_ops,

@@ -63,36 +63,53 @@ def run_mesh(channel: int, time_: int, cps: int, samples_per_shard: int):
 
 
 def run_overhead(cps: int, samples: int):
-    """mesh(1x1) sharded chain vs the plain single-chip chain: quantifies
-    the shard_map/collective plumbing overhead on one device."""
-    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    """mesh(1) sharded chain vs the plain single-chip chain: quantifies
+    the shard_map/collective plumbing overhead on one device.
 
-    sharded = run_mesh(1, 1, cps, samples)
+    Round 4: both sides run the SAME fused engine (the sharded chain now
+    calls ops/ddc.py / ops/pallas_ddc.py directly) in the headline planar
+    single-stream configuration, and both are measured with the
+    chained-iteration slope regression (utils/benchtime.py) — wall-clock
+    loops over the tunnel's block_until_ready read early."""
+    from solid_dsp_tpu import parallel
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    from solid_dsp_tpu.utils.benchtime import measure_step
+
     cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
                         agc_mode="block", demod="fm", nco_mode="exact",
-                        dtype=jnp.complex64)
-    init, apply = make_rx_chain(cfg)
+                        input_format="planar", fused_ddc="on",
+                        fir_precision="x3", dtype=jnp.complex64)
     k = np.arange(samples, dtype=np.float64)
-    x = jnp.asarray((0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001)
-                                  * k)).astype(np.complex64))
-    st = init()
-    out, st = apply(st, x)
-    jax.block_until_ready(out)
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, st = apply(st, x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    # compare per-channel rates (the sharded run carries cps channels)
-    unsharded = samples / dt / 1e6
-    sharded_per_ch = sharded["msps_total"] / sharded["channels"]
-    return {"mesh": "1x1_overhead",
+    sig = (0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k))
+    x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
+
+    def timed(apply, st):
+        @jax.jit
+        def g(st, x):
+            out, st2 = apply(st, x)
+            return jnp.sum(out), st2
+
+        def step(carry):
+            chk, st = carry
+            c2, st2 = g(st, x)
+            return c2, (c2, st2)
+
+        r = measure_step(step, (jnp.zeros(()), st), ks=(4, 16, 48),
+                         reps=2, warmup=3)
+        return samples / r["t_iter"] / 1e6
+
+    init1, apply1 = make_rx_chain(cfg)
+    unsharded = timed(apply1, init1())
+
+    mesh = parallel.make_mesh(channel=1, time=1)
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    sharded = timed(apply_s, init_s())
+
+    return {"mesh": "1x1_overhead", "config": "planar_fused_x3",
             "unsharded_msps": round(unsharded, 1),
-            "sharded_msps_per_channel": round(sharded_per_ch, 1),
-            "sharded_msps_total": sharded["msps_total"],
+            "sharded_msps": round(sharded, 1),
             "shard_map_overhead_vs_unsharded": round(
-                1.0 - sharded["msps_total"] / unsharded, 3)}
+                1.0 - sharded / unsharded, 3)}
 
 
 def main() -> None:

@@ -24,6 +24,7 @@ import numpy as np
 from ..design import firdes
 
 __all__ = ["channelizer_taps", "channelizer_init", "channelizer_apply",
+           "channelizer_dft_bank", "channelizer_apply_planar",
            "PolyphaseChannelizer", "channelizer_synthesize",
            "synthesis_init", "PolyphaseSynthesizer",
            "os_channelizer_init", "os_channelizer_apply",
@@ -80,6 +81,80 @@ def channelizer_apply(taps, tail, x, num_channels: int):
     phase = np.exp(-2j * np.pi * np.arange(M) / M)
     Y = jnp.fft.fft(z2, axis=-1) * jnp.asarray(phase).astype(z2.dtype)
     return Y, x_ext[..., -(K * M - 1):]
+
+
+def channelizer_dft_bank(num_channels: int, taps_per_branch: int,
+                         taps: np.ndarray | None = None,
+                         attenuation: float = 80.0) -> np.ndarray:
+    """Host-side folded DFT bank for the PLANAR channelizer (2, M, 2M).
+
+    The commutator algebra of :func:`channelizer_apply` (its docstring)
+    gives Y[t, m] = fft_q(z2)[m] * e^{-2 pi i m / M}; folding the phase
+    into the DFT matrix yields one bank W[q, m] = e^{-2 pi i (q+1) m / M},
+    laid out for the plane-contracting matmul as [re-block | im-block]
+    columns (ops/ddc.py::_fold_banks rationale — per-output interleaving
+    lowers to a pathological gather on this backend).
+    """
+    M = int(num_channels)
+    q = np.arange(M)[:, None]
+    m = np.arange(M)[None, :]
+    W = np.exp(-2j * np.pi * (q + 1) * m / M)
+    B = np.zeros((2, M, 2 * M), np.float64)
+    B[0, :, :M] = W.real
+    B[0, :, M:] = W.imag
+    B[1, :, :M] = -W.imag
+    B[1, :, M:] = W.real
+    return B
+
+
+def channelizer_apply_planar(taps, bank, tail2, x2, num_channels: int,
+                             precision: str = "x3"):
+    """Planar channelizer block: branch conv + MXU matmul DFT.
+
+    The TPU-headline formulation: input rides as (2, L) re/im float
+    planes (complex64 is interleaved in HBM — plane slices are free,
+    .real extraction is a strided pass), the K-branch prototype filter is
+    K shifted multiply-adds over the free (2, T', M) frame reshape, and
+    the M-point output DFT is ONE plane-folded MXU matmul instead of a
+    batched FFT (measured weak FFT lowering on this backend,
+    PERF_NOTES.md).  Output is (T, 2M) [re-block | im-block] columns —
+    zero interleaving anywhere.
+
+    Args:
+      taps: CONCRETE prototype taps (numpy, design time).
+      bank: (2, M, 2M) folded DFT bank from :func:`channelizer_dft_bank`.
+      tail2: carried raw planes (2, K*M - 1).
+      x2: input planes (2, L), L % M == 0.
+      precision: "x3" (BF16_BF16_F32_X3, ~f32) | "default" (1-pass bf16)
+        | "highest" (full f32 multi-pass) for the DFT matmul.
+
+    ``taps`` and ``bank`` are compile-time constants (call this inside
+    your own ``jax.jit``; it is not jitted here so the tap prep stays a
+    host-side numpy computation).
+
+    Returns (Y2, new_tail2): Y2[t, :M] = Re Y[t, :], Y2[t, M:] = Im Y[t, :]
+    matching ``channelizer_apply`` to float rounding.
+    """
+    from ..ops.fir import _resolve_precision
+
+    M = num_channels
+    K = taps.shape[-1] // M
+    L = x2.shape[-1]
+    if L % M:
+        raise ValueError("block length must be a multiple of the channel count")
+    T = L // M
+    rdtype = x2.dtype
+    x_ext = jnp.concatenate([tail2, x2], axis=-1)
+    P2 = x_ext[..., : (T + K - 1) * M].reshape(2, T + K - 1, M)
+    G = np.asarray(taps)[: K * M].real[::-1].reshape(K, M)
+    z2 = jnp.asarray(G[0], rdtype) * P2[:, 0:T, :]
+    for k in range(1, K):
+        z2 = z2 + jnp.asarray(G[k], rdtype) * P2[:, k: k + T, :]
+    prec = _resolve_precision(precision)
+    B = jnp.asarray(bank).astype(rdtype)
+    Y2 = jax.lax.dot_general(z2, B, (((0, 2), (0, 1)), ((), ())),
+                             precision=prec)
+    return Y2, x_ext[..., -(K * M - 1):]
 
 
 class PolyphaseChannelizer:
