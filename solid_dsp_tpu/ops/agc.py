@@ -155,13 +155,34 @@ def agc_apply(state, x, alpha, scale, squelch_threshold, squelch_timeout):
 
 
 def _newton_combine(left, right):
-    """(A2, b2) o (A1, b1) = (A2 A1, A2 b1 + b2) for 2x2 linear recurrences."""
-    A1, b1 = left
-    A2, b2 = right
+    """(A2, b2) o (A1, b1) = (A2 A1, A2 b1 + b2) for 2x2 linear recurrences.
+
+    The affine maps ride as a 6-tuple of (T,) scalar arrays
+    (a11, a12, a21, a22, b1, b2) rather than (T, 2, 2)/(T, 2) tensors:
+    the tiny-matmul/einsum form forces relayouts of 2x2-minor arrays on
+    TPU, while this is pure elementwise FMA work at every scan level.
+    """
+    a11, a12, a21, a22, b1, b2 = left
+    c11, c12, c21, c22, d1, d2 = right
     return (
-        jnp.matmul(A2, A1, precision="highest"),
-        jnp.einsum("...ij,...j->...i", A2, b1) + b2,
+        c11 * a11 + c12 * a21, c11 * a12 + c12 * a22,
+        c21 * a11 + c22 * a21, c21 * a12 + c22 * a22,
+        c11 * b1 + c12 * b2 + d1,
+        c21 * b1 + c22 * b2 + d2,
     )
+
+
+def _affine1_scan(a, b):
+    """Prefix of the scalar recurrence s[t] = a[t] s[t-1] + b[t]
+    (s[-1] folded into b[0]) via associative_scan — O(log T) depth,
+    elementwise combines only."""
+    def comb(l, r):
+        al, bl = l
+        ar, br = r
+        return ar * al, ar * bl + br
+
+    _, s = jax.lax.associative_scan(comb, (a, b))
+    return s
 
 
 @partial(jax.jit, static_argnames=("newton_iters", "coarse_stride"))
@@ -231,15 +252,20 @@ def agc_apply_parallel(state, x, alpha, scale, squelch_threshold,
         rho = jnp.power(one_m, jnp.asarray(S, rdt))
         lnu = jnp.log(jnp.maximum(ubar, tiny))
 
-        def coarse_step(carry, lnu_i):
-            F, G = carry
-            g_fp = jnp.minimum(-0.5 * lnu_i, ln_clamp)
-            G = g_fp + rho * (G - g_fp)
-            f_t = lnu_i + 2.0 * G
-            F = f_t + rho * (F - f_t)
-            return (F, G), (F, G)
-
-        _, (Fc, Gc) = jax.lax.scan(coarse_step, (F0, G0), lnu)
+        # both coarse recurrences are scalar AFFINE in the carry
+        # (G_i = rho G_{i-1} + (1-rho) g_fp_i, then F given G), so they
+        # parallelize as O(log Tc) associative scans — the sequential
+        # lax.scan here cost ~Tc dispatch-latency steps and dominated the
+        # whole parity chain at large T (BENCH_ALL r3 finding).
+        g_fp = jnp.minimum(-0.5 * lnu, ln_clamp)
+        aG = jnp.full_like(g_fp, rho)
+        bG = (1.0 - rho) * g_fp
+        bG = bG.at[0].add(rho * G0)
+        Gc = _affine1_scan(aG, bG)
+        f_t = lnu + 2.0 * Gc
+        bF = (1.0 - rho) * f_t
+        bF = bF.at[0].add(rho * F0)
+        Fc = _affine1_scan(aG, bF)
         Fhat = jnp.repeat(Fc, S)[:T]
         Ghat = jnp.repeat(Gc, S)[:T]
 
@@ -269,17 +295,14 @@ def agc_apply_parallel(state, x, alpha, scale, squelch_threshold,
         def newton_body(carry):
             Fh, Gh, _, it = carry
             _, fF, fG, j11, j12 = f_eval(Fh, Gh)
-            A = jnp.empty((T, 2, 2), rdt)
-            A = A.at[:, 0, 0].set(j11)
-            A = A.at[:, 0, 1].set(j12)
-            A = A.at[:, 1, 0].set(-0.5 * alpha * j11)
-            A = A.at[:, 1, 1].set(1.0 - 0.5 * alpha * j12)
             rF = fF - Fh
             rG = fG - Gh
-            r = jnp.stack([rF, rG], axis=-1)
-            _, delta = jax.lax.associative_scan(_newton_combine, (A, r))
-            Fh = Fh + jnp.clip(delta[:, 0], -2.0, 2.0)
-            Gh = Gh + jnp.clip(delta[:, 1], -2.0, 2.0)
+            dF, dG = jax.lax.associative_scan(
+                _newton_combine,
+                (j11, j12, -0.5 * alpha * j11, 1.0 - 0.5 * alpha * j12,
+                 rF, rG))[4:]
+            Fh = Fh + jnp.clip(dF, -2.0, 2.0)
+            Gh = Gh + jnp.clip(dG, -2.0, 2.0)
             res = jnp.maximum(jnp.max(jnp.abs(rF)), jnp.max(jnp.abs(rG)))
             return Fh, Gh, res, it + 1
 

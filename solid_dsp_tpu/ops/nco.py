@@ -83,14 +83,30 @@ def _lut_index(theta: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("n", "mode"))
 def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
-    """(sin, cos) arrays for a block of n oscillator steps."""
+    """(sin, cos) arrays for a block of n oscillator steps.
+
+    "lut" mode reproduces the reference's phase quantization exactly (the
+    rounded 10-bit index, cos = LUT[idx + 256]).  On accelerator backends
+    a full-rate ``jnp.take`` from the 1024-entry table lowers to a
+    pathological gather (PERF_NOTES.md), so the table VALUE is evaluated
+    as sin(idx * 2pi/1024) instead — the same quantized angle the table
+    stores, agreeing with the f32 table to ~1 ulp (the table itself is
+    the f64 sine rounded once; measured > 130 dB vs take).  CPU keeps the
+    bit-exact table read for the golden parity tests.
+    """
     theta = nco_phases(theta0, delta_theta, n)
     if mode == "lut":
-        if lut is None:
-            lut = make_sine_lut()
         idx = _lut_index(theta)
-        s = jnp.take(lut, idx)
-        c = jnp.take(lut, (idx + jnp.uint32(256)) & jnp.uint32(0x3FF))
+        cidx = (idx + jnp.uint32(256)) & jnp.uint32(0x3FF)
+        if jax.default_backend() == "cpu":
+            if lut is None:
+                lut = make_sine_lut()
+            s = jnp.take(lut, idx)
+            c = jnp.take(lut, cidx)
+        else:
+            step = np.float32(_TWO_PI / 1024.0)
+            s = jnp.sin(idx.astype(jnp.float32) * step)
+            c = jnp.sin(cidx.astype(jnp.float32) * step)
     else:
         ph = theta.astype(jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32) * (_TWO_PI / float(_U32))
