@@ -414,10 +414,10 @@ def bench_fused_halo_channelizer():
 
     @jax.jit
     def g(chk, x):
-        y = jnp.fft.fft(
-            apply_fused(tail0_dev,
-                        x + (0.0 * chk).astype(x.dtype))[0], axis=-1)
-        return jnp.sum(jnp.abs(y))
+        # checksum-only chaining (input-copy chaining deflates: ~0.76 ms
+        # per 128 MB iteration, PERF_NOTES.md #8)
+        y = jnp.fft.fft(apply_fused(tail0_dev, x)[0], axis=-1)
+        return chk + jnp.sum(jnp.abs(y))
 
     def step(chk):
         c2 = g(chk, x)
@@ -464,8 +464,8 @@ def bench_frontend_ops():
         y = rs.execute_block(x)
 
     def fstep(chk):
-        y = rs.execute_block(x + (0.0 * chk).astype(x.dtype))
-        c2 = jnp.sum(jnp.abs(y))
+        y = rs.execute_block(x)
+        c2 = chk + jnp.sum(jnp.abs(y))
         return c2, c2
 
     t = _measure(fstep, jnp.zeros(()))
@@ -634,9 +634,8 @@ def bench_tracking():
     @jax.jit
     def g(carry, xr, d):
         chk, R, p, tail = carry
-        y, R2, p2, tail2 = rstep(R, p, tail,
-                                 xr + (0.0 * chk).astype(xr.dtype), d)
-        return jnp.sum(jnp.abs(y)), R2, p2, tail2
+        y, R2, p2, tail2 = rstep(R, p, tail, xr, d)
+        return chk + jnp.sum(jnp.abs(y)), R2, p2, tail2
 
     def step(carry):
         c2, R2, p2, tail2 = g(carry, xr, d)
@@ -703,8 +702,8 @@ def bench_resample():
         # call; chain the UNJITTED call but keep the checksum threading
         # so each iteration depends on the previous one's device output
         def step(chk, _keep=keep, _r=r):
-            y = _r.execute_block(x + (0.0 * chk).astype(x.dtype))
-            c2 = jnp.sum(jnp.abs(y[:_keep]))
+            y = _r.execute_block(x)
+            c2 = chk + jnp.sum(jnp.abs(y[:_keep]))
             return c2, c2
 
         t = _measure(step, jnp.zeros(()))

@@ -43,8 +43,10 @@ def channelizer_taps(num_channels: int, taps_per_branch: int = 8,
 def channelizer_init(num_channels: int, taps_per_branch: int,
                      dtype=jnp.complex64, batch_shape: tuple = ()):
     """Raw-sample tail of length K*M - 1."""
+    from ..utils.transfer import zeros_device
+
     M, K = num_channels, taps_per_branch
-    return jnp.zeros((*batch_shape, K * M - 1), dtype=dtype)
+    return zeros_device((*batch_shape, K * M - 1), dtype)
 
 
 @partial(jax.jit, static_argnames=("num_channels",))
@@ -242,9 +244,11 @@ def channelizer_synthesize(taps, tail_rows, Y, num_channels: int):
 
 def synthesis_init(num_channels: int, taps_per_branch: int,
                    dtype=jnp.complex64, batch_shape: tuple = ()):
-    """Branch-input carry (K-1 rows of M)."""
-    return jnp.zeros((*batch_shape, taps_per_branch - 1, num_channels),
-                     dtype=dtype)
+    """Branch-input carry (K-1 rows of M); host-built (tunnel-safe)."""
+    from ..utils.transfer import zeros_device
+
+    return zeros_device((*batch_shape, taps_per_branch - 1, num_channels),
+                        dtype)
 
 
 class PolyphaseSynthesizer:
@@ -294,9 +298,11 @@ def os_reconstruction_taps(num_channels: int, taps_per_branch: int = 16,
 def os_channelizer_init(num_channels: int, taps_per_branch: int,
                         dtype=jnp.complex64, batch_shape: tuple = ()):
     """State: (raw tail of K*M - M/2 samples, global step parity)."""
+    from ..utils.transfer import zeros_device
+
     M, K = num_channels, taps_per_branch
-    return (jnp.zeros((*batch_shape, K * M - M // 2), dtype=dtype),
-            jnp.zeros((), jnp.int32))
+    return (zeros_device((*batch_shape, K * M - M // 2), dtype),
+            zeros_device((), jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("num_channels",))

@@ -45,8 +45,11 @@ def fm_modulate(msg: jnp.ndarray, kf: float, phase0=0.0):
 
 
 def fm_demod_init(dtype=jnp.complex64, batch_shape: tuple = ()):
-    """Carry: the previous sample (1 + 0j so the first output is 0)."""
-    return jnp.ones((*batch_shape,), dtype=dtype)
+    """Carry: the previous sample (1 + 0j so the first output is 0);
+    host-built + transferred (tunnel-safe, utils.transfer)."""
+    from ..utils.transfer import full_device
+
+    return full_device(batch_shape, 1.0, dtype)
 
 
 @partial(jax.jit, static_argnames=())

@@ -56,15 +56,20 @@ def agc_init(dtype=jnp.float32, batch_shape: tuple = (), xp=jnp):
     time (models/rx_chain.rx_chain_init); keep the layout changes HERE
     so host and device builders can never drift.
     """
-    f = lambda v: xp.full(batch_shape, v, dtype=dtype)
-    int32 = jnp.int32 if xp is jnp else np.int32
-    return {
-        "gain": f(1.0),
-        "energy": f(1.0),
-        "lock": xp.full(batch_shape, False),
-        "mode": xp.full(batch_shape, SquelchMode.DISABLED, dtype=int32),
-        "timer": xp.full(batch_shape, 0, dtype=int32),
+    tree = {
+        "gain": np.full(batch_shape, 1.0, dtype=np.dtype(dtype)),
+        "energy": np.full(batch_shape, 1.0, dtype=np.dtype(dtype)),
+        "lock": np.full(batch_shape, False),
+        "mode": np.full(batch_shape, SquelchMode.DISABLED, dtype=np.int32),
+        "timer": np.full(batch_shape, 0, dtype=np.int32),
     }
+    if xp is np:
+        return tree
+    # device build: host numpy + transfer (eager jnp.full is a device
+    # fill the axon tunnel rejects — utils.transfer rationale)
+    from ..utils.transfer import put_tree
+
+    return put_tree(tree)
 
 
 def _squelch_update(mode, timer, rssi, threshold, timeout):

@@ -32,12 +32,14 @@ def autocorr_init(window_size: int, delay: int, dtype=jnp.complex64,
                   batch_shape: tuple = ()):
     """State: x history of length W-1+D (enough for z and the moving sum)
     plus |x|^2 history of length W-1 for the energy sum."""
+    from ..utils.transfer import zeros_device
+
     hist = max(window_size - 1 + delay, 0)
     rdtype = np.zeros(0, dtype=dtype).real.dtype
     return {
-        "x_tail": jnp.zeros((*batch_shape, hist), dtype=dtype),
-        "e_tail": jnp.zeros((*batch_shape, max(window_size - 1, 0)),
-                            dtype=rdtype),
+        "x_tail": zeros_device((*batch_shape, hist), dtype),
+        "e_tail": zeros_device((*batch_shape, max(window_size - 1, 0)),
+                               rdtype),
     }
 
 

@@ -55,8 +55,13 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 def fir_init(ntaps: int, dtype=jnp.complex64, batch_shape: tuple = ()) -> jnp.ndarray:
-    """Zero tail of length ntaps-1 (the reference's zeroed Window)."""
-    return jnp.zeros((*batch_shape, max(ntaps - 1, 0)), dtype=dtype)
+    """Zero tail of length ntaps-1 (the reference's zeroed Window).
+
+    Host-built + transferred (utils.transfer.zeros_device): an eager
+    ``jnp.zeros`` is a device-executed fill the axon tunnel rejects."""
+    from ..utils.transfer import zeros_device
+
+    return zeros_device((*batch_shape, max(ntaps - 1, 0)), dtype)
 
 
 def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,

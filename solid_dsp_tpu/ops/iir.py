@@ -71,8 +71,11 @@ def _normalize(b, a):
 
 
 def iir_init(order: int, dtype=jnp.complex64, batch_shape: tuple = ()) -> jnp.ndarray:
-    """w-state vector [w[n-1], ..., w[n-order]] (zeros)."""
-    return jnp.zeros((*batch_shape, order), dtype=dtype)
+    """w-state vector [w[n-1], ..., w[n-order]] (zeros); host-built +
+    transferred (eager jnp.zeros is tunnel-hostile, utils.transfer)."""
+    from ..utils.transfer import zeros_device
+
+    return zeros_device((*batch_shape, order), dtype)
 
 
 # Largest pole radius for which the 32-bit parallel (companion-matrix
@@ -175,8 +178,10 @@ def iir_apply(b, a_tail, w_state, x, method: str = "parallel"):
 
 
 def sos_init(nsections: int, dtype=jnp.complex64, batch_shape: tuple = ()):
-    """Per-section DF-II state (..., nsections, 2)."""
-    return jnp.zeros((*batch_shape, nsections, 2), dtype=dtype)
+    """Per-section DF-II state (..., nsections, 2); host-built (tunnel)."""
+    from ..utils.transfer import zeros_device
+
+    return zeros_device((*batch_shape, nsections, 2), dtype)
 
 
 @partial(jax.jit, static_argnames=("method",))

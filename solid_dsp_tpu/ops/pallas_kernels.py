@@ -222,8 +222,11 @@ def _iir_bank_kernel(sos_ref, state_in_ref, x_ref, y_ref, state_out_ref,
 
 
 def iir_bank_init(nsections: int, num_channels: int) -> jnp.ndarray:
-    """Zero cascade state: (2*S, C) complex64 rows [w1_0, w2_0, w1_1, ...]."""
-    return jnp.zeros((2 * nsections, num_channels), jnp.complex64)
+    """Zero cascade state: (2*S, C) complex64 rows [w1_0, w2_0, w1_1, ...];
+    host-built + transferred (tunnel-safe, utils.transfer)."""
+    from ..utils.transfer import zeros_device
+
+    return zeros_device((2 * nsections, num_channels), jnp.complex64)
 
 
 @partial(jax.jit, static_argnames=("tile_rows", "interpret"))

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["put_complex", "get_complex", "fetch", "put_tree"]
+__all__ = ["put_complex", "get_complex", "fetch", "put_tree", "put_array",
+           "zeros_device", "full_device"]
 
 
 @jax.jit
@@ -72,6 +73,29 @@ def fetch(x) -> np.ndarray:
     if jnp.iscomplexobj(x):
         return get_complex(x)
     return np.asarray(x)
+
+
+def put_array(x, dtype=None):
+    """Tunnel-safe host->device for ONE array: complex via put_complex,
+    everything else as a plain transfer (``jnp.asarray`` of host data is
+    a pure device_put — no eager device compute)."""
+    x = np.asarray(x) if dtype is None else np.asarray(x, np.dtype(dtype))
+    if np.iscomplexobj(x):
+        return put_complex(x)
+    return jnp.asarray(x)
+
+
+def zeros_device(shape, dtype):
+    """Tunnel-safe ``jnp.zeros``: the eager ``jnp.zeros`` lowers to a
+    device-executed fill, which the axon tunnel rejects (UNIMPLEMENTED —
+    and a failed eager op poisons the whole client).  Building the zeros
+    host-side and transferring keeps every init path tunnel-clean."""
+    return put_array(np.zeros(shape, np.dtype(dtype)))
+
+
+def full_device(shape, value, dtype):
+    """Tunnel-safe ``jnp.full`` (see zeros_device)."""
+    return put_array(np.full(shape, value, np.dtype(dtype)))
 
 
 def put_tree(tree):
