@@ -561,31 +561,39 @@ def ddc_fm_epilogue_pieces(pieces, w0, dw, prev_re, prev_im, kf, gain):
                 pim = jnp.concatenate([seam[1][None], im[:-1]])
                 audios.append(disc(re, im, pre, pim))
         else:
+            # cols piece: ONE fused elementwise pass (measured: the old
+            # concat-built neighbour arrays materialized several full
+            # decimated-rate copies; rolls + masked selects fuse with the
+            # cross products and atan2 into a single XLA kernel).
             y2d, P = p[1], p[2]
             zre, zim = y2d[:, :P], y2d[:, P:]
+            F = zre.shape[0]
             if seam is None:
-                # cols piece leading the block: bootstrap the seam with a
-                # duplicate of z[0], then overwrite output 0 afterwards
-                c0, s0 = _rot_scalar(jnp.uint32(w0), rdtype)
-                y0re = zre[0, 0] * c0 - zim[0, 0] * s0
-                y0im = zim[0, 0] * c0 + zre[0, 0] * s0
-                first = jnp.arctan2(
-                    y0im * prev_re - y0re * prev_im,
-                    y0re * prev_re + y0im * prev_im) * scale
-                seam = (zre[0, 0], zim[0, 0])
+                # leading piece: inject the carried prev (rotated, gained)
+                # PRE-rotated by e^{+j rad(w0 - dw)} so the uniform
+                # formula atan2((z conj(q)) e^{-j drad}) yields the exact
+                # first output atan2((z0 e^{-j w0}) conj(prev))
+                v = jnp.uint32(w0) - jnp.uint32(dw)
+                cv, msv = _rot_scalar(v, rdtype)   # (cos, -sin) of e^{-j}
+                sv = -msv                          # e^{+j rad(v)}
+                s_re = prev_re * cv - prev_im * sv
+                s_im = prev_re * sv + prev_im * cv
             else:
-                first = None
-            # col-0 neighbours: previous row's last column (seam at row 0)
-            pc_re = jnp.concatenate([seam[0][None], zre[:-1, P - 1]])
-            pc_im = jnp.concatenate([seam[1][None], zim[:-1, P - 1]])
-            a0 = disc(zre[:, 0], zim[:, 0], pc_re, pc_im)    # (F,)
-            arest = disc(zre[:, 1:], zim[:, 1:],
-                         zre[:, :-1], zim[:, :-1])           # (F, P-1)
-            a2d = jnp.concatenate([a0[:, None], arest], axis=1)
-            aflat = a2d.reshape(-1)
-            if first is not None:
-                aflat = jnp.concatenate([first[None], aflat[1:]])
-            audios.append(aflat)
+                s_re, s_im = seam
+            # previous output in row-major order: lane roll right, col 0
+            # from the sublane-rolled last column, corner = the seam
+            Are = jnp.roll(zre, 1, axis=1)
+            Aim = jnp.roll(zim, 1, axis=1)
+            Bre = jnp.roll(zre[:, P - 1], 1, axis=0)
+            Bim = jnp.roll(zim[:, P - 1], 1, axis=0)
+            col0 = jnp.arange(P) == 0
+            row0 = (jnp.arange(F) == 0)[:, None]
+            corner = col0 & row0
+            pre = jnp.where(corner, s_re,
+                            jnp.where(col0, Bre[:, None], Are))
+            pim = jnp.where(corner, s_im,
+                            jnp.where(col0, Bim[:, None], Aim))
+            audios.append(disc(zre, zim, pre, pim).reshape(-1))
         seam = _piece_last(p)
     out = audios[0] if len(audios) == 1 else jnp.concatenate(audios)
     # carried state: gained, rotated last sample (rotated path's fm_prev)
@@ -622,6 +630,14 @@ def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
     rdtype = x2.dtype
     if L % M or rdtype == jnp.float64:
         return None
+    # r4 engine history: the first in-VMEM discriminator ran its epilogue
+    # on (TF, P=64)-lane halves — every roll/where/product at half lane
+    # width plus a 64-lane audio output block, ~0.7 ms of VPU relayouts
+    # per 16M-sample block, briefly making the XLA pieces epilogue the
+    # better path.  The PACKED (TF, 2P) epilogue (see pallas_ddc.py
+    # finish()) removed that: measured chain x3 22.4 Gs/s vs 14.4 for the
+    # pieces path (whose rolls materialize full decimated-rate copies in
+    # HBM) — the fused kernel is the default again.
     if not _use_pallas(engine, precision, rdtype):
         return None
     from .pallas_ddc import (DEFAULT_P, DEFAULT_TF, HALO_FRAMES,
@@ -656,7 +672,8 @@ def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
     tailrow = jnp.zeros((2, HALO_FRAMES, hop_p), rdtype)
     tailrow = tailrow.at[:, HALO_FRAMES - 1, hop_p - D :].set(
         tail2[:, first:].astype(rdtype))
-    audio, stats8 = body_fn(xf, tailrow)  # (tiles*TF, P), (tiles*8, 128)
+    audio2, stats8 = body_fn(xf, tailrow)  # (tiles*TF, 2P), (tiles*8, 128)
+    audio = audio2[:, :Pp]                 # packed-lane layout, see kernel
     stats = stats8.reshape(tiles, 8, 128)[:, 0, :]   # row 0 carries data
 
     scale = np.asarray(1.0 / (2.0 * np.pi * float(kf))).astype(rdtype)

@@ -246,28 +246,48 @@ def _banks_full_cached(h_bytes: bytes, n: int, M: int, P: int):
     return (Bbr, Bbi, Bpr, Bpi), hpad
 
 
+def _fdiv(num, den):
+    """Division via approximate reciprocal + ONE Newton step (~2^-24
+    relative): measured faster than the hardware f32 divide in the VPU
+    epilogue (compiled path); interpret mode (CPU tests) falls back to
+    the exact divide — pl.reciprocal has no interpret lowering."""
+    try:
+        r = pl.reciprocal(den, approx=True)
+    except Exception:  # unsupported backend
+        return num / den
+    r = r * (2.0 - den * r)
+    r = r * (2.0 - den * r)   # 2nd step: ~1e-5 -> ~1e-10 relative
+    return num * r
+
+
+# atan(t)/t ~ P(t^2) on [0, 1]: degree-8 Chebyshev-fitted minimax, max
+# error 4.6e-8 rad (host-fitted; see tools history).  One long polynomial
+# replaces the classic second range reduction at tan(pi/8) — its extra
+# DIVISION plus branch selects cost more VPU passes than 4 extra FMAs.
+_ATAN_P = tuple(np.float32(v) for v in (
+    3.0496670837e-03, -1.6826361744e-02, 4.3854018740e-02,
+    -7.5966915136e-02, 1.0681372642e-01, -1.4213185682e-01,
+    1.9993715063e-01, -3.3333120743e-01, 9.9999998808e-01))
+
+
 def _atan2(y, x):
     """f32 atan2 from supported Mosaic primitives (no atan/atan2 lowering).
 
-    Cephes atanf scheme: reduce to t = min/max in [0, 1], second range
-    reduction at tan(pi/8) via atan(t) = pi/4 + atan((t-1)/(t+1)), then a
-    4-term odd minimax polynomial; quadrant fixes with where/sign.  Max
-    error ~2e-7 rad vs the libm atan2 (measured in the parity tests) —
-    far below the chain's 90 dB gates.
+    Reduce to t = min/max in [0, 1] (ONE division, via fast reciprocal),
+    evaluate the odd minimax polynomial, fix quadrants with where/sign.
+    Max error < 1e-7 rad vs libm atan2 — far below the chain's 90 dB
+    gates (checked by the interpret-mode parity tests).
     """
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     mx = jnp.maximum(ax, ay)
     mn = jnp.minimum(ax, ay)
-    t = mn / jnp.maximum(mx, np.float32(1e-37))
-    red = t > np.float32(0.4142135623730951)      # tan(pi/8)
-    u = jnp.where(red, (t - 1.0) / (t + 1.0), t)
-    z = u * u
-    p = ((((np.float32(8.05374449538e-2) * z
-            - np.float32(1.38776856032e-1)) * z
-           + np.float32(1.99777106478e-1)) * z
-          - np.float32(3.33329491539e-1)) * z * u + u)
-    r = jnp.where(red, np.float32(np.pi / 4) + p, p)
+    t = _fdiv(mn, jnp.maximum(mx, np.float32(1e-37)))
+    z = t * t
+    p = _ATAN_P[0]
+    for c in _ATAN_P[1:]:
+        p = p * z + c
+    r = p * t
     r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
     r = jnp.where(x < 0, np.float32(np.pi) - r, r)
     return jnp.where(y < 0, -r, r)
@@ -449,45 +469,62 @@ def _make_kernel_fm(P: int, hop: int, hpad: int, mode: str,
         """v[i, j] as a (1, 1) value at register offset (0, 0) — direct
         corner slices carry their source offsets, which Mosaic's concat
         rejects on the non-concat dimension; a masked reduction lands
-        the value at offset 0."""
-        ri = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        m = (ri == i) & (ci == j)
-        return jnp.sum(jnp.where(m, v, 0.0), axis=(0, 1), keepdims=True)
+        the value at offset 0.  The reduction runs over an 8-ROW slice
+        around i, not the whole tile: full-tile masked reductions just to
+        read one scalar measured as a large share of the VPU epilogue."""
+        if v.shape[0] <= 8:
+            r0, vs = 0, v
+        else:
+            r0 = (i // 8) * 8          # python int (i is static)
+            vs = v[r0:r0 + 8, :]
+        ri = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+        m = (ri == (i - r0)) & (ci == j)
+        return jnp.sum(jnp.where(m, vs, 0.0), axis=(0, 1), keepdims=True)
 
     def finish(y, zs, o_audio, o_stats):
-        zre = y[:, :P]
-        zim = y[:, P:]
-        # previous output in flattened (row-major) order via native
-        # rotates: lane-roll right by 1, then the wrapped column 0 takes
-        # the SUBLANE-rolled value (previous row's last column); the one
-        # remaining corner (row 0, col 0 = the cross-tile seam) comes
-        # from the recomputed zs.  Rolls are single VPU ops — the concat
-        # construction they replace cost ~0.3 ms/block in relayouts.
-        ci = jax.lax.broadcasted_iota(jnp.int32, zre.shape, 1)
-        ri = jax.lax.broadcasted_iota(jnp.int32, zre.shape, 0)
-        Are = pltpu.roll(zre, 1, 1)
-        Aim = pltpu.roll(zim, 1, 1)
-        Bre = pltpu.roll(Are, 1, 0)
-        Bim = pltpu.roll(Aim, 1, 0)
-        corner = (ri == 0) & (ci == 0)
-        pre = jnp.where(corner, pick11(zs, 0, 0),
-                        jnp.where(ci == 0, Bre, Are))
-        pim = jnp.where(corner, pick11(zs, 0, 1),
-                        jnp.where(ci == 0, Bim, Aim))
-        ure = zre * pre + zim * pim
-        uim = zim * pre - zre * pim
+        # FULL-LANE (packed) epilogue: every op below runs on the intact
+        # (TF, 2P) [re-block | im-block] register layout.  The earlier
+        # formulation sliced y into (TF, P) re/im halves first — P = 64
+        # lanes, so every roll/where/product ran at half lane width with
+        # relayouts, and the 64-lane audio output block forced another;
+        # that split + narrow output alone measured ~0.4 ms/block (the
+        # whole body dot section is ~0.24 ms).
+        #
+        # Previous-output-in-flat-order, packed: lane-roll right by 1
+        # shifts both blocks at once; the wrapped lanes {0, P} need the
+        # previous row's last column OF THEIR OWN BLOCK, which is exactly
+        # roll(y, P+1, lanes) sublane-rolled by 1.  The (0, {0, P})
+        # corners take the recomputed cross-tile seam zs.
+        ci = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+        A = pltpu.roll(y, 1, 1)
+        E2 = pltpu.roll(pltpu.roll(y, P + 1, 1), 1, 0)
+        wrap = (ci == 0) | (ci == P)
+        seam_row = (pick11(zs, 0, 0) * (ci == 0)
+                    + pick11(zs, 0, 1) * (ci == P))
+        pre = jnp.where(wrap & (ri == 0), seam_row,
+                        jnp.where(wrap, E2, A))
+        # cross products u = z * conj(z_prev) in packed halves:
+        #   S = y*pre -> [re*pre_re | im*pre_im]; u_re = S + roll(S, P)
+        #   T = roll(y, P)*pre -> [im*pre_re | re*pre_im];
+        #   u_im = T - roll(T, P)   (upper half is -u_im: never read —
+        #   the caller consumes audio[:, :P] only)
+        S = y * pre
+        ure = S + pltpu.roll(S, P, 1)
+        T = pltpu.roll(y, P, 1) * pre
+        uim = T - pltpu.roll(T, P, 1)
         dre = ure * cd - uim * sd
         dim = uim * cd + ure * sd
         o_audio[:] = _atan2(dim, dre) * scale
         one = jnp.zeros((1, 1), jnp.float32)
-        TFr = zre.shape[0]
+        TFr = y.shape[0]
         stats = jnp.concatenate([
             one + jnp.sum(y * y),            # [0] tile energy sum|z|^2
-            pick11(zre, TFr - 1, P - 1),     # [1] z_last re
-            pick11(zim, TFr - 1, P - 1),     # [2] z_last im
-            pick11(zre, 0, 0),               # [3] z_first re
-            pick11(zim, 0, 0),               # [4] z_first im
+            pick11(y, TFr - 1, P - 1),       # [1] z_last re
+            pick11(y, TFr - 1, 2 * P - 1),   # [2] z_last im
+            pick11(y, 0, 0),                 # [3] z_first re
+            pick11(y, 0, P),                 # [4] z_first im
             jnp.zeros((1, 128 - 5), jnp.float32),
         ], axis=1)
         # (8, 128) block: Mosaic needs the trailing dims of an output
@@ -552,7 +589,9 @@ def make_pallas_ddc_fm(h_bp: np.ndarray, M: int, tiles: int, dw: np.uint32,
                        interpret: bool | None = None):
     """Build the fused DDC+FM body: fn(xf, tailrow) -> (audio, stats).
 
-    audio: (tiles*TF, P) f32, audio[t] = atan2 of z[t] conj(z[t-1])
+    audio: (tiles*TF, 2P) f32 — the FM audio in columns [:P] (columns
+    [P:] are a packed-lane computation artifact, see the out_specs note);
+    audio[t] (row-major over the [:P] block) = atan2 of z[t] conj(z[t-1])
     rotated by the constant e^{-j rad(dw)}, scaled by 1/(2 pi kf) — i.e.
     the collapsed-epilogue FM discriminator (ops/ddc.py) for every output
     of the covered frames.  Output 0 of tile 0 uses a seam recomputed
@@ -604,13 +643,18 @@ def make_pallas_ddc_fm(h_bp: np.ndarray, M: int, tiles: int, dw: np.uint32,
         grid=(tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((TF, P), lambda i: (i, 0),
+            # audio rides PACKED (TF, 2P): a P=64-lane output block would
+            # force half-width relayouts on every epilogue op (measured
+            # ~0.4 ms/block); lanes [P:) duplicate/garbage — callers read
+            # [:, :P].  The extra write is ~16 MB/block (~25 us) vs the
+            # ~0.4 ms saved.
+            pl.BlockSpec((TF, 2 * P), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tiles * TF, P), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * TF, 2 * P), jnp.float32),
             jax.ShapeDtypeStruct((tiles * 8, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
