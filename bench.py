@@ -7,13 +7,14 @@ north star: 1 Gsample/s complex per chip (the reference publishes no numbers
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-TIMING METHODOLOGY (utils/benchtime.py): the tunneled PJRT client's
-``block_until_ready`` can acknowledge before the device finishes, which
-inflates naive loop timing past hardware speed-of-light.  We instead time
-k chained iterations (each consumes the previous state, so the device
-cannot overlap or elide them) ending in ONE scalar device->host fetch,
-for several k, and report the least-squares slope of T(k) — the true
-per-iteration device time with the tunnel round-trip in the intercept.
+TIMING METHODOLOGY (utils/benchtime.py): two tunnel artifacts to dodge.
+``block_until_ready`` can acknowledge early (inflates naive loops), and
+per-dispatch chains are HOST-enqueue-bound below ~1 ms/block
+(under-reports fast chains — PERF_NOTES.md #14).  So: ONE dispatch runs
+16 block applications chained on device (state carry + a salted input
+element), several such dispatches are timed ending in ONE scalar fetch,
+and the least-squares slope over dispatch count is the true time with
+the round trip in the intercept.
 """
 
 from __future__ import annotations
@@ -114,7 +115,7 @@ def main() -> None:
     import numpy as np
 
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
-    from solid_dsp_tpu.utils.benchtime import measure_step
+    from solid_dsp_tpu.utils.benchtime import measure_apply_devloop
 
     # Fused-DDC fast path (ops/ddc.py): mix+FIR+decimate as one bandpass
     # Toeplitz matmul on planar re/im planes + a decimated-rate rotation.
@@ -143,21 +144,13 @@ def main() -> None:
         np.stack([sig.real, sig.imag]).astype(np.float32))
     state = init()
 
-    # x is a runtime ARGUMENT, not a jit closure: embedding a committed
-    # device array as a constant forces a device->host fetch that poisons
-    # the tunneled client.
-    @jax.jit
-    def g(st, x):
-        out, st2 = apply(st, x)
-        return jnp.sum(out), st2
-
-    def step(carry):
-        _, st = carry
-        chk, st2 = g(st, x)
-        return chk, (chk, st2)
-
-    r = measure_step(step, (jnp.zeros(()), state),
-                     ks=(2, 10, 18), reps=2, warmup=3)
+    # Device-side iteration loop (utils/benchtime.measure_apply_devloop):
+    # per-dispatch timing over the tunnel is HOST-enqueue-bound below
+    # ~1 ms/block and under-reports fast chains (PERF_NOTES.md #14); one
+    # dispatch runs 16 chained block applications, salted so they cannot
+    # be elided, and the outer regression removes the round trip.
+    r = measure_apply_devloop(apply, state, x, iters=16,
+                              ks=(1, 2, 4), reps=3)
     sps = L / r["t_iter"]
     print(json.dumps({
         "metric": "rx_chain_throughput",

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from solid_dsp_tpu.utils.benchtime import measure_step
+from solid_dsp_tpu.utils.benchtime import measure_apply_devloop, measure_step
 from solid_dsp_tpu.utils.transfer import put_complex
 
 # BENCH_SMOKE=1: tiny sizes + short ks, for CPU structural validation only
@@ -106,6 +106,18 @@ def _chain_step(apply, x):
     return step
 
 
+def _measure_chain_devloop(apply, st, x, n):
+    """Fast chains (< ~1 ms/block) via the device-side iteration loop:
+    per-dispatch chaining is host-enqueue-bound over the tunnel and
+    under-reports them (PERF_NOTES.md #14).  Slow chains (parity modes)
+    keep per-dispatch timing — enqueue is negligible there."""
+    iters = 4 if SMOKE else 16
+    r = _retried(lambda: measure_apply_devloop(
+        apply, st, x, iters=iters,
+        ks=(1, 2, 3) if SMOKE else (1, 2, 4), reps=1 if SMOKE else 3))
+    return n / r["t_iter"]
+
+
 def _stateless_step(f, x):
     """Chain iterations through the CHECKSUM only.
 
@@ -147,10 +159,9 @@ def bench_rx_chain():
     init, apply = make_rx_chain(cfg)
     L = _size(24)
     x = _tone(L)
-    step = _chain_step(apply, x)
     st = _retried(init)
-    t = _measure(step, (jnp.zeros(()), st))
-    return _row("rx_chain_throughput", L / t)
+    sps = _measure_chain_devloop(apply, st, x, L)
+    return _row("rx_chain_throughput", sps)
 
 
 def _bench_chain_cfg(metric, L, ks=KS, **cfg_overrides):
@@ -196,10 +207,9 @@ def _bench_chain_planar(metric, prec):
     k = np.arange(L)
     sig = 0.1 * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 0.001) * k)
     x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
-    step = _chain_step(apply, x)
     st = _retried(init)
-    t = _measure(step, (jnp.zeros(()), st))
-    return _row(metric, L / t)
+    sps = _measure_chain_devloop(apply, st, x, L)
+    return _row(metric, sps)
 
 
 def bench_rx_chain_planar_x3():
@@ -224,10 +234,9 @@ def bench_rx_chain_ci16_ingest():
     L = _size(24)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-20000, 20000, size=(L, 2), dtype=np.int16))
-    step = _chain_step(apply, x)
     st = _retried(init)
-    t = _measure(step, (jnp.zeros(()), st))
-    return _row("rx_chain_ci16_ingest", L / t)
+    sps = _measure_chain_devloop(apply, st, x, L)
+    return _row("rx_chain_ci16_ingest", sps)
 
 
 def bench_rx_chain_qpsk():
@@ -253,10 +262,9 @@ def bench_rx_chain_qpsk():
     k = np.arange(L)
     sig = bb * np.exp(2j * np.pi * (0.2 / (2 * np.pi) + 1e-5) * k)
     x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
-    step = _chain_step(apply, x)
     st = _retried(init)
-    t = _measure(step, (jnp.zeros(()), st))
-    return _row("rx_chain_qpsk_fused_planar_x3", L / t)
+    sps = _measure_chain_devloop(apply, st, x, L)
+    return _row("rx_chain_qpsk_fused_planar_x3", sps)
 
 
 def bench_rx_chain_parity_parallel():

@@ -73,7 +73,7 @@ def run_overhead(cps: int, samples: int):
     loops over the tunnel's block_until_ready read early."""
     from solid_dsp_tpu import parallel
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
-    from solid_dsp_tpu.utils.benchtime import measure_step
+    from solid_dsp_tpu.utils.benchtime import measure_apply_devloop
 
     cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
                         agc_mode="block", demod="fm", nco_mode="exact",
@@ -84,18 +84,10 @@ def run_overhead(cps: int, samples: int):
     x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
 
     def timed(apply, st):
-        @jax.jit
-        def g(st, x):
-            out, st2 = apply(st, x)
-            return jnp.sum(out), st2
-
-        def step(carry):
-            chk, st = carry
-            c2, st2 = g(st, x)
-            return c2, (c2, st2)
-
-        r = measure_step(step, (jnp.zeros(()), st), ks=(4, 16, 48),
-                         reps=2, warmup=3)
+        # device-side iteration loop: per-dispatch chains under-report
+        # fast blocks over the tunnel (PERF_NOTES.md #14)
+        r = measure_apply_devloop(apply, st, x, iters=16, ks=(1, 2, 4),
+                                  reps=3)
         return samples / r["t_iter"] / 1e6
 
     init1, apply1 = make_rx_chain(cfg)

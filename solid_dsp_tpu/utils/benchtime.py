@@ -32,7 +32,8 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fit_iter_time", "measure_step", "hbm_read_control"]
+__all__ = ["fit_iter_time", "measure_step", "hbm_read_control",
+           "measure_apply_devloop"]
 
 
 def fit_iter_time(times_s: Sequence[float], ks: Sequence[int]) -> tuple[float, float]:
@@ -85,6 +86,48 @@ def measure_step(
     slope, intercept = fit_iter_time(
         [best[k] for k in ks], list(ks))
     return {"t_iter": slope, "latency": intercept, "times": best}
+
+
+def measure_apply_devloop(apply, state, x, iters: int = 16,
+                          ks: Sequence[int] = (1, 2, 4), reps: int = 3,
+                          warmup: int = 2) -> dict:
+    """Per-block time of ``apply(state, x) -> (out, state)`` with the
+    iteration loop ON DEVICE.
+
+    Per-dispatch slope regression cannot resolve fast blocks over the
+    tunnel: the HOST enqueue rate (~0.2-1 ms/dispatch, load-dependent)
+    becomes the pipeline bottleneck and the slope measures the host, not
+    the device (PERF_NOTES.md #14).  Here ONE dispatch runs ``iters``
+    chained applications via ``lax.fori_loop`` — the state carry chains
+    them, and one element of ``x`` is salted per iteration (in place, in
+    the loop carry) so even state-light chains cannot be elided or
+    overlapped.  The outer ks/regression then removes the per-dispatch
+    round trip as usual.
+
+    Returns {"t_iter": seconds per single apply, ...}.
+    """
+    idx = (0,) * x.ndim
+
+    @jax.jit
+    def g(x, st, acc0):
+        def body(_, carry):
+            xc, st, acc = carry
+            out, st = apply(st, xc)
+            acc = acc + jnp.sum(jnp.real(out))
+            xc = xc.at[idx].add((acc * 1e-30).astype(xc.dtype))
+            return (xc, st, acc)
+        xc, st, acc = jax.lax.fori_loop(0, iters, body, (x, st, acc0))
+        return acc, st
+
+    def step(carry):
+        chk, st = carry
+        c2, st2 = g(x, st, chk * 1e-30)
+        return c2, (c2, st2)
+
+    r = measure_step(step, (jnp.zeros(()), state), ks=ks, reps=reps,
+                     warmup=warmup)
+    r["t_iter"] = r["t_iter"] / iters
+    return r
 
 
 def hbm_read_control(nbytes: int = 1 << 28) -> dict:
