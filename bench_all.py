@@ -287,7 +287,9 @@ def bench_channelizer():
         channelizer_apply, channelizer_init, channelizer_taps)
 
     M, K = 256, 8
-    L = M * (64 if SMOKE else 4096)
+    # 4M samples: the measured sweet spot (1M-sample blocks are
+    # dispatch-bound; > 8M degrades XLA's fusion — PERF_NOTES.md #19)
+    L = M * (64 if SMOKE else 16384)
     x = _noise(L)
     taps = np.asarray(channelizer_taps(M, K), dtype=np.complex64)
 
@@ -314,7 +316,7 @@ def bench_channelizer_planar():
         channelizer_apply_planar, channelizer_dft_bank, channelizer_taps)
 
     M, K = 256, 8
-    L = M * (64 if SMOKE else 4096)
+    L = M * (64 if SMOKE else 16384)   # sweet-spot block (see above)
     rng = np.random.default_rng(0)
     sig = (rng.standard_normal(L) + 1j * rng.standard_normal(L))
     x2 = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))

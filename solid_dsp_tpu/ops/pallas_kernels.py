@@ -175,11 +175,16 @@ def channelizer_apply_pallas(taps_h_il, tail_rows, x, num_channels: int,
 # and one write per sample.  State persists in the fori_loop carry within
 # a tile and in VMEM scratch across sequential grid steps.
 #
-# Measured on TPU v5e (S=2 sections, C=256 channels, T=65536):
-#   this kernel          50.8 Gchannel-samples/s   (compile 1.1 s)
-#   XLA associative scan  9.5 Gchannel-samples/s   (compile 128 s)
-# — 5.3x faster at 100x faster compile; this is the framework's
-# pallas-favored hot op.
+# Measured on TPU v5e (S=2 sections, C=256 channels, T=65536; r4
+# device-loop methodology — the earlier 50.8/9.5 figures were artifacts
+# of the per-dispatch harness, PERF_NOTES.md #14):
+#   this kernel          1.43 Gchannel-samples/s  (compile ~1 s)
+#   XLA associative scan 0.08 Gchannel-samples/s  (compile 440 s)
+# — 18x faster at ~400x faster compile.  Absolute throughput is bound by
+# the loop-carried biquad latency (~180 ns/time-step across all 256
+# lanes), which no formulation escapes without changing the math; the
+# structural win over XLA's alternatives is what makes this the
+# framework's pallas-favored sequential op.
 
 
 def _iir_bank_kernel(sos_ref, state_in_ref, x_ref, y_ref, state_out_ref,
