@@ -423,14 +423,17 @@ def bench_fused_halo_channelizer():
     tail0_dev = put_complex(np.zeros((K, M), np.complex64))
 
     @jax.jit
-    def g(chk, x):
-        # checksum-only chaining (input-copy chaining deflates: ~0.76 ms
-        # per 128 MB iteration, PERF_NOTES.md #8)
-        y = jnp.fft.fft(apply_fused(tail0_dev, x)[0], axis=-1)
+    def g(chk, tail, x):
+        # checksum-only chaining (input-copy chaining deflates,
+        # PERF_NOTES.md #8); tail rides as an ARGUMENT — closing over a
+        # committed device array embeds it as an MLIR constant, whose
+        # device->host fetch the tunnel rejects (this exact bench lost
+        # its r03 row to that)
+        y = jnp.fft.fft(apply_fused(tail, x)[0], axis=-1)
         return chk + jnp.sum(jnp.abs(y))
 
     def step(chk):
-        c2 = g(chk, x)
+        c2 = g(chk, tail0_dev, x)
         return c2, c2
 
     t = _measure(step, jnp.zeros(()))
