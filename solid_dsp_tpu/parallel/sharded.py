@@ -448,18 +448,27 @@ def make_sharded_channelizer(num_channels: int, taps_per_branch: int = 8,
         raise ValueError(f"num_channels ({M}) must divide by the channel "
                          f"axis size ({n_cs})")
     taps = np.asarray(channelizer_taps(M, K, attenuation), dtype=dtype)
-    H = taps[: K * M].reshape(K, M)  # H[k, r] = h[k*M + r]
     K_loc = K // n_cs
     M_loc = M // n_cs
-    # partial inverse-DFT extractor: W[r, m] = e^{+2 pi i r m / M} (times M
-    # to match channelizer_apply's ifft * M convention).
-    r = np.arange(M)[:, None]
+    # Gather-free commutator form (models/channelizer.py docstring): with
+    # P[u, q] = x_ext[u*M + q] and G = reverse(taps[:K*M]).reshape(K, M),
+    # z2[t, q] = sum_k' G[k', q] P[t + k', q] where z2[q] = z[r = M-1-q].
+    # The tap-parallel split hands each channel shard K_loc of the K
+    # shifted multiply-adds (partial sums psum'd); the (T, K, M) advanced-
+    # index gather this replaces is pathological on the TPU backend.
+    G = np.asarray(taps)[: K * M][::-1].reshape(K, M)
+    # partial inverse-DFT extractor in z2's q indexing:
+    #   Y[t, m] = sum_r z[t, r] e^{+2 pi i r m / M} = sum_q z2[t, q] W2[q, m],
+    #   W2[q, m] = e^{+2 pi i (M-1-q) m / M}
+    q = np.arange(M)[:, None]
     m = np.arange(M)[None, :]
-    W_full = np.exp(2j * np.pi * r * m / M)
+    W2_full = np.exp(2j * np.pi * (M - 1 - q) * m / M)
     halo_len = K * M - 1
 
     def init():
-        return jnp.zeros(halo_len, dtype=dtype)
+        from ..utils.transfer import zeros_device
+
+        return zeros_device(halo_len, dtype)
 
     def local_fn(tail, x):
         c_idx = jax.lax.axis_index("channel")
@@ -472,23 +481,24 @@ def make_sharded_channelizer(num_channels: int, taps_per_branch: int = 8,
         eff_tail = jnp.where(t_idx == 0, tail, halo)
         x_ext = jnp.concatenate([eff_tail, x], axis=-1)
 
-        # tap-parallel front end: this shard sums its K_loc tap rows.
-        k_loc = jax.lax.iota(jnp.int32, K_loc) + c_idx * K_loc
-        t = jnp.arange(T_loc)[:, None, None]
-        k = k_loc[None, :, None]
-        rr = jnp.arange(M)[None, None, :]
-        idx = halo_len + (t - k) * M - rr  # (T_loc, K_loc, M)
-        V = x_ext[idx]
-        H_loc = jax.lax.dynamic_slice_in_dim(H, c_idx * K_loc, K_loc, axis=0)
-        z_part = jnp.einsum("tkr,kr->tr", V, H_loc.astype(x.dtype))
-        z = jax.lax.psum(z_part, "channel")  # (T_loc, M)
+        # tap-parallel front end: this shard sums its K_loc of the K
+        # shifted multiply-adds (P framing identical to channelizer_apply:
+        # x_ext = [K*M-1 tail | block], P[u, q] = x_ext[u*M + q]).
+        P = x_ext[..., : (T_loc + K - 1) * M].reshape(T_loc + K - 1, M)
+        G_loc = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(G).astype(x.dtype), c_idx * K_loc, K_loc, axis=0)
+        z_part = G_loc[0] * jax.lax.dynamic_slice_in_dim(P, c_idx * K_loc,
+                                                         T_loc, axis=0)
+        for j in range(1, K_loc):
+            z_part = z_part + G_loc[j] * jax.lax.dynamic_slice_in_dim(
+                P, c_idx * K_loc + j, T_loc, axis=0)
+        z2 = jax.lax.psum(z_part, "channel")  # (T_loc, M), q-indexed
 
         # channel-parallel output DFT: extract this shard's channel slice.
         W_loc = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(W_full, dtype=z.dtype), c_idx * M_loc, M_loc, axis=1
-        )
-        # ifft(z) * M  ==  z @ W  (channelizer_apply's convention)
-        Y = z @ W_loc
+            jnp.asarray(W2_full, dtype=z2.dtype), c_idx * M_loc, M_loc,
+            axis=1)
+        Y = z2 @ W_loc
         new_tail = from_last_shard(x[..., -halo_len:], "time")
         return Y, new_tail
 
