@@ -155,7 +155,7 @@ def bench_rx_chain():
 
     cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
                         agc_mode="block", demod="fm", nco_mode="exact",
-                        dtype=jnp.complex64)
+                        fir_precision="x3", dtype=jnp.complex64)
     init, apply = make_rx_chain(cfg)
     L = _size(24)
     x = _tone(L)
@@ -229,7 +229,8 @@ def bench_rx_chain_ci16_ingest():
 
     cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
                         agc_mode="block", demod="fm", nco_mode="exact",
-                        dtype=jnp.complex64, input_format="ci16")
+                        fir_precision="x3", dtype=jnp.complex64,
+                        input_format="ci16")
     init, apply = make_rx_chain(cfg)
     L = _size(24)
     rng = np.random.default_rng(0)
@@ -293,19 +294,13 @@ def bench_channelizer():
     x = _noise(L)
     taps = np.asarray(channelizer_taps(M, K), dtype=np.complex64)
 
-    @jax.jit
-    def g(tail, x):
+    def ch_apply(tail, x):
         Y, tail2 = channelizer_apply(taps, tail, x, M)
-        return jnp.sum(jnp.abs(Y)), tail2
-
-    def step(carry):
-        chk, tail = carry
-        c2, tail2 = g(tail, x)
-        return c2, (c2, tail2)
+        return jnp.abs(Y), tail2
 
     tail = channelizer_init(M, K, jnp.complex64)
-    t = _measure(step, (jnp.zeros(()), tail))
-    return _row("channelizer_256ch", L / t)
+    sps = _measure_chain_devloop(ch_apply, tail, x, L)
+    return _row("channelizer_256ch", sps)
 
 
 def bench_channelizer_planar():
@@ -324,20 +319,13 @@ def bench_channelizer_planar():
     bank = channelizer_dft_bank(M, K)
     out = []
     for prec, tag in (("x3", "x3"), ("default", "bf16")):
-        @jax.jit
-        def g(tail, x2, _prec=prec):
-            Y2, tail2 = channelizer_apply_planar(taps, bank, tail, x2, M,
-                                                 precision=_prec)
-            return jnp.sum(jnp.abs(Y2)), tail2
+        def ch_apply(tail, x2, _prec=prec):
+            return channelizer_apply_planar(taps, bank, tail, x2, M,
+                                            precision=_prec)
 
-        def step(carry):
-            chk, tail = carry
-            c2, tail2 = g(tail, x2)
-            return c2, (c2, tail2)
-
-        tail = jnp.zeros((2, K * M - 1), jnp.float32)
-        t = _measure(step, (jnp.zeros(()), tail))
-        out.append(_row(f"channelizer_planar_{tag}_256ch", L / t))
+        tail = jax.device_put(np.zeros((2, K * M - 1), np.float32))
+        sps = _measure_chain_devloop(ch_apply, tail, x2, L)
+        out.append(_row(f"channelizer_planar_{tag}_256ch", sps))
     return out
 
 

@@ -159,18 +159,12 @@ def make_rx_chain(cfg: RxChainConfig):
     @jax.jit
     def apply(state: ChainState, x: jnp.ndarray):
         planar_in = cfg.input_format == "planar"
-        # interleaved-IQ zero-extraction candidate (ops/ddc.py
-        # ddc_fm_fused_iq): the raw (L, 2) float view of the input feeds
-        # row-interleaved kernel banks directly — no complex->planar
-        # strided pass, no transpose.  Dead code (free) when unused.
-        x_iq = None
         if cfg.input_format == "ci16":
             # raw interleaved int16 IQ -> float on the VPU (fuses into
             # the mix); same scaling as the native runtime's iq_to_cf32
             xs = x.astype(rdtype) * np.asarray(1.0 / 32767.0, rdtype)
             if fused and cfg.impairment_bw == 0.0:
-                x_iq = xs
-                x2 = xs.T  # (2, L) planes (fallback path)
+                x2 = xs.T  # (2, L) planes
                 planar_in = True
             else:
                 x = jax.lax.complex(xs[..., 0], xs[..., 1]).astype(cfg.dtype)
@@ -200,45 +194,6 @@ def make_rx_chain(cfg: RxChainConfig):
         collapse = (fused and cfg.agc_mode == "block"
                     and cfg.demod in ("fm", "am")
                     and cfg.epilogue == "auto")
-        if (collapse and cfg.demod == "fm"
-                and cfg.input_format == "cf32"
-                and cfg.impairment_bw == 0.0
-                and x.dtype == jnp.complex64):
-            x_iq = x.view(rdtype).reshape(-1, 2)
-        if collapse and cfg.demod == "fm" and x_iq is not None:
-            iq_res = ddc_ops.ddc_fm_fused_iq(
-                taps_design, dtheta, state.fir_tail, state.nco_theta,
-                x_iq, cfg.decimation, cfg.fir_precision, cfg.fm_kf,
-                jnp.real(state.fm_prev), jnp.imag(state.fm_prev),
-                state.agc["gain"], engine=cfg.ddc_engine)
-            if iq_res is not None:
-                out, pr, pi, ee_mean, new_tail_c, theta_end = iq_res
-                gain = state.agc["gain"]
-                agc_state = agc_ops.block_gain_update(
-                    state.agc, (gain * gain) * ee_mean,
-                    cfg.agc_bandwidth, out.shape[-1])
-                new_parts = dict(
-                    nco_theta=theta_end,
-                    fir_tail=new_tail_c.astype(cfg.dtype),
-                    fir_phase=state.fir_phase,
-                    agc=agc_state,
-                    fm_prev=jax.lax.complex(pr, pi).astype(cfg.dtype),
-                )
-                if cfg.impairment_bw > 0.0:
-                    new_parts["impair"] = impair_state
-                new_state = ChainState(**new_parts)
-                if cfg.debug_checks:
-                    inp_ok = jnp.all(jnp.isfinite(x_iq))
-                    out_ok = jnp.all(jnp.isfinite(out))
-                    flags = {
-                        "input": inp_ok,
-                        "nco": inp_ok,
-                        "fir": out_ok,
-                        "agc": out_ok & jnp.isfinite(agc_state["gain"]),
-                        "demod": out_ok,
-                    }
-                    return out, new_state, flags
-                return out, new_state
         if collapse:
             x2c = x2 if planar_in else jnp.stack([jnp.real(x), jnp.imag(x)])
             tail2 = jnp.stack([jnp.real(state.fir_tail),

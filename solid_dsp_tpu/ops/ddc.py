@@ -47,7 +47,7 @@ __all__ = ["ddc_taps", "ddc_apply_planar", "ddc_apply",
            "ddc_apply_planar_raw", "ddc_apply_planar_pieces",
            "ddc_fm_epilogue", "ddc_am_epilogue",
            "ddc_fm_epilogue_pieces", "ddc_am_epilogue_pieces",
-           "ddc_energy_pieces", "ddc_fm_fused", "ddc_fm_fused_iq",
+           "ddc_energy_pieces", "ddc_fm_fused",
            "fm_first_sample", "ddc_pieces_last_rotated"]
 
 
@@ -725,89 +725,6 @@ def ddc_fm_fused(taps, dtheta, tail2, theta0, x2, decimation: int,
         return (out, new_prev_re, new_prev_im, ee_mean, new_tail2,
                 theta_end, z0re, z0im, w0)
     return out, new_prev_re, new_prev_im, ee_mean, new_tail2, theta_end
-
-
-def ddc_fm_fused_iq(taps, dtheta, tail, theta0, xi, decimation: int,
-                    precision, kf, prev_re, prev_im, gain,
-                    engine: str = "auto"):
-    """Interleaved-IQ variant of :func:`ddc_fm_fused` — zero-extraction
-    ingest for cf32/ci16 streams.
-
-    ``xi``: (L, 2) float32 interleaved IQ — the free ``.view(float32)``
-    reshape of a complex64 buffer, or a scaled int16 capture.  The Mosaic
-    kernel's banks are row-interleaved to match (pallas_ddc.py
-    make_pallas_ddc_fm_il), so the complex->planar strided extraction
-    that made cf32 ingest ~4.5x slower than planar disappears entirely.
-    ``tail``: carried COMPLEX raw tail (n-1,).  Returns
-    (out, new_prev_re, new_prev_im, ee_mean, new_tail (complex),
-    theta_end) or None to fall back (geometry, dtype, or a remainder —
-    this path covers exactly tiled blocks only).
-    """
-    taps = np.asarray(taps)
-    n = len(taps)
-    n1 = n - 1
-    M = int(decimation)
-    L = int(xi.shape[0])
-    rdtype = xi.dtype
-    if L % M or rdtype == jnp.float64:
-        return None
-    if not _use_pallas(engine, precision, rdtype):
-        return None
-    from .pallas_ddc import (DEFAULT_P, DEFAULT_TF, HALO_FRAMES,
-                             make_pallas_ddc_fm_il, pallas_fm_supported)
-    Pp = DEFAULT_P
-    hop_p = Pp * M
-    D = n - M
-    if not (pallas_fm_supported(n, M, Pp) and L % hop_p == 0
-            and n1 >= M - 1 and L >= max(hop_p, n1)):
-        return None
-    F_all = L // hop_p
-    TFp = DEFAULT_TF
-    for cand in (1024, 512, 256):
-        if F_all % cand == 0 and F_all // cand >= 4:
-            TFp = cand
-            break
-    tiles = F_all // TFp
-    if tiles <= 0 or tiles * TFp != F_all:
-        return None  # no straggler support on this path
-
-    T = L // M
-    first = M - 1
-    h_bp = ddc_taps(taps, np.uint32(dtheta))
-    d = int(np.uint32(dtheta))
-    dw = np.uint32((M * d) & 0xFFFFFFFF)
-    w0 = (jnp.uint32(theta0)
-          + jnp.uint32((first * d) & 0xFFFFFFFF)
-          - jnp.uint32((n1 * d) & 0xFFFFFFFF))
-    mode = "x3" if precision != "default" else "fast"
-    body_fn = make_pallas_ddc_fm_il(h_bp, M, tiles, dw, kf, TF=TFp,
-                                    mode=mode)
-    xf = xi.reshape(F_all, 2 * hop_p)
-    # carried tail, interleaved into the last row's trailing 2D slots
-    tail_il = jnp.stack([jnp.real(tail[first:]), jnp.imag(tail[first:])],
-                        axis=-1).reshape(-1).astype(rdtype)
-    tailrow = jnp.zeros((HALO_FRAMES, 2 * hop_p), rdtype)
-    tailrow = tailrow.at[HALO_FRAMES - 1, 2 * (hop_p - D):].set(tail_il)
-    audio2, stats8 = body_fn(xf, tailrow)
-    audio = audio2[:, :Pp]
-    stats = stats8.reshape(tiles, 8, 128)[:, 0, :]
-
-    z0re, z0im = stats[0, 3], stats[0, 4]
-    v0 = fm_first_sample(z0re, z0im, w0, prev_re, prev_im, kf)
-    out = audio.reshape(-1).at[0].set(v0)
-    ee_mean = jnp.sum(stats[:, 0]) / T
-    seam_re, seam_im = stats[-1, 1], stats[-1, 2]
-
-    wl = jnp.uint32(w0) + jnp.uint32((int(np.uint32(dw)) * (T - 1))
-                                     & 0xFFFFFFFF)
-    cl, sl = _rot_scalar(wl, rdtype)
-    g = jnp.asarray(gain).astype(rdtype)
-    new_prev_re = g * (seam_re * cl - seam_im * sl)
-    new_prev_im = g * (seam_im * cl + seam_re * sl)
-    xt = xi[L - n1:]
-    new_tail = jax.lax.complex(xt[:, 0], xt[:, 1])
-    theta_end = jnp.uint32(theta0) + jnp.uint32((L * d) & 0xFFFFFFFF)
-    return out, new_prev_re, new_prev_im, ee_mean, new_tail, theta_end
 
 
 def ddc_am_epilogue_pieces(pieces, gain):

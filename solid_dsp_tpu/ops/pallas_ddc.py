@@ -46,8 +46,7 @@ from .fir import _banks_np
 
 __all__ = ["make_pallas_ddc_body", "pallas_body_supported",
            "make_pallas_ddc_full", "pallas_full_supported",
-           "make_pallas_ddc_fm", "make_pallas_ddc_fm_il",
-           "pallas_fm_supported",
+           "make_pallas_ddc_fm", "pallas_fm_supported",
            "DEFAULT_P", "DEFAULT_TF", "HALO_FRAMES"]
 
 DEFAULT_P = 64     # outputs per frame (N = 2P = 128 bank columns)
@@ -245,39 +244,6 @@ def _banks_full_cached(h_bytes: bytes, n: int, M: int, P: int):
     prev_i[hpad - D :] = Hf_i[:D]
     Bpr, Bpi = fold(prev_r, prev_i, hpad)
     return (Bbr, Bbi, Bpr, Bpi), hpad
-
-
-@lru_cache(maxsize=64)
-def _banks_full_il_cached(h_bytes: bytes, n: int, M: int, P: int):
-    """Interleaved-row variants of _banks_full_cached's banks.
-
-    For INTERLEAVED IQ input (column 2k = re sample k, 2k+1 = im — the
-    raw layout of complex64 in HBM and of ci16 captures), the contraction
-    dimension is just a row permutation of the planar formulation: the
-    MXU contracts lhs columns against rhs rows, so re-ordering BANK rows
-    to [plane0 row k; plane1 row k; ...] makes the kernel consume the
-    bitcast view of the complex input with ZERO extraction — the
-    complex->planar strided pass this replaces made cf32 ingest 4.5x
-    slower than planar ingest on chip.
-    """
-    (Bbr, Bbi, Bpr, Bpi), hpad = _banks_full_cached(h_bytes, n, M, P)
-
-    def interleave(A, B):
-        out = np.empty((2 * A.shape[0], A.shape[1]), np.float32)
-        out[0::2] = A
-        out[1::2] = B
-        return out
-
-    return (interleave(Bbr, Bbi), interleave(Bpr, Bpi)), hpad
-
-
-@lru_cache(maxsize=64)
-def _seam_bank_il_cached(h_bytes: bytes, n: int, M: int, P: int):
-    Bs_r, Bs_i = _seam_bank_cached(h_bytes, n, M, P)
-    out = np.empty((2 * Bs_r.shape[0], Bs_r.shape[1]), np.float32)
-    out[0::2] = Bs_r
-    out[1::2] = Bs_i
-    return out
 
 
 def _fdiv(num, den):
@@ -565,44 +531,7 @@ def _make_kernel_fm(P: int, hop: int, hpad: int, mode: str,
         # block to be sublane/lane aligned — row 0 carries the data
         o_stats[:] = jnp.concatenate([stats] * 8, axis=0)
 
-    if mode == "x3_il":
-        # INTERLEAVED-IQ input (TF, 2*hop): the banks are row-interleaved
-        # (_banks_full_il_cached) so the bitcast view of complex64 /
-        # scaled ci16 input feeds the MXU directly — no planar extraction
-        def dots(ah, al, bh, bl):
-            y = jnp.dot(ah, bh[:], preferred_element_type=jnp.float32)
-            y += jnp.dot(al, bh[:], preferred_element_type=jnp.float32)
-            y += jnp.dot(ah, bl[:], preferred_element_type=jnp.float32)
-            return y
-
-        def kernel(x_ref, lhalo_ref, tail_ref, bh, bl, prh, prl,
-                   bs, o_audio, o_stats):
-            i = pl.program_id(0)
-            x = x_ref[:]
-            xh, xl = _split_bf16(x)
-            y = dots(xh, xl, bh, bl)
-            p0 = jnp.where(i == 0, tail_ref[7:8], lhalo_ref[7:8])
-            p0h, p0l = _split_bf16(p0)
-            pvh = jnp.concatenate([p0h, xh[:-1]],
-                                  axis=0)[:, 2 * (hop - hpad):]
-            pvl = jnp.concatenate([p0l, xl[:-1]],
-                                  axis=0)[:, 2 * (hop - hpad):]
-            y += dots(pvh, pvl, prh, prl)
-            zs = jnp.dot(p0, bs[:], preferred_element_type=jnp.float32)
-            finish(y, zs, o_audio, o_stats)
-    elif mode == "fast_il":
-        def kernel(x_ref, lhalo_ref, tail_ref, b16, pr16,
-                   bs, o_audio, o_stats):
-            i = pl.program_id(0)
-            x16 = x_ref[:].astype(jnp.bfloat16)
-            y = jnp.dot(x16, b16[:], preferred_element_type=jnp.float32)
-            p0 = jnp.where(i == 0, tail_ref[7:8], lhalo_ref[7:8])
-            pv = jnp.concatenate([p0.astype(jnp.bfloat16), x16[:-1]],
-                                 axis=0)[:, 2 * (hop - hpad):]
-            y += jnp.dot(pv, pr16[:], preferred_element_type=jnp.float32)
-            zs = jnp.dot(p0, bs[:], preferred_element_type=jnp.float32)
-            finish(y, zs, o_audio, o_stats)
-    elif mode == "x3":
+    if mode == "x3":
         def dots(ah, al, bh, bl):
             y = jnp.dot(ah, bh[:], preferred_element_type=jnp.float32)
             y += jnp.dot(al, bh[:], preferred_element_type=jnp.float32)
@@ -738,81 +667,5 @@ def make_pallas_ddc_fm(h_bp: np.ndarray, M: int, tiles: int, dw: np.uint32,
 
     def run(xf, tailrow):
         return call(xf, xf, tailrow, *bank_const, *seam_const)
-
-    return run
-
-
-def make_pallas_ddc_fm_il(h_bp: np.ndarray, M: int, tiles: int,
-                          dw: np.uint32, kf: float, P: int = DEFAULT_P,
-                          TF: int = DEFAULT_TF, mode: str = "x3",
-                          interpret: bool | None = None):
-    """INTERLEAVED-IQ variant of :func:`make_pallas_ddc_fm`.
-
-    fn(xi, tailrow) -> (audio, stats) with identical outputs, but ``xi``
-    is the FREE (F, 2*hop) view of interleaved IQ floats — the bitcast
-    of a complex64 buffer or a scaled ci16 capture reshaped row-major —
-    and ``tailrow`` is (HALO_FRAMES, 2*hop) whose last row ends with the
-    interleaved carried tail.  The banks are row-interleaved
-    (_banks_full_il_cached) so no planar extraction ever happens: the
-    complex->planar strided pass made cf32 ingest ~4.5x slower than
-    planar ingest on chip.
-    """
-    h_bp = np.ascontiguousarray(np.asarray(h_bp, np.complex128))
-    n = h_bp.shape[0]
-    if not pallas_fm_supported(n, M, P):
-        raise ValueError("fused FM needs 0 < n-M <= hop and n <= hop")
-    if TF % HALO_FRAMES:
-        raise ValueError(f"TF must be a multiple of {HALO_FRAMES}")
-    (banks, hpad) = _banks_full_il_cached(h_bp.tobytes(), n, M, P)
-    if mode == "x3":
-        bank_const = tuple(jnp.asarray(b) for b in _split_banks_np(banks))
-    else:
-        bank_const = tuple(jnp.asarray(b, jnp.bfloat16) for b in banks)
-    seam_const = (jnp.asarray(_seam_bank_il_cached(h_bp.tobytes(),
-                                                   n, M, P)),)
-    hop = P * M
-    if interpret is None:
-        interpret = jax.default_backend() in ("cpu",)
-    drad = float(np.float64(np.uint32(dw)) * (2.0 * np.pi / 4294967296.0))
-    kern = _make_kernel_fm(P, hop, hpad, mode + "_il",
-                           np.cos(drad), -np.sin(drad),
-                           1.0 / (2.0 * np.pi * float(kf)))
-
-    in_specs = [
-        pl.BlockSpec((TF, 2 * hop), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((HALO_FRAMES, 2 * hop),
-                     lambda i: (jnp.maximum(i * (TF // HALO_FRAMES) - 1,
-                                            0), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((HALO_FRAMES, 2 * hop), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-         for b in bank_const + seam_const]
-
-    call = pl.pallas_call(
-        kern,
-        grid=(tiles,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((TF, 2 * P), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles * TF, 2 * P), jnp.float32),
-            jax.ShapeDtypeStruct((tiles * 8, 128), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=(2 * TF * 2 * (hop + hpad) * 2 * P
-                   * (3 if mode == "x3" else 1)) * tiles,
-            bytes_accessed=2 * tiles * TF * hop * 4 + tiles * TF * P * 4,
-            transcendentals=tiles * TF * P),
-        interpret=interpret,
-    )
-
-    def run(xi, tailrow):
-        return call(xi, xi, tailrow, *bank_const, *seam_const)
 
     return run

@@ -141,9 +141,10 @@ def test_engine_validation():
 
 
 def test_iq_ingest_kernel_matches_planar_chain():
-    """ddc_engine='pallas' cf32/ci16 chains drive the INTERLEAVED-IQ
-    Mosaic kernel (row-interleaved banks, zero extraction) — outputs and
-    carried state must match the planar-ingest chain."""
+    """cf32/ci16 ingest through the ddc_engine='pallas' chain must match
+    the planar-ingest chain (same kernel after the on-device
+    complex->planar conversion; complex64 is stored planar internally on
+    TPU, so the conversion is cheap — PERF_NOTES.md #20)."""
     from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
 
     L = (4 * 128 + 0) * 256 * 2  # tiled exactly: F_all % TF == 0
