@@ -693,9 +693,12 @@ def bench_resample():
     from solid_dsp_tpu.ops.resample import ArbitraryResampler
 
     out = []
-    L = _size(22)
-    x = _tone(L)
     for rate, tag in ((0.37, "decim_0p37"), (2.5, "interp_2p5")):
+        # interp at 2^22 inputs (10.5M outputs) crashes the backend's
+        # remote compiler (tpu_compile_helper exit 1, size-bisected to
+        # the 2^21 -> 2^22 step); run that case one notch smaller
+        L = _size(21 if rate > 1 else 22)
+        x = _tone(L)
         r = ArbitraryResampler(rate, dtype=jnp.complex64)
         keep = int(L * rate * 0.9)  # fixed slice: block-invariant shape
 

@@ -47,10 +47,16 @@ __all__ = ["eq_init", "eq_apply", "lms_step", "nlms_step", "cma_step",
 
 
 def eq_init(ntaps: int, dtype=jnp.complex64):
-    """(taps, tail): center-spike initial taps, zero input history."""
-    taps = jnp.zeros(ntaps, dtype=dtype).at[ntaps // 2].set(1.0)
-    tail = jnp.zeros(max(ntaps - 1, 0), dtype=dtype)
-    return taps, tail
+    """(taps, tail): center-spike initial taps, zero input history.
+
+    Host-built + transferred: eager device fills are tunnel-hostile
+    (utils/transfer.zeros_device rationale)."""
+    from ..utils.transfer import put_array
+
+    t = np.zeros(ntaps, dtype=np.dtype(dtype))
+    t[ntaps // 2] = 1.0
+    return (put_array(t),
+            put_array(np.zeros(max(ntaps - 1, 0), np.dtype(dtype))))
 
 
 @jax.jit
@@ -153,10 +159,12 @@ def make_rls(ntaps: int, lam: float = 0.999, delta: float = 1e-2,
     lam = float(lam)
 
     def init():
-        R = jnp.asarray(delta, dtype) * jnp.eye(n, dtype=dtype)
-        p = jnp.zeros(n, dtype=dtype)
-        tail = jnp.zeros(max(n - 1, 0), dtype=dtype)
-        return R, p, tail
+        from ..utils.transfer import put_array
+
+        npdt = np.dtype(dtype)
+        return (put_array(delta * np.eye(n, dtype=npdt)),
+                put_array(np.zeros(n, npdt)),
+                put_array(np.zeros(max(n - 1, 0), npdt)))
 
     @jax.jit
     def step(R, p, tail, x, d):
@@ -314,9 +322,12 @@ def fdaf_init(m: int, dtype=jnp.complex64):
     (W (2m,) frequency weights, x_prev (m,) previous input block,
     P (2m,) per-bin input-power EMA for the normalized step).
     """
-    return (jnp.zeros(2 * m, dtype),
-            jnp.zeros(m, dtype),
-            jnp.full(2 * m, 1e-3, jnp.float32))
+    from ..utils.transfer import put_array
+
+    npdt = np.dtype(dtype)
+    return (put_array(np.zeros(2 * m, npdt)),
+            put_array(np.zeros(m, npdt)),
+            put_array(np.full(2 * m, 1e-3, np.float32)))
 
 
 @partial(jax.jit, static_argnames=("constrained",))

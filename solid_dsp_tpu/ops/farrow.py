@@ -92,7 +92,9 @@ class FarrowResampler:
         if ratio <= 0.0:
             raise ValueError("ratio must be positive")
         self.ratio = float(ratio)
-        self._tail = jnp.zeros(self.STENCIL - 1, dtype)
+        from ..utils.transfer import zeros_device
+
+        self._tail = zeros_device(self.STENCIL - 1, dtype)
         # position of the next output, in input-sample units, measured
         # from index 1 of the CURRENT extended block (so a stencil point
         # at -1 is always available)
@@ -136,7 +138,9 @@ class FarrowResampler:
         return y
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        from ..utils.transfer import zeros_device
+
+        self._tail = zeros_device(self._tail.shape, self._tail.dtype)
         self._t_next = 0.0
 
     def __repr__(self):

@@ -95,7 +95,9 @@ class HalfbandInterpolator:
         self.taps_np = firdes_halfband(semi_length, stop_band_attenuation)
         self._taps = jnp.asarray(self.taps_np, jnp.float32)
         n = len(self.taps_np)
-        self._tail = jnp.zeros((n - 1) // 2, dtype)
+        from ..utils.transfer import zeros_device
+
+        self._tail = zeros_device((n - 1) // 2, dtype)
 
     def execute_block(self, x):
         x = jnp.asarray(x)
@@ -106,7 +108,9 @@ class HalfbandInterpolator:
         return y
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        from ..utils.transfer import zeros_device
+
+        self._tail = zeros_device(self._tail.shape, self._tail.dtype)
 
 
 def _pfb_tables(P: int, npf: int, cutoff: float, as_db: float) -> np.ndarray:
@@ -221,7 +225,9 @@ class PfbArbitraryResampler:
         # batch_shape: resample a whole bank of channels in lockstep —
         # positions are shared, the kernel vmaps over leading axes
         self.batch_shape = tuple(batch_shape)
-        self._tail = jnp.zeros((*self.batch_shape, self.P - 1), dtype)
+        from ..utils.transfer import zeros_device
+
+        self._tail = zeros_device((*self.batch_shape, self.P - 1), dtype)
         self._t_next = 0.0                      # position bookkeeping, f64
 
     def execute_block(self, x):
@@ -263,11 +269,15 @@ class PfbArbitraryResampler:
         """Drain the carried tail: zero-feed one stencil's worth of
         input and return the residual output (end-of-stream)."""
         pad = self.P + int(np.ceil(self.ratio)) + 1
-        return self.execute_block(jnp.zeros((*self.batch_shape, pad),
+        from ..utils.transfer import zeros_device
+
+        return self.execute_block(zeros_device((*self.batch_shape, pad),
                                             self._tail.dtype))
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        from ..utils.transfer import zeros_device
+
+        self._tail = zeros_device(self._tail.shape, self._tail.dtype)
         self._t_next = 0.0
 
     def __repr__(self):
@@ -352,8 +362,10 @@ class ArbitraryResampler:
         output — a one-shot file conversion is then execute_block(x)
         followed by flush() (see the CLI resample subcommand).
         """
+        from ..utils.transfer import zeros_device
+
         if not self.stages:                    # identity: nothing buffered
-            return jnp.zeros(0, jnp.complex64)
+            return zeros_device(0, jnp.complex64)
         total = self._align
         scale = 1
         for st in self.stages:
@@ -364,7 +376,7 @@ class ArbitraryResampler:
                 total += (st.P + int(np.ceil(st.ratio)) + 1) * scale
         total = -(-total // self._align) * self._align + self._align
         dt = self.stages[0]._tail.dtype
-        return self.execute_block(jnp.zeros(total, dt))
+        return self.execute_block(zeros_device(total, dt))
 
     def reset(self):
         self._rem = None

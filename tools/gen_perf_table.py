@@ -21,11 +21,13 @@ from pathlib import Path
 # listed fall into the trailing "additional workloads" section.
 HEADLINE = [
     ("rx_chain_fused_planar_x3",
-     "RX chain (config 4, fused DDC+FM, planar, x3 ~f32)", "the headline"),
+     "RX chain (config 4, fused DDC+FM, planar, x3 ~f32)",
+     "the headline; driver bench.py config"),
     ("rx_chain_fused_planar_bf16",
      "RX chain (fused, planar, single-pass bf16)", "~45 dB fast mode"),
     ("rx_chain_throughput",
-     "RX chain (cf32 interleaved ingest)", "driver bench.py config"),
+     "RX chain (cf32 complex ingest)", "plane split on device (free: "
+     "complex64 is planar internally)"),
     ("rx_chain_ci16_ingest",
      "RX chain (raw int16 IQ ingest)", "half the ingest bytes"),
     ("rx_chain_qpsk_fused_planar_x3",
