@@ -25,6 +25,23 @@ import json
 import sys
 import time
 
+# TUNNEL RULE: complex transfers and eager device ops poison the axon
+# client — every host->device complex input goes through put_array and
+# every device->host fetch of possibly-complex data through fetch
+# (utils/transfer.py).
+
+
+def _fetch(x):
+    from .utils.transfer import fetch
+
+    return fetch(x)
+
+
+def _put(x):
+    from .utils.transfer import put_array
+
+    return put_array(x)
+
 
 def _cmd_demo(args) -> int:
     import jax.numpy as jnp
@@ -45,9 +62,11 @@ def _cmd_demo(args) -> int:
     filt = IIRFilter(num, den, iirtype=IIRFilterType.SECOND_ORDER,
                      dtype=jnp.complex128)
     t0 = time.perf_counter()
-    out = filt.execute_block(jnp.asarray(tone))
+    from .utils.transfer import fetch, put_array
+
+    out = filt.execute_block(put_array(tone))
     dt = time.perf_counter() - t0
-    out = np.asarray(out)
+    out = fetch(out)
     print(f"filtered {n} samples in {dt * 1e3:.2f} ms")
     for i in range(min(5, len(out))):
         print(f"  out[{i}] = {out[i]:.12f}")
@@ -77,7 +96,7 @@ def _cmd_rx(args) -> int:
                 blk = blk[: len(blk) - len(blk) % args.decimation]
             if not len(blk):
                 break
-            outs.append(np.asarray(chain.execute_block(blk)))
+            outs.append(_fetch(chain.execute_block(blk)))
             nsamp += len(blk)
     dt = time.perf_counter() - t0
     y = np.concatenate(outs) if outs else np.zeros(0, np.float32)
@@ -145,9 +164,9 @@ def _write_audio_wav(path: str, audio, rate_in: float, rate_out: int,
     chans = []
     for ch in audio:
         r = ArbitraryResampler(rate_out / rate_in, dtype=jnp.complex64)
-        a = np.asarray(r.execute_block(
-            jnp.asarray(ch.astype(np.complex64))))
-        a = np.concatenate([a, np.asarray(r.flush())]).real
+        a = _fetch(r.execute_block(
+            _put(ch.astype(np.complex64))))
+        a = np.concatenate([a, _fetch(r.flush())]).real
         chans.append(a)
     n = min(len(a) for a in chans)
     a = np.stack([c[:n] for c in chans])          # (C, N)
@@ -159,10 +178,10 @@ def _write_audio_wav(path: str, audio, rate_in: float, rate_out: int,
 
         rows = []
         for ch in a:                     # <= 2 channels: loop is fine
-            y, _ = iir_apply(jnp.asarray([1.0 - alpha], jnp.complex64),
-                             jnp.asarray([-alpha], jnp.complex64),
-                             iir_init(1), jnp.asarray(ch, jnp.complex64))
-            rows.append(np.asarray(y).real)
+            y, _ = iir_apply(_put(np.asarray([1.0 - alpha], np.complex64)),
+                             _put(np.asarray([-alpha], np.complex64)),
+                             iir_init(1), _put(np.asarray(ch, np.complex64)))
+            rows.append(_fetch(y).real)
         a = np.stack(rows)
     peak = float(np.max(np.abs(a))) if a.size else 1.0
     pcm = np.clip(a / (peak or 1.0) * 0.95 * 32767,
@@ -186,7 +205,7 @@ def _cmd_spectrum(args) -> int:
         print(f"recording shorter than nfft ({len(x)} < {args.nfft})",
               file=sys.stderr)
         return 1
-    X = np.asarray(windowed_fft(x, window=args.window, nfft=args.nfft))
+    X = _fetch(windowed_fft(x, window=args.window, nfft=args.nfft))
     psd = 20.0 * np.log10(np.abs(np.fft.fftshift(X)) + 1e-20)
     peak = float(psd.max())
     k = int(psd.argmax())
@@ -242,7 +261,7 @@ def _cmd_tx(args) -> int:
     tx = TxChain(TxChainConfig(modulation=args.mod, order=args.order,
                                carrier_freq=args.carrier,
                                interpolation=args.interp))
-    iq = np.asarray(tx.execute_block(msg)).astype(np.complex64)
+    iq = _fetch(tx.execute_block(_put(msg))).astype(np.complex64)
     write_iq(args.output, iq, args.format)
     print(json.dumps({"output": args.output, "samples": int(len(iq)),
                       "format": args.format, "mod": args.mod,
@@ -263,7 +282,7 @@ def _cmd_convert(args) -> int:
         for blk in pump:
             if not len(blk):
                 break
-            write_iq(args.output, np.asarray(blk), args.out_format,
+            write_iq(args.output, _fetch(blk), args.out_format,
                      append=not first)
             first = False
             total += len(blk)
@@ -327,7 +346,7 @@ def _cmd_monitor(args) -> int:
     rem = np.zeros(0, np.complex64)     # channelizer alignment carry
     with StreamPump(path, fmt=args.format, block=args.block) as pump:
         for blk in pump:
-            blk = np.concatenate([rem, np.asarray(blk)])
+            blk = np.concatenate([rem, _fetch(blk)])
             keep = len(blk) - len(blk) % args.channels
             rem = blk[keep:]
             blk = blk[:keep]
@@ -360,14 +379,14 @@ def _cmd_resample(args) -> int:
         for blk in pump:
             if not len(blk):
                 break
-            y = np.asarray(r.execute_block(blk))
+            y = _fetch(r.execute_block(blk))
             if len(y):
                 outs.append(y)
             nsamp += len(blk)
     # drain the cascade's group delay + alignment remainder, then cap at
     # the canonical converted length (a one-shot file conversion must
     # not silently drop the tail of the recording)
-    tail = np.asarray(r.flush())
+    tail = _fetch(r.flush())
     if len(tail):
         outs.append(tail)
     dt = time.perf_counter() - t0

@@ -21,6 +21,7 @@ from ..ops import agc as agc_ops
 from ..ops.pallas_kernels import iir_bank_apply, iir_bank_init
 from ..streaming.state import ChainState
 from .channelizer import PolyphaseChannelizer
+from ..utils.transfer import zeros_device, zeros_like_device
 
 __all__ = ["ChannelBank", "design_channel_sos"]
 
@@ -82,9 +83,9 @@ class ChannelBank:
                                else (squelch_high_db - 3.0
                                      if squelch_high_db is not None else None))
         self.squelch_window = int(squelch_window)
-        self._det_tail = jnp.zeros((self.M, self.squelch_window),
+        self._det_tail = zeros_device((self.M, self.squelch_window),
                                    jnp.complex64)
-        self._det_on = jnp.zeros(self.M, bool)
+        self._det_on = zeros_device(self.M, bool)
         self.last_gate = None  # (M, T) bool after each block when enabled
 
     @property
@@ -119,8 +120,8 @@ class ChannelBank:
         self.channelizer.reset()
         self._iir_state = iir_bank_init(self.sos.shape[0], self.M)
         self._agc_state = agc_ops.agc_init(jnp.float32, batch_shape=(self.M,))
-        self._det_tail = jnp.zeros_like(self._det_tail)
-        self._det_on = jnp.zeros(self.M, bool)
+        self._det_tail = zeros_like_device(self._det_tail)
+        self._det_on = zeros_device(self.M, bool)
         self.last_gate = None
 
     def __repr__(self) -> str:

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..design import firdes
+from ..utils.transfer import zeros_device, zeros_like_device
 
 __all__ = ["channelizer_taps", "channelizer_init", "channelizer_apply",
            "channelizer_dft_bank", "channelizer_apply_planar",
@@ -181,7 +182,7 @@ class PolyphaseChannelizer:
             # taps stay host-side here: np.asarray(device_array) is a
             # device->host fetch the axon tunnel cannot do
             self._h_il = pfb_frontend_taps(taps_np, self.M)
-            self._tail = jnp.zeros((self.K, self.M), jnp.complex64)
+            self._tail = zeros_device((self.K, self.M), jnp.complex64)
         else:
             self._tail = channelizer_init(self.M, self.K, dtype)
 
@@ -200,7 +201,7 @@ class PolyphaseChannelizer:
         return Y
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        self._tail = zeros_like_device(self._tail)
 
     def __repr__(self):
         return f"PolyphaseChannelizer [M={self.M}] [K={self.K}]"
@@ -269,7 +270,7 @@ class PolyphaseSynthesizer:
         return x
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        self._tail = zeros_like_device(self._tail)
 
     def __repr__(self):
         return f"PolyphaseSynthesizer [M={self.M}] [K={self.K}]"

@@ -430,10 +430,18 @@ class RxChain:
         self.state = init()
 
     def execute_block(self, x):
+        from ..utils.transfer import ingest
+
         in_dtype = (jnp.int16 if self.cfg.input_format == "ci16"
                     else np.zeros(0, self.cfg.dtype).real.dtype
                     if self.cfg.input_format == "planar" else self.cfg.dtype)
-        out, self.state = self._apply(self.state, jnp.asarray(x, in_dtype))
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+            if x.dtype != np.dtype(in_dtype):
+                # dtype conversion stays HOST-side; ingest ships complex
+                # as re/im float pairs (tunnel-safe, utils/transfer.py)
+                x = x.astype(np.dtype(in_dtype))
+        out, self.state = self._apply(self.state, ingest(x))
         return out
 
     def reset(self):

@@ -78,14 +78,18 @@ def make_tx_chain(cfg: TxChainConfig):
         rrc = firdes.firdes_rrcos(cfg.sps, 6, 0.35)
 
     def init() -> ChainState:
-        return ChainState(
-            nco_theta=jnp.uint32(0),
-            fir_tail=jnp.zeros(n - 1, cfg.dtype),
-            fm_phase=jnp.zeros((), rdtype),
-            rrc_tail=jnp.zeros(
+        # host-built + transferred: eager device fills are tunnel-hostile
+        # (utils/transfer.zeros_device rationale)
+        from ..utils.transfer import put_tree
+
+        return put_tree(ChainState(
+            nco_theta=np.uint32(0),
+            fir_tail=np.zeros(n - 1, np.dtype(cfg.dtype)),
+            fm_phase=np.zeros((), np.dtype(rdtype)),
+            rrc_tail=np.zeros(
                 (len(rrc) - 1,) if cfg.modulation in ("psk", "qam") else (0,),
-                cfg.dtype),
-        )
+                np.dtype(cfg.dtype)),
+        ))
 
     @jax.jit
     def apply(state: ChainState, msg):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fir as fir_ops
+from ..utils.transfer import zeros_device, zeros_like_device
 
 __all__ = ["cic_kernel", "cic_frequency_response", "CICDecimator",
            "CICInterpolator"]
@@ -116,7 +117,7 @@ class CICInterpolator:
         # at the output rate (sum(h)/R is the effective DC gain)
         self.scale = float(self.R / np.sum(h)) if normalize else 1.0
         self._taps = jnp.asarray(h, dtype)
-        self._tail = jnp.zeros(len(h) - 1, dtype)
+        self._tail = zeros_device(len(h) - 1, dtype)
 
     def execute_block(self, x):
         x = jnp.asarray(x, self._taps.dtype)
@@ -127,7 +128,7 @@ class CICInterpolator:
         return y
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        self._tail = zeros_like_device(self._tail)
 
     def frequency_response(self, f: float) -> float:
         return float(cic_frequency_response(f, self.R, self.N, self.M)

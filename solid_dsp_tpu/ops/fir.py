@@ -35,6 +35,7 @@ import numpy as np
 from ..analysis.freq_response import fir_frequency_response
 from ..analysis.group_delay import fir_group_delay
 from ..streaming.framing import extend_with_tail, frame_windows, split_tail
+from ..utils.transfer import astype_device, ingest, zeros_device
 
 __all__ = [
     "fir_init",
@@ -625,11 +626,11 @@ class FIRFilter:
         return self.execute_block(jnp.asarray([sample]))
 
     def execute_block(self, samples):
-        samples = jnp.asarray(samples)
+        samples = ingest(samples)
         if not jnp.issubdtype(self._tail.dtype, samples.dtype):
-            self._tail = self._tail.astype(
-                jnp.result_type(self._tail.dtype, samples.dtype)
-            )
+            self._tail = astype_device(
+                self._tail,
+                jnp.result_type(self._tail.dtype, samples.dtype))
         y, self._tail = fir_apply(
             self._taps, self._tail, samples, self.scale, self.method
         )
@@ -727,7 +728,7 @@ class PolyPhaseFilterBank:
             self._B = self._B.astype(dtype)
         self.scale = scale  # stored but (like the reference) not applied
         self.sub_len = int(self._B.shape[0])
-        self._tail = jnp.zeros(self.sub_len - 1, dtype=self._B.dtype)
+        self._tail = zeros_device(self.sub_len - 1, self._B.dtype)
         self._win = None
 
     def __len__(self) -> int:
@@ -748,7 +749,7 @@ class PolyPhaseFilterBank:
         return [B[::-1, f] for f in range(self.branches)]
 
     def reset(self) -> None:
-        self._tail = jnp.zeros(self.sub_len - 1, dtype=self._B.dtype)
+        self._tail = zeros_device(self.sub_len - 1, self._B.dtype)
         self._win = None
 
     def push(self, sample) -> None:
@@ -767,13 +768,13 @@ class PolyPhaseFilterBank:
         if not 0 <= index < self.branches:
             raise ValueError("filter index out of range")
         if self._win is None:  # nothing pushed yet: zeroed window (ref init)
-            self._win = jnp.zeros(self.sub_len, self._B.dtype)
+            self._win = zeros_device(self.sub_len, self._B.dtype)
         return jnp.sum(self._B[:, index].astype(self._win.dtype) * self._win)
 
     def execute_all(self):
         """Every branch's output for the current window — one MXU matvec."""
         if self._win is None:
-            self._win = jnp.zeros(self.sub_len, self._B.dtype)
+            self._win = zeros_device(self.sub_len, self._B.dtype)
         return jnp.matmul(self._win, self._B.astype(self._win.dtype),
                           precision="highest")
 
@@ -824,7 +825,7 @@ class InterpolatingFIRFilter:
         if dtype is not None:
             self._B = self._B.astype(dtype)
         self.scale = 1.0
-        self._tail = jnp.zeros(self._B.shape[0] - 1, dtype=self._B.dtype)
+        self._tail = zeros_device(self._B.shape[0] - 1, self._B.dtype)
 
     def __len__(self) -> int:
         return self.interpolation

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from .fir import conv1d_mxu, fir_init
 from ..design.firdes import estimate_required_filter_length, firdes_kaiser
+from ..utils.transfer import (astype_device, ingest, zeros_device,
+                              zeros_like_device)
 
 __all__ = [
     "firdes_halfband",
@@ -87,15 +89,15 @@ class HalfbandDecimator:
         self._tail = fir_init(len(self.taps_np), dtype=dtype)
 
     def execute_block(self, x):
-        x = jnp.asarray(x)
+        x = ingest(x)
         if not jnp.issubdtype(self._tail.dtype, x.dtype):
-            self._tail = self._tail.astype(jnp.result_type(self._tail.dtype,
-                                                           x.dtype))
+            self._tail = astype_device(
+                self._tail, jnp.result_type(self._tail.dtype, x.dtype))
         y, self._tail = halfband_decimate(self._taps, self._tail, x)
         return y
 
     def reset(self):
-        self._tail = jnp.zeros_like(self._tail)
+        self._tail = zeros_like_device(self._tail)
 
 
 def _halfband_stage_semilen(fpass_out: float, stages_after: int,
@@ -172,7 +174,7 @@ class MultistageDecimator:
         for st in self.stages:
             st.reset()
         if self.final is not None:
-            self.final._tail = jnp.zeros_like(self.final._tail)
+            self.final._tail = zeros_like_device(self.final._tail)
 
     @property
     def total_taps(self) -> int:

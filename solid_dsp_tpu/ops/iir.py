@@ -40,6 +40,7 @@ from ..analysis.freq_response import iir_frequency_response
 from ..analysis.group_delay import iir_group_delay
 from .fir import fir_apply, fir_init
 from .linrec import affine_scan
+from ..utils.transfer import astype_device, ingest, zeros_device
 
 __all__ = [
     "iir_init",
@@ -221,9 +222,15 @@ class SecondOrderFilter:
         if ff.size < 3 or fb.size < 3:
             raise ValueError("coefficients not in range")
         b, a = _normalize(ff[:3], fb[:3])
-        self._b = jnp.asarray(b, dtype=dtype)
-        self._a_tail = jnp.asarray(a[1:], dtype=dtype)
-        self._state = jnp.zeros(2, dtype=self._b.dtype)
+        # dtype conversion happens HOST-side: jnp.asarray(np, dtype=...)
+        # lowers an eager device convert, which the tunnel rejects
+        from ..utils.transfer import put_array
+
+        npdt = None if dtype is None else np.dtype(dtype)
+        self._b = put_array(b if npdt is None else b.astype(npdt))
+        self._a_tail = put_array(a[1:] if npdt is None
+                                 else a[1:].astype(npdt))
+        self._state = zeros_device(2, self._b.dtype)
         self.method = resolve_iir_method(method, a, self._b.dtype)
 
     # reference-parity (swapped) accessors
@@ -234,8 +241,9 @@ class SecondOrderFilter:
         return np.asarray(self._b)
 
     def execute_block(self, samples):
-        samples = jnp.asarray(samples)
-        st = self._state.astype(jnp.result_type(self._state.dtype, samples.dtype))
+        samples = ingest(samples)
+        st = astype_device(self._state,
+                           jnp.result_type(self._state.dtype, samples.dtype))
         y, self._state = iir_apply(self._b, self._a_tail, st, samples, self.method)
         return y
 
@@ -278,18 +286,23 @@ class IIRFilter:
             if fb.size == 0:
                 raise ValueError("denominator length zero")
             b, a = _normalize(ff, fb)
-            self._b = jnp.asarray(b, dtype=dtype)
-            self._a_tail = jnp.asarray(a[1:], dtype=dtype)
+            from ..utils.transfer import put_array
+
+            npdt = None if dtype is None else np.dtype(dtype)
+            b_h = b if npdt is None else b.astype(npdt)
+            a_tail_h = a[1:] if npdt is None else a[1:].astype(npdt)
+            self._b = put_array(b_h)
+            self._a_tail = put_array(a_tail_h)
             self.method = resolve_iir_method(method, a, self._b.dtype)
             k = max(len(a) - 1, len(b) - 1, 1)
             # state dimension = len(a)-1 for the recurrence; the FIR part may
             # need older w's, so carry max(len(a), len(b)) - 1 entries
             self._k = k
-            self._state = jnp.zeros(k, dtype=self._b.dtype)
-            self._a_full = jnp.concatenate(
-                [self._a_tail, jnp.zeros(k - self._a_tail.shape[-1],
-                                         dtype=self._a_tail.dtype)]
-            )
+            self._state = zeros_device(k, self._b.dtype)
+            # host-built pad + transfer (eager concat is device compute)
+            self._a_full = put_array(np.concatenate(
+                [a_tail_h, np.zeros(k - a_tail_h.shape[-1],
+                                    dtype=a_tail_h.dtype)]))
         elif iirtype == IIRFilterType.SECOND_ORDER:
             if ff.size != fb.size:
                 raise ValueError("second order section size mismatch")
@@ -325,10 +338,11 @@ class IIRFilter:
         return self._den_store
 
     def execute_block(self, samples):
-        samples = jnp.asarray(samples)
+        samples = ingest(samples)
         if self.iirtype == IIRFilterType.NORMAL:
-            st = self._state.astype(jnp.result_type(self._state.dtype,
-                                                     samples.dtype))
+            st = astype_device(self._state,
+                               jnp.result_type(self._state.dtype,
+                                               samples.dtype))
             y, self._state = iir_apply(self._b, self._a_full, st, samples,
                                        self.method)
             return y
@@ -362,6 +376,17 @@ class IIRFilter:
 
     def __repr__(self) -> str:
         return f"IIR<{self.iirtype}>"
+
+
+@partial(jax.jit, static_argnames=("factor",))
+def _zero_stuff(samples, factor: int):
+    """Zero-stuff by ``factor`` (jitted: eager zeros/scatter are device
+    compute the tunnel rejects)."""
+    stuffed = jnp.zeros(
+        (*samples.shape[:-1], samples.shape[-1] * factor),
+        dtype=samples.dtype,
+    )
+    return stuffed.at[..., ::factor].set(samples)
 
 
 class DecimatingIIRFilter:
@@ -429,12 +454,8 @@ class InterpolatingIIRFilter:
         self.interpolation = int(interpolation)
 
     def execute_block(self, samples):
-        samples = jnp.asarray(samples)
-        stuffed = jnp.zeros(
-            (*samples.shape[:-1], samples.shape[-1] * self.interpolation),
-            dtype=samples.dtype,
-        )
-        stuffed = stuffed.at[..., :: self.interpolation].set(samples)
+        samples = ingest(samples)
+        stuffed = _zero_stuff(samples, self.interpolation)
         return self.filter.execute_block(stuffed)
 
     def execute(self, sample):

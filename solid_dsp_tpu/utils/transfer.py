@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["put_complex", "get_complex", "fetch", "put_tree", "put_array",
-           "zeros_device", "full_device"]
+           "zeros_device", "zeros_like_device", "full_device",
+           "astype_device", "ingest"]
 
 
 @jax.jit
@@ -61,11 +62,18 @@ def put_complex(x, dtype=None):
     return _combine(re, im)
 
 
+@jax.jit
+def _split_ri(x):
+    return jnp.real(x), jnp.imag(x)
+
+
 def get_complex(x) -> np.ndarray:
-    """Device complex array -> host complex ndarray, real-only transfers."""
-    re = np.asarray(jnp.real(x))
-    im = np.asarray(jnp.imag(x))
-    return re + 1j * im
+    """Device complex array -> host complex ndarray, real-only transfers.
+
+    The re/im split runs as ONE jitted executable: eager jnp.real/imag
+    are device compute, which the tunnel rejects outright."""
+    re, im = _split_ri(x)
+    return np.asarray(re) + 1j * np.asarray(im)
 
 
 def fetch(x) -> np.ndarray:
@@ -93,9 +101,41 @@ def zeros_device(shape, dtype):
     return put_array(np.zeros(shape, np.dtype(dtype)))
 
 
+def zeros_like_device(x):
+    """Tunnel-safe ``jnp.zeros_like`` (see zeros_device)."""
+    return zeros_device(x.shape, x.dtype)
+
+
 def full_device(shape, value, dtype):
     """Tunnel-safe ``jnp.full`` (see zeros_device)."""
     return put_array(np.full(shape, value, np.dtype(dtype)))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("dtype",))
+def _astype_jit(x, dtype):
+    return x.astype(dtype)
+
+
+def astype_device(x, dtype):
+    """Tunnel-safe dtype cast of a DEVICE array: an eager ``.astype`` is
+    device compute the axon tunnel rejects; route it through one jitted
+    executable (cached per dtype pair)."""
+    dtype = jnp.dtype(dtype)
+    if x.dtype == dtype:
+        return x
+    return _astype_jit(x, dtype)
+
+
+def ingest(x):
+    """Tunnel-safe input adoption for stateful wrappers: device arrays
+    pass through; host data (lists, numpy — possibly complex) transfers
+    via put_array (complex rides as re/im float pairs)."""
+    if isinstance(x, jax.Array):
+        return x
+    return put_array(x)
 
 
 def put_tree(tree):
