@@ -592,14 +592,32 @@ def bench_tx_dsp():
                            + 1j * rng.standard_normal(L)).astype(np.complex64))
     K, Q = 7, 3
     c = put_complex(np.r_[1.0, np.full(K * Q - 1, 1e-3)].astype(np.complex64))
-    step = _stateless_step(lambda a: mp_apply(c, a, K, Q), x)
+
+    # device arrays ride as ARGUMENTS — a jit closure over a committed
+    # device array embeds it as an MLIR constant, whose device->host
+    # fetch poisons the tunnel client (this bench lost its rows to that)
+    @jax.jit
+    def g_dpd(chk, c, a):
+        return chk + jnp.sum(jnp.abs(mp_apply(c, a, K, Q)))
+
+    def step(chk):
+        c2 = g_dpd(chk, c, x)
+        return c2, c2
+
     t = _measure(step, jnp.zeros(()))
     out.append(_row("dpd_mp_apply_k7q3", L / t))
 
     mask = jnp.asarray(band_mask(L, 0.25))
-    thr = 0.35
-    step = _stateless_step(lambda a: cfr_icf(a, thr, mask, iters=4), x)
-    t = _measure(step, jnp.zeros(()))
+
+    @jax.jit
+    def g_cfr(chk, a, m):
+        return chk + jnp.sum(jnp.abs(cfr_icf(a, 0.35, m, iters=4)))
+
+    def step2(chk):
+        c2 = g_cfr(chk, x, mask)
+        return c2, c2
+
+    t = _measure(step2, jnp.zeros(()))
     out.append(_row("cfr_icf_4iter", L / t))
     return out
 
@@ -615,9 +633,9 @@ def bench_tracking():
     rng = np.random.default_rng(1)
     K, F = steady_state_gain(*cv_model(1.0, 0.05, 1.0))
     z = jnp.asarray(rng.standard_normal(L).astype(np.float32))
-    x0 = jnp.zeros(2, jnp.float32)
-    Kf = jnp.asarray(K, jnp.float32)
-    Ff = jnp.asarray(F, jnp.float32)
+    x0 = jnp.asarray(np.zeros(2, np.float32))   # tunnel-safe build
+    Kf = jnp.asarray(np.asarray(K, np.float32))
+    Ff = jnp.asarray(np.asarray(F, np.float32))
     step = _stateless_step(
         lambda a: kalman_lti_apply(x0, a, Kf, Ff, method="parallel")[0], z)
     t = _measure(step, jnp.zeros(()))
