@@ -329,6 +329,29 @@ def bench_channelizer_planar():
     return out
 
 
+def bench_channelizer_fused():
+    """ONE-kernel Mosaic channelizer: branch conv + MXU DFT in VMEM
+    (models/channelizer.make_fused_channelizer) — the branch products
+    never touch HBM, unlike the XLA planar path."""
+    from solid_dsp_tpu.models.channelizer import (
+        channelizer_taps, fused_channelizer_init, make_fused_channelizer)
+
+    M, K = 256, 8
+    L = M * (64 if SMOKE else 16384)
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+    x2 = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
+    taps = channelizer_taps(M, K)
+    TF = 16 if SMOKE else 512
+    out = []
+    for mode, tag in (("fast", "bf16"), ("x3", "x3")):
+        apply = make_fused_channelizer(taps, M, L // M, TF=TF, mode=mode)
+        tail = _retried(lambda: fused_channelizer_init(M))
+        sps = _measure_chain_devloop(apply, tail, x2, L)
+        out.append(_row(f"channelizer_fused_{tag}_256ch", sps))
+    return out
+
+
 def bench_os_channelizer():
     """2x-oversampled WOLA bank (twice the FFT + fold work per sample)."""
     from solid_dsp_tpu.models.channelizer import (
@@ -752,6 +775,7 @@ def _bench_list():
             bench_rx_chain_parity_parallel,
             bench_rx_chain_parity_scan, bench_channelizer,
             bench_channelizer_planar,
+            bench_channelizer_fused,
             bench_os_channelizer,
             bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
             bench_fft_nonpow2, bench_frontend_ops,

@@ -26,6 +26,7 @@ from ..utils.transfer import zeros_device, zeros_like_device
 
 __all__ = ["channelizer_taps", "channelizer_init", "channelizer_apply",
            "channelizer_dft_bank", "channelizer_apply_planar",
+           "fused_channelizer_init", "make_fused_channelizer",
            "PolyphaseChannelizer", "channelizer_synthesize",
            "synthesis_init", "PolyphaseSynthesizer",
            "os_channelizer_init", "os_channelizer_apply",
@@ -477,3 +478,54 @@ def os_channelizer_synthesize(taps, Y, num_channels: int):
     env = jnp.real(_ola(jnp.tile(h2[None, :], (T, 1)).astype(Y.dtype)))
     x_hat = x_acc / (env + 1e-30).astype(Y.real.dtype)
     return x_hat[..., K * M - R: K * M - R + T * R]
+
+
+def fused_channelizer_init(num_channels: int):
+    """Tail-row carry for the FUSED Mosaic channelizer: the last
+    CHAN_HALO frame rows of the previous block as (2, CHAN_HALO, M)
+    planes (ops/pallas_kernels.py::make_pallas_channelizer)."""
+    from ..ops.pallas_kernels import CHAN_HALO
+    from ..utils.transfer import zeros_device
+
+    return zeros_device((2, CHAN_HALO, int(num_channels)), jnp.float32)
+
+
+def make_fused_channelizer(taps, num_channels: int, n_frames: int,
+                           TF: int = 512, mode: str = "fast",
+                           interpret: bool | None = None):
+    """Build the fused-kernel channelizer ``apply(tail_rows, x2)``.
+
+    ONE Mosaic kernel per block: the K+1-tap permuted branch filter
+    (static sublane-shifted FMAs) and the M-point output DFT (plane-
+    folded MXU matmul) run in VMEM — the branch products never touch
+    HBM, unlike the XLA planar path.  Measured (v5e, M=256, K=8, 4M
+    samples, device-loop): 37.6 Gs/s bf16 / 20.1 Gs/s x3 vs 19.8 / 13.7
+    for the XLA planar matmul-DFT path.
+
+    Args:
+      taps: CONCRETE prototype (numpy); num_channels: M; n_frames: the
+        static frame count U = L // M per block (must divide by TF).
+      mode: "fast" (1-pass bf16, ~53 dB) | "x3" (~f32, 108 dB measured
+        vs the complex reference path).
+
+    Returns apply(tail_rows, x2) -> (Y2, new_tail_rows):
+      x2: (2, L) planes; Y2: (U, 2M) [re|im] columns matching
+      ``channelizer_apply`` to the mode's accuracy; tail_rows as in
+      :func:`fused_channelizer_init`.
+    """
+    from ..ops.pallas_kernels import CHAN_HALO, make_pallas_channelizer
+
+    M = int(num_channels)
+    U = int(n_frames)
+    if U % TF:
+        raise ValueError("n_frames must be a multiple of TF")
+    kern = make_pallas_channelizer(np.asarray(taps), M, U // TF, TF=TF,
+                                   mode=mode, interpret=interpret)
+
+    def apply(tail_rows, x2):
+        xf = x2.reshape(2, U, M)
+        Y2 = kern(xf, tail_rows)
+        new_tail = xf[:, U - CHAN_HALO:, :]
+        return Y2, new_tail
+
+    return apply

@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pfb_frontend_taps", "pfb_frontend", "channelizer_apply_pallas",
+           "make_pallas_channelizer", "CHAN_HALO",
            "iir_bank_init", "iir_bank_apply"]
 
 
@@ -299,3 +300,161 @@ def iir_bank_apply(sos, state, x, tile_rows: int = 1024,
     y = y2[:T].view(jnp.complex64)
     new_state = st_out.view(jnp.complex64)
     return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# Fused planar channelizer: branch conv + MXU DFT in one VMEM pass (r4)
+# ---------------------------------------------------------------------------
+#
+# The XLA planar path (models/channelizer.channelizer_apply_planar)
+# materializes the branch products z (2, T, M) in HBM between the VPU conv
+# and the DFT matmul — ~1.5x the minimum traffic.  This kernel fuses them:
+# per tile, the K+1-tap permuted branch filter (the Hp2 trick above) runs
+# as static sublane-shifted FMAs over the frame rows in VMEM, and the
+# M-point output DFT rides the MXU via one plane-folded bank, writing
+# (TF, 2M) [re|im] columns.  Backward-looking taps -> the halo is the
+# PREVIOUS tile's last rows; tile 0 takes the carried tail row block.
+
+CHAN_HALO = 8
+
+
+def _chan_banks_np(num_channels: int):
+    """Folded DFT bank (M, 2M): [Br | Bi], with B[q, m] = e^{-2pi i qm/M}
+    so Y[t, m] = sum_q zp[t, q] B[q, m] (the plain forward DFT of the
+    permuted branch products — see the Hp2 derivation above)."""
+    M = num_channels
+    q = np.arange(M)[:, None]
+    m = np.arange(M)[None, :]
+    B = np.exp(-2j * np.pi * q * m / M)
+    out_r = np.concatenate([B.real, B.imag], axis=1).astype(np.float32)
+    out_i = np.concatenate([-B.imag, B.real], axis=1).astype(np.float32)
+    return out_r, out_i
+
+
+def _chan_hp2_np(taps: np.ndarray, num_channels: int):
+    """(K+1, M) permuted per-lane filter (see pfb_frontend_taps, without
+    the re/im lane duplication — planar planes share the real taps)."""
+    M = int(num_channels)
+    h = np.asarray(taps, dtype=np.float64).real
+    K = len(h) // M
+    H = h[: K * M].reshape(K, M)
+    Hp2 = np.zeros((K + 1, M), np.float64)
+    Hp2[:K, 0] = H[:, 0]
+    for q in range(1, M):
+        Hp2[1:, q] = H[:, M - q]
+    return Hp2.astype(np.float32), K
+
+
+def _make_chan_kernel(M: int, K: int, TF: int, mode: str):
+    def kernel(x_ref, lhalo_ref, tail_ref, hp_ref, br, bi, o_ref):
+        i = pl.program_id(0)
+        halo = jnp.where(i == 0, tail_ref[:], lhalo_ref[:])
+        zs = []
+        for p in range(2):
+            xcat = jnp.concatenate([halo[p], x_ref[p]], axis=0)
+            acc = hp_ref[0, :] * xcat[CHAN_HALO: CHAN_HALO + TF, :]
+            for kp in range(1, K + 1):
+                acc = acc + hp_ref[kp, :] * xcat[
+                    CHAN_HALO - kp: CHAN_HALO - kp + TF, :]
+            zs.append(acc)
+        if mode == "x3":
+            def dots(a32, bh, bl):
+                ah, al = _r4_split_bf16(a32)
+                y = jnp.dot(ah, bh[:], preferred_element_type=jnp.float32)
+                y += jnp.dot(al, bh[:], preferred_element_type=jnp.float32)
+                y += jnp.dot(ah, bl[:], preferred_element_type=jnp.float32)
+                return y
+            brh, brl, bih, bil = br
+            o_ref[:] = dots(zs[0], brh, brl) + dots(zs[1], bih, bil)
+        else:
+            o_ref[:] = (
+                jnp.dot(zs[0].astype(jnp.bfloat16), br[:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(zs[1].astype(jnp.bfloat16), bi[:],
+                          preferred_element_type=jnp.float32))
+    return kernel
+
+
+def _r4_split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def make_pallas_channelizer(taps: np.ndarray, num_channels: int,
+                            tiles: int, TF: int = 1024, mode: str = "fast",
+                            interpret: bool | None = None):
+    """Build fn(xf, tailrow) -> (tiles*TF, 2M) f32 [re|im] columns.
+
+    xf: the FREE frame view (2, U, M) of the planar input (U >= tiles*TF);
+    tailrow: (2, CHAN_HALO, M) whose last K rows are the carried frame
+    rows (models/channelizer tail reshaped).  Requires K <= CHAN_HALO and
+    TF % CHAN_HALO == 0.
+    """
+    M = int(num_channels)
+    hp2, K = _chan_hp2_np(taps, M)
+    if K > CHAN_HALO:
+        raise ValueError(f"taps_per_branch must be <= {CHAN_HALO}")
+    if TF % CHAN_HALO:
+        raise ValueError(f"TF must be a multiple of {CHAN_HALO}")
+    br_np, bi_np = _chan_banks_np(M)
+    if mode == "x3":
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+
+        def split(a):
+            hi = np.asarray(a, bf16)
+            lo = np.asarray(a - np.asarray(hi, np.float32), bf16)
+            return jnp.asarray(hi), jnp.asarray(lo)
+
+        brh, brl = split(br_np)
+        bih, bil = split(bi_np)
+        bank_args = (brh, brl, bih, bil)
+    else:
+        bank_args = (jnp.asarray(br_np, jnp.bfloat16),
+                     jnp.asarray(bi_np, jnp.bfloat16))
+    hp_const = jnp.asarray(hp2)            # (K+1, M) input operand
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu",)
+
+    if mode == "x3":
+        def kern_wrap(x_ref, lhalo_ref, tail_ref, hp_ref,
+                      brh_, brl_, bih_, bil_, o_ref):
+            return _make_chan_kernel(M, K, TF, "x3")(
+                x_ref, lhalo_ref, tail_ref, hp_ref,
+                (brh_, brl_, bih_, bil_), None, o_ref)
+        kern = kern_wrap
+    else:
+        kern = _make_chan_kernel(M, K, TF, "fast")
+
+    in_specs = [
+        pl.BlockSpec((2, TF, M), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        # left halo: the CHAN_HALO rows before this tile (clamped at 0;
+        # tile 0 substitutes the carried tail block)
+        pl.BlockSpec((2, CHAN_HALO, M),
+                     lambda i: (0, jnp.maximum(i * (TF // CHAN_HALO) - 1,
+                                               0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, CHAN_HALO, M), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(hp_const.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for b in bank_args]
+
+    call = pl.pallas_call(
+        kern,
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TF, 2 * M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles * TF, 2 * M), jnp.float32),
+        interpret=interpret,
+    )
+
+    def run(xf, tailrow):
+        return call(xf, xf, tailrow, hp_const, *bank_args)
+
+    return run

@@ -45,6 +45,11 @@ HEADLINE = [
      "256-ch channelizer (planar, MXU matmul DFT, x3)", "config 5, r4"),
     ("channelizer_planar_bf16_256ch",
      "256-ch channelizer (planar, matmul DFT, bf16)", ""),
+    ("channelizer_fused_bf16_256ch",
+     "256-ch channelizer (ONE Mosaic kernel, bf16)",
+     "branch conv + MXU DFT in VMEM"),
+    ("channelizer_fused_x3_256ch",
+     "256-ch channelizer (ONE Mosaic kernel, x3 ~f32)", ""),
     ("os_channelizer_256ch", "2x-oversampled WOLA bank", ""),
     ("fused_halo_channelizer_mesh1",
      "Fused RDMA-halo channelizer front end (mesh of 1)",
