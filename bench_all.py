@@ -648,7 +648,7 @@ def bench_tx_dsp():
 def bench_tracking():
     """r2 additions: parallel LTI Kalman tracker + block-RLS equalizer."""
     from solid_dsp_tpu.models.equalizer import make_rls
-    from solid_dsp_tpu.ops.kalman import cv_model, kalman_lti_apply, \
+    from solid_dsp_tpu.ops.kalman import cv_model, make_kalman_lti, \
         steady_state_gain
 
     out = []
@@ -657,12 +657,12 @@ def bench_tracking():
     K, F = steady_state_gain(*cv_model(1.0, 0.05, 1.0))
     z = jnp.asarray(rng.standard_normal(L).astype(np.float32))
     x0 = jnp.asarray(np.zeros(2, np.float32))   # tunnel-safe build
-    Kf = jnp.asarray(np.asarray(K, np.float32))
-    Ff = jnp.asarray(np.asarray(F, np.float32))
-    step = _stateless_step(
-        lambda a: kalman_lti_apply(x0, a, Kf, Ff, method="parallel")[0], z)
+    # modal chunked evaluation (ops/kalman.make_kalman_lti): the MXU path
+    # replacing the tiny-matrix associative scan (26.7 Ms/s in r04)
+    kal = make_kalman_lti(K, F)
+    step = _stateless_step(lambda a: kal(x0, a)[0], z)
     t = _measure(step, jnp.zeros(()))
-    out.append(_row("kalman_lti_parallel_2state", L / t))
+    out.append(_row("kalman_lti_chunked_2state", L / t))
 
     Lr = _size(20)
     n = 32
@@ -763,6 +763,28 @@ def bench_resample():
     return out
 
 
+def bench_rational_resampler():
+    """Config 3: polyphase rational resampler at (3/2) and (1/8) — the
+    gather-free fused commutator bank (ops/fir.py::RationalResampler),
+    one stride-Q0 multi-output Toeplitz matmul per block."""
+    from solid_dsp_tpu.design import firdes
+    from solid_dsp_tpu.ops.fir import RationalResampler, fir_init
+
+    out = []
+    for Pq, tag in (((3, 2), "3_2"), ((1, 8), "1_8")):
+        P, Q = Pq
+        L = _size(22)
+        x = _tone(L)
+        taps = firdes.firdes_kaiser(48 * max(P, 1), 0.4 / max(P, Q),
+                                    60.0, 0.0)
+        rs = RationalResampler(taps, P, Q, dtype=jnp.complex64)
+        apply = rs._make_fn(0)          # jitted (tail, x) -> (y, tail)
+        tail = fir_init(rs._B_np.shape[0], dtype=jnp.complex64)
+        sps = _measure_chain_devloop(apply, tail, x, L)
+        out.append(_row(f"rational_resample_{tag}", sps))
+    return out
+
+
 BENCHES = None  # filled below (after all defs)
 
 
@@ -782,6 +804,7 @@ def _bench_list():
             bench_modem_frontend, bench_ldpc, bench_polar, bench_turbo,
             bench_cyclo, bench_tx_dsp,
             bench_tracking, bench_detection, bench_resample,
+            bench_rational_resampler,
             bench_rx_chain_bf16_fir)
 
 

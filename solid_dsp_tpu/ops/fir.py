@@ -83,8 +83,19 @@ def conv1d_mxu(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1,
     native single-pass bf16 mode — several times faster on v5e at ~8
     fractional bits (~45 dB), the documented fast path for chains whose
     SNR budget tolerates it.
+
+    On backends whose conv lowering is pathological (the TPU tunnel:
+    measured 33 ms for 64 taps x 16M samples, ~100x off speed-of-light)
+    this routes to the banded-Toeplitz ``dot_general`` formulation
+    (:func:`fir_toeplitz`, identical contract) — the round-5 fix that
+    took halfband/preamble/CIC-family workloads from tens of Ms/s to
+    multi-Gs/s.  XLA:CPU's conv is fine and keeps the direct lowering.
     """
     vec = taps.ndim == 1
+    if _use_toeplitz():
+        n_ = taps.shape[-1] if vec else taps.shape[0]
+        if (x.shape[-1] - n_) // stride + 1 >= 1:
+            return fir_toeplitz(x, taps, stride=stride, precision=precision)
     taps2 = taps[:, None] if vec else taps
     n, O = taps2.shape
     batch_shape = x.shape[:-1]
@@ -868,9 +879,24 @@ class RationalResampler:
     """P/Q rational resampler: polyphase interpolation by P, decimation by Q.
 
     The reference has no rational resampler (only separate interp/decim
-    filters); this composes them the TPU way: one (T, P) branch matmul then a
-    strided selection, so the Q-fold decimation never materializes the
-    zero-stuffed stream when Q is large.
+    filters); this composes them the TPU way.  The earlier formulation
+    ran the full (T, P) branch matmul then a stride-Q ``jnp.take`` — the
+    selection gather is pathological on the TPU backend AND P/Q of the
+    branch outputs were computed only to be dropped.  Here the commutator
+    is folded into the bank at design time: outputs repeat with period
+    P0 = P/gcd(P,Q) in branch index while the input base advances by
+    Q0 = Q/gcd(P,Q), so with
+
+        u_r = first + r*Q,  f_r = u_r mod P,  d_r = u_r div P
+        H[d_r + m, r] = B[m, f_r]                    (r < P0, m < sub_len)
+
+    the whole resampler is ONE stride-Q0 multi-output banded-Toeplitz
+    matmul ``y[j, r] = sum_i H[i, r] x_ext[j*Q0 + i]`` (fir_toeplitz) —
+    gather-free, no dropped work, identical values to the
+    interp-then-select composition (pinned by tests/test_snr_configs.py
+    against the zero-stuff+convolve model).  Ref anchors:
+    src/filter/fir/interp.rs:27-54 + decim.rs:27-42 (the two halves of
+    the ratio this fuses).
     """
 
     def __init__(self, coefficients, interp: int, decim: int, dtype=None):
@@ -880,12 +906,64 @@ class RationalResampler:
         self.Q = int(decim)
         self._interp = InterpolatingFIRFilter(coefficients, self.P, dtype=dtype)
         self._phase = 0  # position within the zero-stuffed stream mod Q
+        # host-side branch matrix (the padded prototype, quirky branch
+        # order preserved): B[m, f] = eff[f + m*P]
+        eff = np.asarray(self._interp._eff)
+        if dtype is not None and np.issubdtype(np.dtype(dtype), np.floating):
+            eff = eff.astype(np.dtype(dtype))
+        self._B_np = eff.reshape(-1, self.P)
+        self._fns: dict = {}
+
+    def _make_fn(self, first: int):
+        """Jitted one-dispatch block fn for a given commutator phase."""
+        from math import gcd
+
+        P, Q = self.P, self.Q
+        g = gcd(P, Q)
+        P0, Q0 = P // g, Q // g
+        B = self._B_np
+        sub = B.shape[0]
+        us = first + np.arange(P0) * Q
+        fs = us % P
+        ds = us // P
+        width = int(ds.max()) + sub
+        H = np.zeros((width, P0), B.dtype)
+        for r in range(P0):
+            H[ds[r]: ds[r] + sub, r] = B[:, fs[r]]
+
+        def fn(tail, x):
+            L = int(x.shape[-1])
+            x_ext = jnp.concatenate([tail, x], axis=-1)
+            new_tail = (x_ext[..., x_ext.shape[-1] - (sub - 1):] if sub > 1
+                        else x[..., :0])
+            n_up = L * P
+            n_out = (n_up - 1 - first) // Q + 1 if n_up > first else 0
+            if n_out <= 0:
+                return x[..., :0], new_tail
+            F_tot = -(-n_out // P0)
+            need = (F_tot - 1) * Q0 + width
+            ext_len = int(x_ext.shape[-1])
+            if need > ext_len:
+                z = jnp.zeros((*x_ext.shape[:-1], need - ext_len), x_ext.dtype)
+                x_in = jnp.concatenate([x_ext, z], axis=-1)
+            else:
+                x_in = x_ext[..., :need]
+            out = fir_toeplitz(x_in, jnp.asarray(H), stride=Q0)  # (.., F, P0)
+            y = out.reshape(*out.shape[:-2], F_tot * P0)[..., :n_out]
+            return y, new_tail
+
+        return jax.jit(fn)
 
     def execute_block(self, samples):
-        up = self._interp.execute_block(samples)  # length L*P
-        n = int(up.shape[-1])
+        x = jnp.asarray(samples)
+        it = self._interp
+        if not jnp.issubdtype(it._tail.dtype, x.dtype):
+            it._tail = it._tail.astype(
+                jnp.result_type(it._tail.dtype, x.dtype))
         first = (self.Q - self._phase) % self.Q
-        idx = jnp.arange(first, n, self.Q)
-        y = jnp.take(up, idx, axis=-1)
-        self._phase = (self._phase + n) % self.Q
+        fn = self._fns.get(first)
+        if fn is None:
+            fn = self._fns[first] = self._make_fn(first)
+        y, it._tail = fn(it._tail, x)
+        self._phase = (self._phase + int(x.shape[-1]) * self.P) % self.Q
         return y

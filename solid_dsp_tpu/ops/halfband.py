@@ -17,6 +17,7 @@ Block-functional `(state, x) -> (y, state)` like every filter here.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -54,27 +55,26 @@ def firdes_halfband(semi_length: int, stop_band_attenuation: float = 60.0
 
 
 def halfband_decimate(taps, tail, x):
-    """Decimate-by-2 with a halfband filter, skipping the zero taps.
+    """Decimate-by-2 with a halfband filter.
 
-    y[k] = sum_j h[2j] x_ext[2k + 2j]  +  h[c] x_ext[2k + c]
+    y[k] = sum_i h[i] x_ext[2k + i]  (odd-index taps other than the
+    center are exactly zero, so the dense form equals the phase-split
+    identity in the module docstring bit-for-bit up to summation order).
 
-    The first term is a conv over the EVEN phase of the input with the
-    2*semi_length nonzero even-index taps; the second is a strided slice
-    (c odd).  len(x) must be even.  Returns (y, new_tail).
+    ONE stride-2 banded-Toeplitz conv (:func:`conv1d_mxu`): the earlier
+    even/odd phase-split version extracted ``x_ext[0::2]`` — a stride-2
+    gather that is pathological on the TPU backend (23 ms per 4M-sample
+    axis, PERF_NOTES.md) and capped this stage at ~60 Ms/s; the dense
+    strided matmul spends 2x the MACs (free on the MXU) to keep HBM
+    traffic at O(L) with zero gathers.  len(x) must be even.
+    Returns (y, new_tail).
     """
     n = taps.shape[-1]
-    c = (n - 1) // 2
     L = x.shape[-1]
     if L % 2:
         raise ValueError("block length must be even")
     x_ext = jnp.concatenate([tail, x], axis=-1)
-    T = L // 2
-    he = taps[..., 0::2]          # (2m,) nonzero branch
-    xe = x_ext[..., 0::2]
-    y = conv1d_mxu(xe[..., : T + he.shape[-1] - 1], he)
-    xo = x_ext[..., 1::2]
-    m = (c - 1) // 2
-    y = y + taps[c] * xo[..., m: m + T]
+    y = conv1d_mxu(x_ext, taps, stride=2)
     new_tail = x_ext[..., -(n - 1):]
     return y, new_tail
 
@@ -87,13 +87,19 @@ class HalfbandDecimator:
         self.taps_np = firdes_halfband(semi_length, stop_band_attenuation)
         self._taps = jnp.asarray(self.taps_np, jnp.float32)
         self._tail = fir_init(len(self.taps_np), dtype=dtype)
+        # ONE jitted dispatch per block, taps as a host-side closure
+        # constant (compile-time-constant Toeplitz banks; a device-array
+        # tap argument would trace the bloated traced-bank fallback)
+        tn = self.taps_np.astype(np.float32)
+        self._run = jax.jit(
+            lambda tail, x: halfband_decimate(jnp.asarray(tn), tail, x))
 
     def execute_block(self, x):
         x = ingest(x)
         if not jnp.issubdtype(self._tail.dtype, x.dtype):
             self._tail = astype_device(
                 self._tail, jnp.result_type(self._tail.dtype, x.dtype))
-        y, self._tail = halfband_decimate(self._taps, self._tail, x)
+        y, self._tail = self._run(self._tail, x)
         return y
 
     def reset(self):

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fir import conv1d_mxu
+
 __all__ = ["wavelet_filters", "dwt", "idwt", "wavedec", "waverec",
            "denoise_soft"]
 
@@ -47,48 +49,70 @@ def wavelet_filters(name: str):
     return h, g, h[::-1].copy(), g[::-1].copy()
 
 
-def _periodic_conv_down(x, taps):
+def _periodic_conv_down(x, taps_np):
     """Periodic (circular) convolution then downsample by 2.
 
     y[m] = sum_k taps[k] x[(2m + 1 - k) mod N] — the standard (pywt-
-    convention) DWT analysis step with periodic extension, vectorized as
-    L shifted adds (L = tap count, static) on the rolled signal.
+    convention) DWT analysis step with periodic extension.  TPU
+    formulation: ONE stride-2 banded-Toeplitz conv on the wrap-extended
+    signal (the earlier version did L rolls then a ``[1::2]`` stride-2
+    gather — pathological on this backend, PERF_NOTES.md).  With
+    o = len(taps) - 2 wrap samples prepended, w[j] = x[(j - o) mod N],
+
+        y[m] = sum_i taps_r[i] w[2m + i],   taps_r = taps[::-1],
+
+    (substituting i = Lt-1-k) — the strided MXU sliding correlation.
+    ``taps_np`` stays host-side numpy so the conv banks are
+    compile-time constants.
     """
-    acc = taps[0] * x
-    for k in range(1, len(taps)):
-        acc = acc + taps[k] * jnp.roll(x, k, axis=-1)
-    return acc[..., 1::2]
+    Lt = len(taps_np)
+    o = Lt - 2
+    w = jnp.concatenate([x[..., x.shape[-1] - o:], x], axis=-1) if o else x
+    tr = jnp.asarray(np.asarray(taps_np)[::-1].copy(), x.dtype)
+    return conv1d_mxu(w, tr, stride=2)
 
 
-def _upsample_periodic_conv(c, taps):
+def _upsample_periodic_conv(c, taps_np):
     """Zero-stuff by 2 then periodic convolution: the synthesis step.
 
-    y[n] = sum_k taps[k] u[(n - k) mod N], u = zero-stuffed c.
+    y[n] = sum_k taps[k] u[(n - k) mod N2], u = zero-stuffed c.  The
+    zero-stuffed stream is never materialized (the old ``.at[::2].set``
+    scatter + L rolls): output phases split exactly as
+
+        y[2s]   = sum_j taps[2j]   c[(s - j) mod N]
+        y[2s+1] = sum_j taps[2j+1] c[(s - j) mod N]
+
+    — two circular convs on the wrap-extended ``c`` (each a small MXU
+    conv), interleaved with one stack+reshape.
     """
-    N2 = c.shape[-1] * 2
-    u = jnp.zeros((*c.shape[:-1], N2), c.dtype)
-    u = u.at[..., ::2].set(c)
-    acc = taps[0] * u
-    for k in range(1, len(taps)):
-        acc = acc + taps[k] * jnp.roll(u, k, axis=-1)
-    return acc
+    tn = np.asarray(taps_np)
+    N = c.shape[-1]
+    phases = []
+    for par in (0, 1):
+        tp = tn[par::2]
+        J = len(tp)
+        o = J - 1
+        w = jnp.concatenate([c[..., N - o:], c], axis=-1) if o else c
+        tr = jnp.asarray(tp[::-1].copy(), c.dtype)
+        phases.append(conv1d_mxu(w, tr))
+    y = jnp.stack(phases, axis=-1)
+    return y.reshape(*c.shape[:-1], 2 * N)
 
 
 @partial(jax.jit, static_argnames=("wavelet",))
 def dwt(x, wavelet: str = "db4"):
     """One analysis level: x (..., N even) -> (approx (..., N/2), detail)."""
     h, g, _, _ = wavelet_filters(wavelet)
-    hd = jnp.asarray(h[::-1].copy(), x.dtype)   # conv kernel = reversed taps
-    gd = jnp.asarray(g[::-1].copy(), x.dtype)
-    return _periodic_conv_down(x, hd), _periodic_conv_down(x, gd)
+    return (_periodic_conv_down(x, h[::-1]),
+            _periodic_conv_down(x, g[::-1]))
 
 
 @partial(jax.jit, static_argnames=("wavelet",))
 def idwt(ca, cd, wavelet: str = "db4"):
     """Inverse of one level: (approx, detail) -> signal (..., 2*len)."""
     _, _, rl, rh = wavelet_filters(wavelet)
-    a = _upsample_periodic_conv(ca, jnp.asarray(rl[::-1].copy(), ca.dtype))
-    d = _upsample_periodic_conv(cd, jnp.asarray(rh[::-1].copy(), cd.dtype))
+    a = _upsample_periodic_conv(ca, rl[::-1])
+    d = _upsample_periodic_conv(cd, rh[::-1])
     L = len(rl)
     # align: circular round-trip group delay is L-2 with the odd-phase
     # (pywt-convention) analysis downsampling

@@ -186,3 +186,58 @@ def test_rts_smoother_matches_reference_and_beats_filter():
     # smoothed covariances are no larger than filtered ones (trace)
     tr_s = Ps[:, 0, 0] + Ps[:, 1, 1]
     assert np.all(tr_s <= np.array([p[0, 0] + p[1, 1] for p in Pf]) + 1e-9)
+
+
+def test_chunked_first_order_matches_scan():
+    """linrec.chunked_first_order vs the literal recurrence, real and
+    complex modes, T not a multiple of the chunk."""
+    from solid_dsp_tpu.ops.linrec import chunked_first_order
+
+    rng = np.random.default_rng(3)
+    T = 1234
+    for lam in (0.93, 0.7 + 0.6j, -0.4):
+        cx = np.iscomplexobj(np.asarray(lam))
+        u = rng.standard_normal(T) + (1j * rng.standard_normal(T) if cx
+                                      else 0.0)
+        s_ref = np.empty(T, complex)
+        s = 0.0
+        for t in range(T):
+            s = lam * s + u[t]
+            s_ref[t] = s
+        got = np.asarray(chunked_first_order(
+            np.asarray([lam]), jnp.asarray(u)[None, :], chunk=128))[0]
+        np.testing.assert_allclose(got, s_ref.real if not cx else s_ref,
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_make_kalman_lti_matches_scan():
+    """Modal chunked evaluation == sequential scan (the MXU fast path)."""
+    from solid_dsp_tpu.ops.kalman import make_kalman_lti
+
+    K, F = steady_state_gain(*cv_model(1.0, 0.05, 1.0))
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal(5000))
+    x0 = jnp.asarray(np.array([0.3, -0.2]))
+    Xs, xs_T = kalman_lti_apply(x0, z, jnp.asarray(K), jnp.asarray(F),
+                                method="scan")
+    Xc, xc_T = make_kalman_lti(K, F)(x0, z)
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xs),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xc_T), np.asarray(xs_T),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_make_kalman_lti_real_modes():
+    """A real-eigenvalue F exercises the all-real modal path."""
+    from solid_dsp_tpu.ops.kalman import make_kalman_lti
+
+    F = np.array([[0.9, 0.05], [0.0, 0.6]])
+    K = np.array([[0.4], [0.1]])
+    rng = np.random.default_rng(6)
+    z = jnp.asarray(rng.standard_normal(3000))
+    x0 = jnp.asarray(np.array([1.0, 0.5]))
+    Xs, _ = kalman_lti_apply(x0, z, jnp.asarray(K), jnp.asarray(F),
+                             method="scan")
+    Xc, _ = make_kalman_lti(K, F)(x0, z)
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xs),
+                               rtol=1e-9, atol=1e-9)
