@@ -128,7 +128,14 @@ def _stateless_step(f, x):
     ~16 Gs/s regardless of their real speed (PERF_NOTES.md #8).
     Summing into the carry is sound: k sequential dispatches of the same
     executable cannot be elided or CSE'd across calls, and a single
-    TensorCore serializes their execution."""
+    TensorCore serializes their execution.
+
+    NOTE (measurement semantics): because the ITERATION'S INPUT no longer
+    depends on the previous iteration's output, the scheduler may overlap
+    the tail of dispatch k with the head of dispatch k+1 — rows measured
+    through this helper are PIPELINED-throughput numbers (the honest
+    serving-rate figure), not isolated-latency ones.  State-carrying
+    chains use _chain_step / the devloop (true data dependency)."""
     @jax.jit
     def g(chk, x):
         return chk + jnp.sum(jnp.abs(f(x)))

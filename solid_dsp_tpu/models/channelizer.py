@@ -499,8 +499,8 @@ def make_fused_channelizer(taps, num_channels: int, n_frames: int,
     (static sublane-shifted FMAs) and the M-point output DFT (plane-
     folded MXU matmul) run in VMEM — the branch products never touch
     HBM, unlike the XLA planar path.  Measured (v5e, M=256, K=8, 4M
-    samples, device-loop): 37.6 Gs/s bf16 / 20.1 Gs/s x3 vs 19.8 / 13.7
-    for the XLA planar matmul-DFT path.
+    samples, device-loop, BENCH_ALL_r04.jsonl): 41.0 Gs/s bf16 /
+    19.7 Gs/s x3 vs 19.8 / 13.7 for the XLA planar matmul-DFT path.
 
     Args:
       taps: CONCRETE prototype (numpy); num_channels: M; n_frames: the

@@ -430,7 +430,7 @@ class RxChain:
         self.state = init()
 
     def execute_block(self, x):
-        from ..utils.transfer import ingest
+        from ..utils.transfer import astype_device, ingest
 
         in_dtype = (jnp.int16 if self.cfg.input_format == "ci16"
                     else np.zeros(0, self.cfg.dtype).real.dtype
@@ -441,6 +441,12 @@ class RxChain:
                 # dtype conversion stays HOST-side; ingest ships complex
                 # as re/im float pairs (tunnel-safe, utils/transfer.py)
                 x = x.astype(np.dtype(in_dtype))
+        elif x.dtype != jnp.dtype(in_dtype):
+            # device arrays are downcast ON device (tunnel-safe astype):
+            # a complex128 block into a complex64 chain must not silently
+            # trace the f64 path (which disables the fused/pallas DDC and
+            # changes the output dtype)
+            x = astype_device(x, in_dtype)
         out, self.state = self._apply(self.state, ingest(x))
         return out
 

@@ -88,17 +88,28 @@ def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
     "lut" mode reproduces the reference's phase quantization exactly (the
     rounded 10-bit index, cos = LUT[idx + 256]).  On accelerator backends
     a full-rate ``jnp.take`` from the 1024-entry table lowers to a
-    pathological gather (PERF_NOTES.md), so the table VALUE is evaluated
-    as sin(idx * 2pi/1024) instead — the same quantized angle the table
-    stores, agreeing with the f32 table to ~1 ulp (the table itself is
-    the f64 sine rounded once; measured > 130 dB vs take).  CPU keeps the
-    bit-exact table read for the golden parity tests.
+    pathological gather (PERF_NOTES.md), so when the table is the
+    CANONICAL sine table the value is evaluated as sin(idx * 2pi/1024)
+    instead — the same quantized angle the table stores, agreeing with
+    the f32 table to ~1 ulp (the table itself is the f64 sine rounded
+    once; measured > 130 dB vs take).  A caller-supplied table that is
+    NOT the canonical one (custom waveform, or a traced/device array we
+    cannot inspect) is honored with the real gather on every backend —
+    never silently ignored.  CPU always keeps the bit-exact table read
+    for the golden parity tests; ``mode="lut-table"`` forces the table
+    gather everywhere (bit-exact accelerator parity at gather cost).
     """
     theta = nco_phases(theta0, delta_theta, n)
-    if mode == "lut":
+    if mode in ("lut", "lut-table"):
         idx = _lut_index(theta)
         cidx = (idx + jnp.uint32(256)) & jnp.uint32(0x3FF)
-        if jax.default_backend() == "cpu":
+        use_table = jax.default_backend() == "cpu" or mode == "lut-table"
+        if not use_table and lut is not None:
+            canonical = (isinstance(lut, np.ndarray)
+                         and lut.shape == (1024,)
+                         and np.array_equal(lut, make_sine_lut(lut.dtype)))
+            use_table = not canonical
+        if use_table:
             if lut is None:
                 lut = make_sine_lut()
             s = jnp.take(lut, idx)

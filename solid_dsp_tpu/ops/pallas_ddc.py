@@ -11,6 +11,9 @@ planes once and writes the decimated output once.  Measured on chip
     Pallas x3   13.84 Gs/s   (106.8 dB vs f64)   <- 3.0x
     Pallas fast 16.4  Gs/s   (52 dB; single-pass bf16)
 
+(body-kernel-only numbers from that prototype harness, round 3; the
+current end-to-end chain rows live in BENCH_ALL_r*.jsonl.)
+
 The kernel computes whole TILES of TF frames; every edge case (outputs
 straddling the carried tail, non-tile-aligned remainders, stragglers)
 stays on the XLA path in ops/ddc.py, which calls this for the aligned
@@ -247,10 +250,11 @@ def _banks_full_cached(h_bytes: bytes, n: int, M: int, P: int):
 
 
 def _fdiv(num, den):
-    """Division via approximate reciprocal + ONE Newton step (~2^-24
-    relative): measured faster than the hardware f32 divide in the VPU
-    epilogue (compiled path); interpret mode (CPU tests) falls back to
-    the exact divide — pl.reciprocal has no interpret lowering."""
+    """Division via approximate reciprocal + TWO Newton steps (~1e-10
+    relative — the bound the _atan2 accuracy claim relies on): measured
+    faster than the hardware f32 divide in the VPU epilogue (compiled
+    path); interpret mode (CPU tests) falls back to the exact divide —
+    pl.reciprocal has no interpret lowering."""
     try:
         r = pl.reciprocal(den, approx=True)
     except Exception:  # unsupported backend

@@ -283,10 +283,12 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
                     out_full, t_idx * lo, lo, axis=out_full.ndim - 1)
             else:
                 out = y
-            new_fm_prev = from_last_shard(y[..., -1], "time")
+            # qpsk/none don't consume fm_prev — carry it through unchanged
+            # so checkpointed ChainState stays bit-identical to the
+            # single-chip chain (which only updates fm_prev for fm/am)
+            new_fm_prev = state.fm_prev
             if planar:
                 out = out[0]
-                new_fm_prev = new_fm_prev[0]
 
         # fused chains carry the RAW input tail (pre-mix), like the
         # single-chip fused chain
@@ -349,6 +351,7 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
             prev_halo = left_halo(y[..., -1], "time")
             fm_prev_l = jnp.where(t_idx == 0, state.fm_prev, prev_halo)
             out, _ = fm_mod.fm_demodulate(fm_prev_l, y, cfg.fm_kf)
+            new_fm_prev = from_last_shard(y[..., -1], "time")
         elif cfg.demod == "qpsk":
             y_full = jax.lax.all_gather(y, "time", axis=y.ndim - 1,
                                         tiled=True)
@@ -356,11 +359,13 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
             lo = y.shape[-1]
             out = jax.lax.dynamic_slice_in_dim(
                 out_full, t_idx * lo, lo, axis=out_full.ndim - 1)
+            new_fm_prev = state.fm_prev   # not consumed: carry unchanged
         elif cfg.demod == "am":
             out = jnp.abs(y)
+            new_fm_prev = state.fm_prev
         else:
             out = y
-        new_fm_prev = from_last_shard(y[..., -1], "time")
+            new_fm_prev = state.fm_prev
 
         new_state = ChainState(
             nco_theta=theta_end,

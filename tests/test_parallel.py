@@ -361,3 +361,26 @@ def test_sharded_rx_chain_pallas_kernel_engine():
     assert snr > 60.0, f"pallas sharded chain SNR {snr:.1f} dB"
     np.testing.assert_allclose(float(st2.agc["gain"]),
                                float(s1b.agc["gain"]), rtol=1e-5)
+
+
+@needs8
+@pytest.mark.parametrize("fused", ["auto", "off"])
+def test_sharded_rx_chain_qpsk_state_matches_single_chip(fused):
+    """Demods that don't consume fm_prev must carry it through UNCHANGED,
+    matching the single-chip chain, so checkpoints resume bit-identically
+    across deployments (ADVICE r4: the fused qpsk/none path overwrote it)."""
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex128, agc_mode="block", demod="qpsk",
+                        nco_mode="exact", fused_ddc=fused)
+    C, L = 2, 1024
+    x = np.stack([_tone(L, 0.035, amp=0.1, seed=c) for c in range(C)])
+
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    st0 = init_s(C)
+    _, st_shard = apply_s(st0, jnp.asarray(x))
+
+    init1, apply1 = make_rx_chain(cfg)
+    for c in range(C):
+        _, st_ref = apply1(init1(), jnp.asarray(x[c]))
+        np.testing.assert_array_equal(np.asarray(st_shard.fm_prev[c]),
+                                      np.asarray(st_ref.fm_prev))
