@@ -38,6 +38,10 @@ from solid_dsp_tpu.utils.transfer import put_complex
 # BENCH_SMOKE=1: tiny sizes + short ks, for CPU structural validation only
 import os
 SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+if SMOKE and os.environ.get("JAX_PLATFORMS") == "cpu":
+    # honor the CPU request under smoke: the image's sitecustomize
+    # initializes the TPU plugin before env vars can take effect
+    jax.config.update("jax_platforms", "cpu")
 # Longer chains + 2 repetitions: with ~1 ms iterations the tunnel's
 # round-trip jitter dominates 3-point slopes at small k (r02 sweep rows
 # swung far above/below bench.py's repeated-run numbers).
@@ -356,6 +360,26 @@ def bench_channelizer_fused():
         tail = _retried(lambda: fused_channelizer_init(M))
         sps = _measure_chain_devloop(apply, tail, x2, L)
         out.append(_row(f"channelizer_fused_{tag}_256ch", sps))
+    return out
+
+
+def bench_channelizer_product_fused():
+    """The PRODUCT path to the flagship kernel: PolyphaseChannelizer
+    (backend="fused") — complex in, complex out, including the
+    plane-split/merge the class does for the user (round-5 wiring; the
+    r04 flagship number was only reachable from the bench harness)."""
+    from solid_dsp_tpu.models.channelizer import PolyphaseChannelizer
+
+    M, K = 256, 8
+    L = M * (64 if SMOKE else 16384)
+    x = _noise(L)
+    out = []
+    for prec, tag in (("fast", "bf16"), ("x3", "x3")):
+        ch = PolyphaseChannelizer(M, K, backend="fused", precision=prec)
+        fn = ch._fused_fn(L // M)     # jitted (tail, x) -> (Y, tail)
+        tail = _retried(lambda: ch._tail)
+        sps = _measure_chain_devloop(fn, tail, x, L)
+        out.append(_row(f"channelizer_product_fused_{tag}_256ch", sps))
     return out
 
 
@@ -805,6 +829,7 @@ def _bench_list():
             bench_rx_chain_parity_scan, bench_channelizer,
             bench_channelizer_planar,
             bench_channelizer_fused,
+            bench_channelizer_product_fused,
             bench_os_channelizer,
             bench_fused_halo_channelizer, bench_iir_bank, bench_fft,
             bench_fft_nonpow2, bench_frontend_ops,

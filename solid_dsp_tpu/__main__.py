@@ -340,7 +340,7 @@ def _cmd_monitor(args) -> int:
     from .runtime import StreamPump
 
     mon = SpectrumMonitor(args.channels, high_db=args.high,
-                          low_db=args.low)
+                          low_db=args.low, backend=args.backend)
     path = "/dev/stdin" if args.input == "-" else args.input
     emitted = 0
     rem = np.zeros(0, np.complex64)     # channelizer alignment carry
@@ -534,6 +534,10 @@ def main(argv=None) -> int:
     mo.add_argument("--high", type=float, default=10.0)
     mo.add_argument("--low", type=float, default=6.0)
     mo.add_argument("--block", type=int, default=1 << 18)
+    mo.add_argument("--backend", default="xla", choices=["xla", "fused"],
+                    help="filterbank engine: 'fused' = ONE-kernel Mosaic "
+                         "channelizer (fastest on TPU; block must divide "
+                         "by 8*channels)")
     mo.set_defaults(fn=_cmd_monitor)
 
     rs = sub.add_parser("resample",

@@ -164,19 +164,36 @@ def channelizer_apply_planar(taps, bank, tail2, x2, num_channels: int,
 class PolyphaseChannelizer:
     """Stateful M-channel analysis channelizer.
 
-    ``backend="xla"`` (default) uses the gather-free commutator
-    formulation (reshape + K static slices + batched FFT);
-    ``backend="pallas"`` routes through the hand-written Mosaic kernel.
+    Backends:
+
+    * ``"xla"`` (default) — the gather-free commutator formulation
+      (reshape + K static slices + batched FFT); runs everywhere.
+    * ``"fused"`` — the ONE-kernel Mosaic channelizer
+      (:func:`make_fused_channelizer`): branch conv + MXU DFT in VMEM,
+      the fastest measured path (41.0 Gs/s bf16 / 19.7 x3 at M=256,
+      BENCH_ALL_r04.jsonl).  ``precision``: "x3" (~f32, >= 90 dB vs the
+      commutator path) | "fast" (single-pass bf16, ~45-53 dB).  Block
+      length must be a multiple of 8*M (the kernel's halo-tile quantum);
+      off-TPU it runs in Mosaic interpret mode (slow — tests only).
+    * ``"pallas"`` — DEPRECATED early front-end-only Mosaic kernel, kept
+      for comparison; measured ~4x SLOWER than "xla" (its docstring
+      carries the measurement).  Use "fused".
     """
 
     def __init__(self, num_channels: int, taps_per_branch: int = 8,
                  attenuation: float = 80.0, dtype=jnp.complex64,
-                 backend: str = "xla"):
+                 backend: str = "xla", precision: str = "x3"):
         self.M = int(num_channels)
         self.K = int(taps_per_branch)
+        if backend not in ("xla", "fused", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if precision not in ("x3", "fast"):
+            raise ValueError(f"unknown precision {precision!r}")
         self.backend = backend
+        self.precision = precision
         taps_np = channelizer_taps(self.M, self.K, attenuation)
         self.taps = jnp.asarray(taps_np, dtype=dtype)
+        self._taps_np = taps_np
         if backend == "pallas":
             from ..ops.pallas_kernels import pfb_frontend_taps
 
@@ -184,8 +201,43 @@ class PolyphaseChannelizer:
             # device->host fetch the axon tunnel cannot do
             self._h_il = pfb_frontend_taps(taps_np, self.M)
             self._tail = zeros_device((self.K, self.M), jnp.complex64)
+        elif backend == "fused":
+            from ..ops.pallas_kernels import CHAN_HALO
+
+            if self.K > CHAN_HALO:
+                raise ValueError(
+                    f"fused backend supports taps_per_branch <= {CHAN_HALO}")
+            self._tail = fused_channelizer_init(self.M)
+            self._fused_fns: dict = {}
         else:
             self._tail = channelizer_init(self.M, self.K, dtype)
+
+    def _fused_fn(self, U: int):
+        """Cached jitted complex-in/complex-out wrapper per frame count."""
+        from ..ops.pallas_kernels import CHAN_HALO
+
+        fn = self._fused_fns.get(U)
+        if fn is None:
+            if U % CHAN_HALO:
+                raise ValueError(
+                    f"fused backend needs block length a multiple of "
+                    f"{CHAN_HALO * self.M} samples")
+            TF = next(t for t in (512, 256, 128, 64, 32, 16, 8)
+                      if U % t == 0)
+            apply2 = make_fused_channelizer(self._taps_np, self.M, U,
+                                            TF=TF, mode=self.precision)
+            M = self.M
+
+            @jax.jit
+            def fn(tail, x):
+                x2 = jnp.stack([jnp.real(x), jnp.imag(x)]
+                               ).astype(jnp.float32)
+                Y2, tail2 = apply2(tail, x2)
+                Y = jax.lax.complex(Y2[:, :M], Y2[:, M:])
+                return Y, tail2
+
+            self._fused_fns[U] = fn
+        return fn
 
     def execute_block(self, x):
         if self.backend == "pallas":
@@ -197,6 +249,14 @@ class PolyphaseChannelizer:
                 interpret=jax.default_backend() != "tpu",
             )
             return Y
+        if self.backend == "fused":
+            x = jnp.asarray(x, dtype=jnp.complex64)
+            if x.shape[-1] % self.M:
+                raise ValueError(
+                    "block length must be a multiple of the channel count")
+            fn = self._fused_fn(int(x.shape[-1]) // self.M)
+            Y, self._tail = fn(self._tail, x)
+            return Y
         x = jnp.asarray(x, dtype=self._tail.dtype)
         Y, self._tail = channelizer_apply(self.taps, self._tail, x, self.M)
         return Y
@@ -205,7 +265,8 @@ class PolyphaseChannelizer:
         self._tail = zeros_like_device(self._tail)
 
     def __repr__(self):
-        return f"PolyphaseChannelizer [M={self.M}] [K={self.K}]"
+        return (f"PolyphaseChannelizer [M={self.M}] [K={self.K}] "
+                f"[backend={self.backend}]")
 
 
 # --------------------------------------------------------------------------

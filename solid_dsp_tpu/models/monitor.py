@@ -40,7 +40,8 @@ class SpectrumMonitor:
 
     def __init__(self, num_channels: int = 64, taps_per_branch: int = 8,
                  high_db: float = 10.0, low_db: float = 6.0,
-                 alpha: float = 0.9, dtype=jnp.complex64):
+                 alpha: float = 0.9, dtype=jnp.complex64,
+                 backend: str = "xla"):
         if not (low_db < high_db):
             raise ValueError("need low_db < high_db (hysteresis)")
         if not (0.0 < alpha <= 1.0):
@@ -50,9 +51,20 @@ class SpectrumMonitor:
         self.low_db = float(low_db)
         self.alpha = float(alpha)
         self.dtype = dtype
+        self.backend = backend
         taps = np.asarray(channelizer_taps(self.M, taps_per_branch),
                           np.complex64)
         self._taps = taps
+        if backend == "fused":
+            # ONE-kernel Mosaic filterbank (models/channelizer.py): the
+            # fastest measured path; bf16 branch precision is plenty for
+            # dB-scale occupancy powers
+            from .channelizer import PolyphaseChannelizer
+
+            self._chan = PolyphaseChannelizer(
+                self.M, taps_per_branch, backend="fused", precision="fast")
+        else:
+            self._chan = None
         self._state = channelizer_init(self.M, taps_per_branch, dtype)
         self._p_ema = None          # (M,) linear power EMA
         self._on = np.zeros(self.M, bool)
@@ -80,7 +92,11 @@ class SpectrumMonitor:
         if x.shape[-1] % self.M:
             raise ValueError(
                 f"block length must be a multiple of {self.M}")
-        p, self._state = self._powers(self._state, x)
+        if self._chan is not None:
+            Y = self._chan.execute_block(x)
+            p = jnp.mean(jnp.real(Y * jnp.conj(Y)), axis=-2)
+        else:
+            p, self._state = self._powers(self._state, x)
         p = np.asarray(p, np.float64)
         if self._p_ema is None:
             self._p_ema = p

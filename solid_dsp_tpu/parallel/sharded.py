@@ -423,10 +423,12 @@ def _agc_block_sharded(state, x, alpha, axis_name):
 def make_sharded_channelizer(num_channels: int, taps_per_branch: int = 8,
                              mesh: Mesh | None = None,
                              attenuation: float = 80.0,
-                             dtype=jnp.complex64):
+                             dtype=jnp.complex64,
+                             frontend: str = "xla",
+                             precision: str = "x3"):
     """256-channel-class polyphase channelizer over a 2D mesh.
 
-    2D decomposition:
+    2D decomposition (``frontend="xla"``, the default):
 
     * ``time``    — the input stream is split into overlap-save blocks;
       each shard receives a ``K*M - 1`` raw-sample halo from its left
@@ -437,15 +439,30 @@ def make_sharded_channelizer(num_channels: int, taps_per_branch: int = 8,
       its own M / n_channel_shards output channels with a partial-IDFT
       matmul (MXU), so no shard ever materializes all M channels.
 
+    ``frontend="fused"`` runs the ONE-kernel Mosaic channelizer
+    (models/channelizer.make_fused_channelizer — the 41 Gs/s bf16 path)
+    on each time shard's local slab, with the CHAN_HALO frame rows it
+    needs ppermuted from the left neighbor in place of the carried tail.
+    The kernel computes the full M-point output DFT locally, so the
+    ``channel`` mesh axis must have size 1 (shard wide output streams
+    over ``time``; use the "xla" tap-parallel front end to split the
+    channel dimension).  ``precision``: "x3" | "fast" (bf16).
+
     Returns ``(init, apply)`` where ``apply(tail, x) -> (Y, new_tail)``:
     ``x``: (L,) sharded over time (replicated over ``channel``);
-    ``Y``: (T, M) sharded ``P('time', 'channel')``.
+    ``Y``: (T, M) sharded ``P('time', 'channel')`` ("xla") or
+    ``P('time')`` ("fused").
     """
     M = int(num_channels)
     K = int(taps_per_branch)
     if mesh is None:
         raise ValueError("make_sharded_channelizer requires a mesh")
+    if frontend not in ("xla", "fused"):
+        raise ValueError(f"unknown frontend {frontend!r}")
     n_cs = mesh.shape["channel"]
+    if frontend == "fused":
+        return _make_sharded_channelizer_fused(
+            M, K, mesh, attenuation, dtype, precision)
     if K % n_cs:
         raise ValueError(f"taps_per_branch ({K}) must divide by the channel "
                          f"axis size ({n_cs})")
@@ -512,5 +529,66 @@ def make_sharded_channelizer(num_channels: int, taps_per_branch: int = 8,
         mesh=mesh,
         in_specs=(P(), P("time")),
         out_specs=(P("time", "channel"), P()),
+    )
+    return init, jax.jit(mapped)
+
+
+def _make_sharded_channelizer_fused(M: int, K: int, mesh: Mesh,
+                                    attenuation: float, dtype,
+                                    precision: str):
+    """Time-sharded fused-kernel channelizer (see make_sharded_channelizer).
+
+    Each shard reshapes its slab to frame rows (2, U_loc, M), receives
+    the previous CHAN_HALO frame rows over ICI (``ppermute``) — exactly
+    the tail_rows contract of the single-chip fused kernel — and runs
+    the ONE-kernel Mosaic channelizer on its local frames.  Parity with
+    the single-chip fused path is bit-level (same kernel, same halo
+    values); parity with the complex commutator path is the kernel's
+    mode accuracy (>= 90 dB x3).
+    """
+    from ..models.channelizer import channelizer_taps, make_fused_channelizer
+    from ..ops.pallas_kernels import CHAN_HALO
+
+    if mesh.shape.get("channel", 1) != 1:
+        raise ValueError("fused frontend computes the full output DFT "
+                         "locally: channel mesh axis must have size 1 "
+                         "(use frontend='xla' to split channels)")
+    if K > CHAN_HALO:
+        raise ValueError(f"fused frontend supports taps_per_branch <= "
+                         f"{CHAN_HALO}")
+    taps_np = np.asarray(channelizer_taps(M, K, attenuation))
+
+    def init():
+        from ..utils.transfer import zeros_device
+
+        return zeros_device((2, CHAN_HALO, M), jnp.float32)
+
+    def local_fn(tail, x):
+        L_loc = x.shape[-1]
+        if L_loc % (CHAN_HALO * M):
+            raise ValueError(f"per-shard length must be a multiple of "
+                             f"{CHAN_HALO * M}")
+        U_loc = L_loc // M
+        TF = next(t for t in (512, 256, 128, 64, 32, 16, 8)
+                  if U_loc % t == 0)
+        apply2 = make_fused_channelizer(taps_np, M, U_loc, TF=TF,
+                                        mode=precision)
+        t_idx = jax.lax.axis_index("time")
+        x2 = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
+        xf = x2.reshape(2, U_loc, M)
+        halo = left_halo(xf[:, U_loc - CHAN_HALO:, :], "time")
+        eff_tail = jnp.where(t_idx == 0, tail, halo)
+        Y2, _ = apply2(eff_tail, xf.reshape(2, L_loc))
+        Y = jax.lax.complex(Y2[:, :M], Y2[:, M:]).astype(dtype)
+        new_tail = from_last_shard(xf[:, U_loc - CHAN_HALO:, :], "time")
+        return Y, new_tail
+
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("time")),
+        out_specs=(P("time"), P()),
+        # pallas_call out_shapes carry no vma annotation (as pallas_halo)
+        check_vma=False,
     )
     return init, jax.jit(mapped)

@@ -580,3 +580,36 @@ def test_fused_channelizer_kernel_matches_complex_path():
         snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
                             / max(np.mean(np.abs(err) ** 2), 1e-30))
         assert snr > gate, f"{mode}: SNR {snr:.1f} dB"
+
+
+def test_polyphase_channelizer_fused_backend():
+    """backend="fused" on the product class == backend="xla" (>= 90 dB
+    at x3), including the carried tail across split blocks."""
+    from solid_dsp_tpu.models.channelizer import PolyphaseChannelizer
+
+    M, K = 64, 8
+    L = M * 32
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal(L) + 1j * rng.standard_normal(L)
+         ).astype(np.complex64)
+
+    ch_ref = PolyphaseChannelizer(M, K, backend="xla")
+    ch_fus = PolyphaseChannelizer(M, K, backend="fused", precision="x3")
+    refs, gots = [], []
+    for blk in (x[: L // 2], x[L // 2:]):
+        refs.append(np.asarray(ch_ref.execute_block(jnp.asarray(blk))))
+        gots.append(np.asarray(ch_fus.execute_block(jnp.asarray(blk))))
+    ref = np.concatenate(refs)
+    got = np.concatenate(gots)
+    err = got - ref
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                        / max(np.mean(np.abs(err) ** 2), 1e-30))
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
+
+
+def test_polyphase_channelizer_fused_rejects_bad_blocks():
+    from solid_dsp_tpu.models.channelizer import PolyphaseChannelizer
+
+    ch = PolyphaseChannelizer(16, 8, backend="fused")
+    with pytest.raises(ValueError):
+        ch.execute_block(jnp.zeros(16 * 4, jnp.complex64))  # U=4 < halo 8

@@ -68,3 +68,22 @@ def test_validation():
     mon = SpectrumMonitor(64)
     with pytest.raises(ValueError):
         mon.execute_block(np.ones(100, np.complex64))
+
+
+def test_monitor_fused_backend_matches_xla():
+    """backend="fused" occupancy decisions match the XLA filterbank."""
+    import numpy as np
+    import jax.numpy as jnp
+    from solid_dsp_tpu.models.monitor import SpectrumMonitor
+
+    M = 16
+    L = M * 64
+    rng = np.random.default_rng(2)
+    k = np.arange(L)
+    x = (0.05 * (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+         + 1.0 * np.exp(2j * np.pi * (3 / M) * k)).astype(np.complex64)
+    rel_x = SpectrumMonitor(M, backend="xla").execute_block(jnp.asarray(x))
+    rel_f = SpectrumMonitor(M, backend="fused").execute_block(jnp.asarray(x))
+    # bf16 branch precision: dB-scale agreement is what the thresholds see
+    np.testing.assert_allclose(rel_f, rel_x, atol=0.5)
+    assert int(np.argmax(rel_f)) == 3

@@ -384,3 +384,44 @@ def test_sharded_rx_chain_qpsk_state_matches_single_chip(fused):
         _, st_ref = apply1(init1(), jnp.asarray(x[c]))
         np.testing.assert_array_equal(np.asarray(st_shard.fm_prev[c]),
                                       np.asarray(st_ref.fm_prev))
+
+
+@needs8
+def test_sharded_channelizer_fused_frontend_matches_single_chip():
+    """frontend="fused" (per-time-shard Mosaic kernel + ppermuted frame
+    halo) == the single-chip fused kernel at M=256 on the CPU mesh."""
+    from solid_dsp_tpu.models.channelizer import (
+        channelizer_taps, fused_channelizer_init, make_fused_channelizer)
+
+    M, K = 256, 8
+    mesh = parallel.make_mesh(channel=1, time=4)
+    L = M * 8 * 8                      # U = 64 frames, 16/shard
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal(L) + 1j * rng.standard_normal(L)
+         ).astype(np.complex64)
+
+    init_s, apply_s = parallel.make_sharded_channelizer(
+        M, K, mesh=mesh, frontend="fused", precision="x3",
+        dtype=jnp.complex64)
+    tail = init_s()
+    outs = []
+    for blk in (x[: L // 2], x[L // 2:]):
+        Y, tail = apply_s(tail, jnp.asarray(blk))
+        outs.append(np.asarray(Y))
+    got = np.concatenate(outs)
+
+    taps = channelizer_taps(M, K)
+    apply1 = make_fused_channelizer(taps, M, (L // 2) // M, TF=16,
+                                    mode="x3")
+    t1 = jnp.asarray(np.zeros((2, 8, M), np.float32))
+    refs = []
+    for blk in (x[: L // 2], x[L // 2:]):
+        x2 = jnp.asarray(np.stack([blk.real, blk.imag]).astype(np.float32))
+        Y2, t1 = apply1(t1, x2)
+        Y2 = np.asarray(Y2)
+        refs.append(Y2[:, :M] + 1j * Y2[:, M:])
+    ref = np.concatenate(refs)
+    err = got - ref
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                        / max(np.mean(np.abs(err) ** 2), 1e-30))
+    assert snr > 115.0, f"sharded fused vs single-chip fused: {snr:.1f} dB"
