@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lagrange_coeffs", "FarrowResampler"]
+__all__ = ["lagrange_coeffs", "FarrowResampler", "make_farrow_resampler"]
 
 from functools import partial
 
@@ -76,6 +76,57 @@ def lagrange_coeffs(mu):
     c_1 = -(m + 1.0) * m * (m - 2.0) / 2.0
     c_2 = (m + 1.0) * m * (m - 1.0) / 6.0
     return jnp.stack([c_m1, c_0, c_1, c_2], axis=-1)
+
+
+def make_farrow_resampler(ratio: float, block_len: int,
+                          dtype=jnp.complex64):
+    """Fully jittable streaming Farrow resampler (the device fast path).
+
+    Returns ``(init, apply, plan)`` with ``apply(state, x) ->
+    (y_pad, n_valid, state)``: ``x`` is a fixed-length block of
+    ``block_len`` samples, ``y_pad`` has the static length
+    ``plan.n_pad`` with the first ``n_valid`` entries valid (mask or
+    slice downstream; n_valid is q0 or q0+1 every block).  The ratio is
+    quantized once to ``plan.ratio`` = round(ratio * 2^20) / 2^20
+    (< 0.5 ppm off) and positions follow it EXACTLY forever — int32
+    fixed-point on device, zero drift, bit-reproducible across any
+    block partitioning (ops/gridresample.py).
+
+    The window extraction is an im2col + row-``take`` — measured
+    ~20 Gelem/s on the TPU backend vs ~0.1 for the advanced-index
+    window gather the host-anchored ``FarrowResampler`` path uses
+    (tools/probe_r5.py) — and every step is on-device, so the whole
+    block is ONE dispatch with no host position bookkeeping.
+    """
+    from .gridresample import (grid_advance, grid_n_valid, grid_positions,
+                               plan_ratio)
+    from ..utils.transfer import zeros_device
+
+    P = FarrowResampler.STENCIL
+    L = int(block_len)
+    plan = plan_ratio(ratio, L)
+    n_pad = plan.n_pad
+
+    def init():
+        return (zeros_device(P - 1, dtype),
+                jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def apply(state, x):
+        tail, t0 = state
+        ext = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
+        base, mu = grid_positions(plan, t0, n_pad)
+        base = jnp.clip(base, 0, L - 1)
+        C = jnp.stack([ext[..., i: i + L] for i in range(P)], axis=-1)
+        win = jnp.take(C, base, axis=0)                    # (n_pad, P)
+        coef = lagrange_coeffs(mu).astype(ext.dtype)
+        y = jnp.sum(win * coef, axis=-1)
+        n_valid = grid_n_valid(plan, t0)
+        y = jnp.where(jnp.arange(n_pad) < n_valid, y, 0)
+        new_state = (ext[..., L:], grid_advance(plan, t0))
+        return y, n_valid, new_state
+
+    return init, apply, plan
 
 
 class FarrowResampler:

@@ -200,3 +200,125 @@ def test_flush_recovers_the_tail():
             assert np.abs(tail[: max(1, len(tail) // 4)]).max() > 0.1
     # identity flush is empty
     assert len(np.asarray(ArbitraryResampler(1.0).flush())) == 0
+
+
+# ---------------------------------------------------------------- round 5
+# jittable grid engines (ops/gridresample.py): exact fixed-point positions
+
+
+def test_grid_positions_exact():
+    """base/mu from the int32 fixed-point grid == f64 reference for
+    multiple blocks and ratios (including the carry across blocks)."""
+    from solid_dsp_tpu.ops.gridresample import (
+        grid_advance, grid_n_valid, grid_positions, plan_ratio)
+
+    for ratio in (1.1875, 48000 / 44100, 1 / 0.37, 0.4, 31.0, 1 / 15.0):
+        L = 4096
+        plan = plan_ratio(ratio, L)
+        rq = plan.ratio
+        t0 = jnp.zeros((), jnp.int32)
+        t_ref = 0.0
+        for blk in range(4):
+            n = int(np.asarray(grid_n_valid(plan, t0)))
+            base, mu = grid_positions(plan, t0, plan.n_pad)
+            base, mu = np.asarray(base)[:n], np.asarray(mu)[:n]
+            t_exact = t_ref + np.arange(n) * rq
+            assert np.array_equal(
+                base, np.floor(t_exact + 1e-9).astype(int)), (ratio, blk)
+            mu_ref = t_exact - np.floor(t_exact + 1e-9)
+            assert np.max(np.abs(mu - mu_ref)) < 1e-6, (ratio, blk)
+            t0 = grid_advance(plan, t0)
+            t_ref = t_ref + n * rq - L
+
+
+def test_farrow_grid_engine_matches_f64_reference():
+    """make_farrow_resampler vs an exact f64 cubic-Lagrange evaluation
+    at the quantized ratio: > 120 dB (the engine's only approximation
+    is the 2^-20 mu quantization)."""
+    from solid_dsp_tpu.ops.farrow import make_farrow_resampler
+    from solid_dsp_tpu.ops.gridresample import plan_ratio
+
+    ratio = 48000 / 44100
+    L = 4096
+    rq = plan_ratio(ratio, L).ratio
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(3 * L)
+         + 1j * rng.standard_normal(3 * L)).astype(np.complex128)
+    ext = np.concatenate([np.zeros(3, complex), x])
+    t = np.arange(int(3 * L / rq) + 2) * rq
+    t = t[t < 3 * L]
+    b = np.floor(t).astype(int)
+    mu = t - b
+    w = np.stack([-mu * (mu - 1) * (mu - 2) / 6,
+                  (mu + 1) * (mu - 1) * (mu - 2) / 2,
+                  -(mu + 1) * mu * (mu - 2) / 2,
+                  (mu + 1) * mu * (mu - 1) / 6], -1)
+    ref = (np.stack([ext[b + i] for i in range(4)], -1) * w).sum(-1)
+
+    init, apply, plan = make_farrow_resampler(rq, L, dtype=jnp.complex128)
+    st = init()
+    outs = []
+    for i in range(3):
+        y, nv, st = apply(st, jnp.asarray(x[i * L: (i + 1) * L]))
+        outs.append(np.asarray(y)[: int(nv)])
+    got = np.concatenate(outs)
+    assert len(got) == len(ref)
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                        / (np.mean(np.abs(got - ref) ** 2) + 1e-300))
+    assert snr > 120.0, snr
+
+
+def test_pfb_grid_engine_matches_legacy_at_dyadic_ratio():
+    """make_pfb_resampler == PfbArbitraryResampler when the ratio is
+    already dyadic (both paths then evaluate identical positions)."""
+    from solid_dsp_tpu.ops.gridresample import plan_ratio
+    from solid_dsp_tpu.ops.resample import make_pfb_resampler
+
+    ratio = plan_ratio(1 / 0.37, 4096).ratio   # dyadic by construction
+    L = 4096
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(3 * L)
+         + 1j * rng.standard_normal(3 * L)).astype(np.complex64)
+    leg = PfbArbitraryResampler(ratio, dtype=jnp.complex64)
+    ys = np.concatenate([np.asarray(leg.execute_block(
+        jnp.asarray(x[i * L: (i + 1) * L]))) for i in range(3)])
+    init, apply, plan = make_pfb_resampler(ratio, L)
+    st = init()
+    outs = []
+    for i in range(3):
+        y, nv, st = apply(st, jnp.asarray(x[i * L: (i + 1) * L]))
+        outs.append(np.asarray(y)[: int(nv)])
+    got = np.concatenate(outs)
+    assert len(got) == len(ys)
+    assert np.max(np.abs(got - ys)) < 1e-4   # legacy's f32 chunk error
+
+
+def test_arb_functional_matches_class_per_block():
+    """make_arb_resampler == ArbitraryResampler when the internal stage
+    ratios are exactly dyadic (zero quantization divergence between the
+    float and fixed-point position streams; non-dyadic ratios differ by
+    the documented < 0.5 ppm rate quantization)."""
+    from solid_dsp_tpu.ops.resample import make_arb_resampler
+
+    rng = np.random.default_rng(3)
+    # rates chosen so each PFB stage ratio is a dyadic rational:
+    # 1/(2 * 1.3515625), 2^20/419430 (pfb ratio dyadic), 1/1.296875
+    for rate in (1.0 / (2.0 * 1.3515625), float(2 ** 20) / 419430.0,
+                 1.0 / 1.296875):
+        L = 8192
+        x = (rng.standard_normal(3 * L)
+             + 1j * rng.standard_normal(3 * L)).astype(np.complex64)
+        cls = ArbitraryResampler(rate, dtype=jnp.complex64)
+        ys = np.concatenate([np.asarray(cls.execute_block(
+            jnp.asarray(x[i * L: (i + 1) * L]))) for i in range(3)])
+        init, apply, n_pad = make_arb_resampler(rate, L)
+        st = init()
+        outs = []
+        for i in range(3):
+            y, nv, st = apply(st, jnp.asarray(x[i * L: (i + 1) * L]))
+            outs.append(np.asarray(y)[: int(nv)])
+        got = np.concatenate(outs)
+        assert abs(len(got) - len(ys)) <= 2, rate
+        n1 = len(outs[0])
+        err = np.max(np.abs(got[:n1] - ys[:n1]))
+        assert err < 2e-4, (rate, err)
