@@ -308,6 +308,155 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
         )
         return out, new_state
 
+    # ---------------- batched multi-channel fused front end ---------------
+    # The round-4 code unrolled a Python loop over channels (a compile-
+    # time bomb at the 256-stream DP scale); here ONE jax.vmap over the
+    # channel axis traces the per-channel engine once.  The vmapped fn
+    # returns arrays only (pieces are flattened inside the vmap, the
+    # static piece/kernel branch is resolved via eval_shape), and the
+    # epilogues run batched outside.  Bit-parity with the loop form is
+    # pinned by tests/test_parallel.py.
+    dw_s = np.uint32((M * int(np.uint32(dtheta))) & 0xFFFFFFFF)
+
+    def local_fused_multi(state: ChainState, x):
+        L_local = x.shape[-1]
+        if L_local % M:
+            raise ValueError(
+                "per-shard block length must be a multiple of the decimation"
+            )
+        T_loc = L_local // M
+        t_idx = jax.lax.axis_index("time")
+        offset = time_offset("time", L_local)
+        theta0_l = (state.nco_theta + offset * dtheta).astype(jnp.uint32)
+        theta_end = (state.nco_theta
+                     + jnp.uint32(n_time * L_local) * dtheta
+                     ).astype(jnp.uint32)
+        C_loc = x.shape[0]
+        halo = left_halo(x[..., -n1:], "time")
+        x2b = jnp.stack([jnp.real(x), jnp.imag(x)], axis=1).astype(rdtype)
+        tail_b = jnp.stack([jnp.real(state.fir_tail),
+                            jnp.imag(state.fir_tail)], axis=1).astype(rdtype)
+        halo_b = jnp.stack([jnp.real(halo), jnp.imag(halo)],
+                           axis=1).astype(rdtype)
+        tails_b = jnp.where(t_idx == 0, tail_b, halo_b)
+        gains_b = state.agc["gain"]
+        def _front_flag(t2, th, x2, g):
+            k, _ = _front(t2, th, x2, g)
+            return jnp.zeros((1,) if k == "kernel" else (2,))
+
+        kind = ("kernel" if jax.eval_shape(
+            _front_flag,
+            jax.ShapeDtypeStruct(tails_b.shape[1:], rdtype),
+            jax.ShapeDtypeStruct((), jnp.uint32),
+            jax.ShapeDtypeStruct(x2b.shape[1:], rdtype),
+            jax.ShapeDtypeStruct(gains_b.shape[1:], gains_b.dtype)
+            ).shape == (1,) else "pieces")
+
+        if cfg.demod in ("fm", "am") and kind == "kernel":
+            def chan_k(t2, x2, g):
+                _, p = _front(t2, theta0_l, x2, g)
+                out_c, npr, npi, ee_c, _t2, _te, z0re, z0im, w0 = p
+                return out_c, jnp.stack([npr, npi]), ee_c, z0re, z0im, w0
+
+            outs, seams, ees, z0re_b, z0im_b, w0_b = jax.vmap(chan_k)(
+                tails_b, x2b, gains_b)
+            prev_in = left_halo(seams, "time")
+            pr = jnp.where(t_idx == 0,
+                           jnp.real(state.fm_prev).astype(rdtype),
+                           prev_in[:, 0])
+            pi = jnp.where(t_idx == 0,
+                           jnp.imag(state.fm_prev).astype(rdtype),
+                           prev_in[:, 1])
+            v0 = ddc_ops.fm_first_sample(z0re_b, z0im_b, w0_b, pr, pi,
+                                         cfg.fm_kf)
+            out = outs.at[:, 0].set(v0)
+            new_fm_prev = from_last_shard(
+                jax.lax.complex(seams[:, 0], seams[:, 1]).astype(cfg.dtype),
+                "time")
+            ee = jax.lax.pmean(ees, "time")
+            gain = state.agc["gain"]
+            agc_state = agc_ops.block_gain_update(
+                state.agc, (gain * gain) * ee, cfg.agc_bandwidth,
+                T_loc * n_time)
+        elif cfg.demod in ("fm", "am"):
+            def chan_p(t2, x2, g):
+                _, p = _front(t2, theta0_l, x2, g)
+                pieces, _t2, _te, w0, _dw = p
+                yre, yim = ddc_ops._pieces_flatten(pieces)
+                ee_c = ddc_ops.ddc_energy_pieces(pieces)
+                if cfg.demod == "fm":
+                    r, i = ddc_ops.ddc_pieces_last_rotated(pieces, w0,
+                                                           dw_s, g)
+                    seam = jnp.stack([r, i])
+                else:
+                    seam = jnp.zeros((2,), rdtype)
+                return yre, yim, seam, ee_c, w0
+
+            yre_b, yim_b, seams, ees, w0_b = jax.vmap(chan_p)(
+                tails_b, x2b, gains_b)
+            if cfg.demod == "fm":
+                prev_in = left_halo(seams, "time")
+                pr = jnp.where(t_idx == 0,
+                               jnp.real(state.fm_prev).astype(rdtype),
+                               prev_in[:, 0])
+                pi = jnp.where(t_idx == 0,
+                               jnp.imag(state.fm_prev).astype(rdtype),
+                               prev_in[:, 1])
+                out, _, _ = jax.vmap(
+                    ddc_ops.ddc_fm_epilogue,
+                    in_axes=(0, 0, 0, None, 0, 0, None, 0))(
+                        yre_b, yim_b, w0_b, dw_s, pr, pi, cfg.fm_kf,
+                        gains_b)
+                new_fm_prev = from_last_shard(
+                    jax.lax.complex(seams[:, 0],
+                                    seams[:, 1]).astype(cfg.dtype), "time")
+            else:
+                out = jax.vmap(ddc_ops.ddc_am_epilogue)(yre_b, yim_b,
+                                                        gains_b)
+                new_fm_prev = state.fm_prev
+            ee = jax.lax.pmean(ees, "time")
+            gain = state.agc["gain"]
+            agc_state = agc_ops.block_gain_update(
+                state.agc, (gain * gain) * ee, cfg.agc_bandwidth,
+                T_loc * n_time)
+        else:
+            # qpsk / none: rotated output materialized, then the shared
+            # sharded AGC + demod staging (same rotation for all channels)
+            def chan_r(t2, x2, g):
+                _, p = _front(t2, theta0_l, x2, g)
+                pieces, _t2, _te, w0, _dw = p
+                yre, yim = ddc_ops._pieces_flatten(pieces)
+                return yre, yim, w0
+
+            yre_b, yim_b, w0_b = jax.vmap(chan_r)(tails_b, x2b, gains_b)
+            rot = nco_ops.nco_complex_exponential(w0_b[0], dw_s, T_loc,
+                                                  mode="fast")
+            cr = jnp.real(rot).astype(rdtype)
+            sr = jnp.imag(rot).astype(rdtype)
+            y = jax.lax.complex(yre_b * cr + yim_b * sr,
+                                yim_b * cr - yre_b * sr).astype(cfg.dtype)
+            y, agc_state = _agc_block_sharded(state.agc, y,
+                                              cfg.agc_bandwidth, "time")
+            if cfg.demod == "qpsk":
+                y_full = jax.lax.all_gather(y, "time", axis=y.ndim - 1,
+                                            tiled=True)
+                out_full, _, _ = qpsk_mod.qpsk_carrier_block(y_full)
+                lo = y.shape[-1]
+                out = jax.lax.dynamic_slice_in_dim(
+                    out_full, t_idx * lo, lo, axis=out_full.ndim - 1)
+            else:
+                out = y
+            new_fm_prev = state.fm_prev   # not consumed: carry unchanged
+
+        new_state = ChainState(
+            nco_theta=theta_end,
+            fir_tail=from_last_shard(x[..., -n1:], "time"),
+            fir_phase=state.fir_phase,
+            agc=agc_state,
+            fm_prev=new_fm_prev,
+        )
+        return out, new_state
+
     # ---------------- unfused (LUT-NCO parity) staging --------------------
     def local_unfused(state: ChainState, x):
         L_local = x.shape[-1]
@@ -376,7 +525,8 @@ def make_sharded_rx_chain(cfg: RxChainConfig, mesh: Mesh):
         )
         return out, new_state
 
-    local_fn = local_fused if fused else local_unfused
+    local_fn = ((local_fused if planar else local_fused_multi)
+                if fused else local_unfused)
     chanspec = P() if planar else P("channel")
     state_spec = ChainState(
         nco_theta=P(),

@@ -425,3 +425,27 @@ def test_sharded_channelizer_fused_frontend_matches_single_chip():
     snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
                         / max(np.mean(np.abs(err) ** 2), 1e-30))
     assert snr > 115.0, f"sharded fused vs single-chip fused: {snr:.1f} dB"
+
+
+@needs8
+def test_sharded_fused_many_channels_compiles_fast():
+    """The vmapped multi-channel fused chain must compile in seconds at
+    DP scale (the r4 Python loop over channels was a compile-time bomb:
+    one trace per channel).  C = 128 total -> 64 per channel shard."""
+    import time
+
+    mesh = parallel.make_mesh(channel=2, time=4)
+    cfg = RxChainConfig(dtype=jnp.complex64, agc_mode="block", demod="fm",
+                        nco_mode="exact", fused_ddc="auto")
+    C, L = 128, 256
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((C, L))
+         + 1j * rng.standard_normal((C, L))).astype(np.complex64)
+    init_s, apply_s = parallel.make_sharded_rx_chain(cfg, mesh)
+    st = init_s(C)
+    t0 = time.perf_counter()
+    out, st2 = apply_s(st, jnp.asarray(x))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    assert out.shape == (C, L // 4)
+    assert dt < 60.0, f"compile+run took {dt:.1f}s"
