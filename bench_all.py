@@ -70,9 +70,26 @@ def _measure(step, s0, ks=KS, reps=REPS):
     return r["t_iter"]
 
 
-def _row(metric, sps, unit="Msamples/s"):
-    return {"metric": metric, "value": round(sps / 1e6, 1), "unit": unit,
-            "vs_baseline": round(sps / 1e9, 3)}
+# HBM streaming speed of light for the %-of-SOL column: the measured
+# plain-XLA reduction rate on this chip (PERF_NOTES.md #15; the live
+# control row hbm_read_control is printed alongside every sweep so the
+# constant is re-validated per run).
+HBM_SOL_GBPS = 790.0
+
+
+def _row(metric, sps, unit="Msamples/s", bps=None):
+    """One sweep row; ``bps`` = minimum HBM bytes per input sample
+    (ingest + egress) adds the roofline columns: achieved GB/s of
+    MINIMUM traffic and % of the streaming speed of light (a fused
+    kernel can at best reach 100%; XLA pipelines with materialized
+    intermediates sit proportionally lower)."""
+    r = {"metric": metric, "value": round(sps / 1e6, 1), "unit": unit,
+         "vs_baseline": round(sps / 1e9, 3)}
+    if bps is not None:
+        gbps = sps * bps / 1e9
+        r["min_GBps"] = round(gbps, 1)
+        r["pct_sol"] = round(100.0 * gbps / HBM_SOL_GBPS, 1)
+    return r
 
 
 def _tone_np(L):
@@ -172,7 +189,7 @@ def bench_rx_chain():
     x = _tone(L)
     st = _retried(init)
     sps = _measure_chain_devloop(apply, st, x, L)
-    return _row("rx_chain_throughput", sps)
+    return _row("rx_chain_throughput", sps, bps=8.25)
 
 
 def _bench_chain_cfg(metric, L, ks=KS, **cfg_overrides):
@@ -220,7 +237,7 @@ def _bench_chain_planar(metric, prec):
     x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
     st = _retried(init)
     sps = _measure_chain_devloop(apply, st, x, L)
-    return _row(metric, sps)
+    return _row(metric, sps, bps=8.25)
 
 
 def bench_rx_chain_planar_x3():
@@ -248,7 +265,7 @@ def bench_rx_chain_ci16_ingest():
     x = jnp.asarray(rng.integers(-20000, 20000, size=(L, 2), dtype=np.int16))
     st = _retried(init)
     sps = _measure_chain_devloop(apply, st, x, L)
-    return _row("rx_chain_ci16_ingest", sps)
+    return _row("rx_chain_ci16_ingest", sps, bps=4.25)
 
 
 def bench_rx_chain_qpsk():
@@ -276,7 +293,7 @@ def bench_rx_chain_qpsk():
     x = jax.device_put(np.stack([sig.real, sig.imag]).astype(np.float32))
     st = _retried(init)
     sps = _measure_chain_devloop(apply, st, x, L)
-    return _row("rx_chain_qpsk_fused_planar_x3", sps)
+    return _row("rx_chain_qpsk_fused_planar_x3", sps, bps=10.0)
 
 
 def bench_rx_chain_parity_parallel():
@@ -311,7 +328,7 @@ def bench_channelizer():
 
     tail = channelizer_init(M, K, jnp.complex64)
     sps = _measure_chain_devloop(ch_apply, tail, x, L)
-    return _row("channelizer_256ch", sps)
+    return _row("channelizer_256ch", sps, bps=16.0)
 
 
 def bench_channelizer_planar():
@@ -336,7 +353,7 @@ def bench_channelizer_planar():
 
         tail = jax.device_put(np.zeros((2, K * M - 1), np.float32))
         sps = _measure_chain_devloop(ch_apply, tail, x2, L)
-        out.append(_row(f"channelizer_planar_{tag}_256ch", sps))
+        out.append(_row(f"channelizer_planar_{tag}_256ch", sps, bps=16.0))
     return out
 
 
@@ -359,7 +376,7 @@ def bench_channelizer_fused():
         apply = make_fused_channelizer(taps, M, L // M, TF=TF, mode=mode)
         tail = _retried(lambda: fused_channelizer_init(M))
         sps = _measure_chain_devloop(apply, tail, x2, L)
-        out.append(_row(f"channelizer_fused_{tag}_256ch", sps))
+        out.append(_row(f"channelizer_fused_{tag}_256ch", sps, bps=16.0))
     return out
 
 
@@ -379,7 +396,7 @@ def bench_channelizer_product_fused():
         fn = ch._fused_fn(L // M)     # jitted (tail, x) -> (Y, tail)
         tail = _retried(lambda: ch._tail)
         sps = _measure_chain_devloop(fn, tail, x, L)
-        out.append(_row(f"channelizer_product_fused_{tag}_256ch", sps))
+        out.append(_row(f"channelizer_product_fused_{tag}_256ch", sps, bps=16.0))
     return out
 
 
@@ -502,7 +519,7 @@ def bench_frontend_ops():
         lambda a: conv1d_mxu(jnp.concatenate([jnp.asarray(pad), a]),
                              jnp.asarray(taps), stride=8), x)
     t = _measure(step, jnp.zeros(()))
-    out.append(_row("cic_decim_R8N4", L / t))
+    out.append(_row("cic_decim_R8N4", L / t, bps=9.0))
 
     # halfband decimate-by-2 stage (phase-split kernel)
     hb = np.asarray(firdes_halfband(8, 60.0), np.float32)
@@ -511,20 +528,21 @@ def bench_frontend_ops():
         lambda a: halfband_decimate(jnp.asarray(hb), jnp.asarray(hb_tail),
                                     a)[0], x)
     t = _measure(step, jnp.zeros(()))
-    out.append(_row("halfband_decim2_m8", L / t))
+    out.append(_row("halfband_decim2_m8", L / t, bps=12.0))
 
-    # Farrow arbitrary-ratio resampler (stateful class; thread state)
-    rs = FarrowResampler(48000 / 44100)
-    for _ in range(3):  # warm the phase variants
-        y = rs.execute_block(x)
+    # Farrow arbitrary-ratio resampler — round-5 jittable grid engine
+    # (exact device positions, im2col + row-take windows, one dispatch)
+    from solid_dsp_tpu.ops.farrow import make_farrow_resampler
 
-    def fstep(chk):
-        y = rs.execute_block(x)
-        c2 = chk + jnp.sum(jnp.abs(y))
-        return c2, c2
+    init_f, apply_f, _plan = make_farrow_resampler(48000 / 44100, L)
 
-    t = _measure(fstep, jnp.zeros(()))
-    out.append(_row("farrow_48k_44k1", L / t))
+    def fapply(state, x):
+        y, n_valid, st2 = apply_f(state, x)
+        return y, st2
+
+    st = _retried(init_f)
+    sps = _measure_chain_devloop(fapply, st, x, L)
+    out.append(_row("farrow_48k_44k1", sps, bps=15.4))
     return out
 
 
@@ -578,7 +596,7 @@ def bench_modem_frontend():
         lambda a: fs.preamble_correlate(a, jnp.asarray(
             p.astype(np.complex64)))[0], x)
     t = _measure(step, jnp.zeros(()))
-    out.append(_row("preamble_correlate_127", L / t))
+    out.append(_row("preamble_correlate_127", L / t, bps=20.0))
     return out
 
 
@@ -730,7 +748,7 @@ def bench_detection():
     xr = jnp.asarray(rng.standard_normal(L).astype(np.float32))
     step = _stateless_step(lambda a: denoise_soft(a, "db4", levels=4), xr)
     t = _measure(step, jnp.zeros(()))
-    out.append(_row("wavelet_denoise_db4_l4", L / t))
+    out.append(_row("wavelet_denoise_db4_l4", L / t, bps=8.0))
 
     P = jnp.asarray(rng.exponential(1.0, L).astype(np.float32))
     step = _stateless_step(
@@ -765,25 +783,24 @@ def bench_resample():
     from solid_dsp_tpu.ops.resample import ArbitraryResampler
 
     out = []
+    from solid_dsp_tpu.ops.resample import make_arb_resampler
+
     for rate, tag in ((0.37, "decim_0p37"), (2.5, "interp_2p5")):
-        # interp at 2^22 inputs (10.5M outputs) crashes the backend's
-        # remote compiler (tpu_compile_helper exit 1, size-bisected to
-        # the 2^21 -> 2^22 step); run that case one notch smaller
         L = _size(21 if rate > 1 else 22)
         x = _tone(L)
-        r = ArbitraryResampler(rate, dtype=jnp.complex64)
-        keep = int(L * rate * 0.9)  # fixed slice: block-invariant shape
+        # round-5: the fully jittable grid engine (exact fixed-point
+        # positions on device, one dispatch per block) replaces the
+        # host-staged execute_block that bounded these rows at 1-3 Ms/s
+        init, apply_g, n_pad = make_arb_resampler(rate, L)
 
-        # host bookkeeping in execute_block precludes jitting the whole
-        # call; chain the UNJITTED call but keep the checksum threading
-        # so each iteration depends on the previous one's device output
-        def step(chk, _keep=keep, _r=r):
-            y = _r.execute_block(x)
-            c2 = chk + jnp.sum(jnp.abs(y[:_keep]))
-            return c2, c2
+        def apply2(state, x, _a=apply_g):
+            y, n_valid, st2 = _a(state, x)
+            return y, st2
 
-        t = _measure(step, jnp.zeros(()))
-        out.append(_row(f"arb_resample_{tag}", L / t))
+        st = _retried(init)
+        sps = _measure_chain_devloop(apply2, st, x, L)
+        out.append(_row(f"arb_resample_{tag}", sps,
+                         bps=8.0 + 8.0 * rate))
 
     B, N = (4, 1 << 10) if SMOKE else (256, 1 << 14)
     xb = put_complex(np.tile(_tone_np(N), (B, 1)))
@@ -812,7 +829,8 @@ def bench_rational_resampler():
         apply = rs._make_fn(0)          # jitted (tail, x) -> (y, tail)
         tail = fir_init(rs._B_np.shape[0], dtype=jnp.complex64)
         sps = _measure_chain_devloop(apply, tail, x, L)
-        out.append(_row(f"rational_resample_{tag}", sps))
+        out.append(_row(f"rational_resample_{tag}", sps,
+                         bps=8.0 * (1.0 + P / Q)))
     return out
 
 

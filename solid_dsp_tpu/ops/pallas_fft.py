@@ -3,23 +3,32 @@
 Config-2 (windowed 4096-pt spectral analysis) is TRAFFIC-bound in every
 XLA formulation: jnp.fft and the matmul 4-step (ops/matfft.py) both
 round-trip HBM between stages and measured 290-450 GFLOP/s on chip
-(tools/probe_r5.py fft section) against a ~1.6 TFLOP/s-equivalent
-read+write floor.  A whole N-point transform is only N*8 bytes
-(32 KB at N=4096), so the entire pipeline fits VMEM: this kernel reads
-the input planes once, applies the analysis window, runs both DFT
-stages as plane-folded MXU matmuls with the twiddle and the three
-(N1, N2) transposes VMEM-local, and writes the (TF, 2N) [re|im] output
-once.
+(tools/probe_r5.py fft section) against a read+write floor ~4x higher.
+A whole N-point transform is only N*8 bytes (32 KB at N=4096), so the
+entire pipeline fits VMEM: this kernel reads the input planes once,
+applies the analysis window, runs both DFT stages as MXU matmuls with
+the twiddle VMEM-local, and writes once.
 
-Math (Bailey 4-step, the same decomposition as ops/matfft.py::_core,
-whose XLA version is the accuracy reference):
+Math (Bailey 4-step, N = N1*N2, x[n1*N2 + n2]):
 
-    x[n1*N2 + n2],  X[k1 + N1*k2] =
-      sum_n2 F2[n2, k2] * W_N^{n2 k1} * sum_n1 x[n1, n2] F1[n1, k1]
+    A[n1 -> k1] stage, twiddle W_N^{n2 k1}, [n2 -> k2] stage,
+    X[k1 + N1*k2] = D[k1, k2]
 
-Both contractions run over the MINOR axis of a 2D view (MXU-shaped);
-the two inter-stage reorderings and the final output ordering are
-rank-3 minor-dim swaps (VMEM relayouts — cheap next to HBM passes).
+Mosaic constraint (measured: the backend's remote compiler crashes on
+ANY sub-128-lane intermediate — 64-minor reshapes, lane-concats and
+rank-3 transposes all reproduce it, tools/debug_pfft*.py): every
+in-kernel array keeps a minor dim that is a multiple of 128.  Hence
+
+* the split is N = 32 * 128 (N2 = 128 minor);
+* stage A contracts the MAJOR n1 axis with a block-diagonal bank
+  B[t*N1 + k1, t'*N1 + n1] = F_{N1}[n1, k1] * [t == t'] — one plain
+  (TF*N1, TF*N1) @ (TF*N1, N2) matmul instead of a transpose (the
+  97% zeros cost only MXU FLOPs, which are free at these sizes);
+* the twiddle is a host-tiled (TF*N1, N2) constant pair;
+* stage C contracts the (minor) n2 axis with a plane-fused
+  [re | im]-column bank (K = 2*N2 = 256);
+* the (k1, k2) -> k1 + N1*k2 output reordering runs OUTSIDE the
+  kernel as one XLA transpose pass (the only extra HBM trip left).
 
 Modes: "x3" (split-bf16 3-dot contraction per stage, ~f32 mantissa) |
 "fast" (single-pass bf16).  Reference seed: the mixed-radix P x Q
@@ -39,28 +48,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["make_fused_windowed_fft", "fused_windowed_fft"]
 
-
-@lru_cache(maxsize=64)
-def _folded_bank_np(n: int, sign: int):
-    """Plane-folded DFT bank pair: real planes (Ar, Ai) contract as
-    out2 = Ar @ br + Ai @ bi -> (..., [re | im]) columns."""
-    j = np.arange(n, dtype=np.int64)
-    ph = (j[:, None] * j[None, :]) % n
-    f = np.exp(sign * 2j * np.pi * ph / n)
-    br = np.concatenate([f.real, f.imag], axis=1).astype(np.float32)
-    bi = np.concatenate([-f.imag, f.real], axis=1).astype(np.float32)
-    return br, bi
+N1 = 32
+N2 = 128
 
 
-@lru_cache(maxsize=64)
-def _twiddle_np(n1: int, n2: int, sign: int):
-    """(2, n2, n1) twiddle planes W[n2, k1] = e^{sign 2i pi n2 k1 / N}."""
-    n = n1 * n2
-    a = np.arange(n2, dtype=np.int64)[:, None]
-    b = np.arange(n1, dtype=np.int64)[None, :]
-    ph = (a * b) % n
-    w = np.exp(sign * 2j * np.pi * ph / n)
-    return np.stack([w.real, w.imag]).astype(np.float32)
+@lru_cache(maxsize=16)
+def _stage_a_bank_np(TF: int, sign: int):
+    """Block-diagonal (TF*N1, TF*N1) real/imag stage-A banks."""
+    j = np.arange(N1, dtype=np.int64)
+    ph = (j[:, None] * j[None, :]) % N1
+    f = np.exp(sign * 2j * np.pi * ph / N1)   # F[n1, k1]
+    Br = np.zeros((TF * N1, TF * N1), np.float32)
+    Bi = np.zeros((TF * N1, TF * N1), np.float32)
+    for t in range(TF):
+        Br[t * N1: (t + 1) * N1, t * N1: (t + 1) * N1] = f.real.T
+        Bi[t * N1: (t + 1) * N1, t * N1: (t + 1) * N1] = f.imag.T
+    return Br, Bi
+
+
+@lru_cache(maxsize=16)
+def _stage_c_bank_np(sign: int):
+    """Plane-fused stage-C banks: [cr | ci] (.., 2N2) @ bank -> [re|im].
+
+    bank = [[F2r, F2i], [-F2i, F2r]] of shape (2*N2, 2*N2)."""
+    j = np.arange(N2, dtype=np.int64)
+    ph = (j[:, None] * j[None, :]) % N2
+    f = np.exp(sign * 2j * np.pi * ph / N2)   # F2[n2, k2]
+    top = np.concatenate([f.real, f.imag], axis=1)
+    bot = np.concatenate([-f.imag, f.real], axis=1)
+    return np.concatenate([top, bot], axis=0).astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def _twiddle_big_np(TF: int, sign: int):
+    """(2, TF*N1, N2) tiled twiddle W_N^{n2 k1} at row t*N1 + k1."""
+    N = N1 * N2
+    k1 = np.arange(N1, dtype=np.int64)[:, None]
+    n2 = np.arange(N2, dtype=np.int64)[None, :]
+    ph = (n2 * k1) % N
+    w = np.exp(sign * 2j * np.pi * ph / N)    # (N1, N2)
+    wr = np.tile(w.real, (TF, 1)).astype(np.float32)
+    wi = np.tile(w.imag, (TF, 1)).astype(np.float32)
+    return np.stack([wr, wi])
 
 
 def _split_bf16_np(a: np.ndarray):
@@ -77,7 +106,7 @@ def _r5_split_bf16(a):
     return hi, lo
 
 
-def _make_fft_kernel(N1: int, N2: int, TF: int, mode: str, with_window: bool):
+def _make_fft_kernel(TF: int, mode: str, with_window: bool):
     N = N1 * N2
 
     def dot1(a32, bank):
@@ -91,64 +120,69 @@ def _make_fft_kernel(N1: int, N2: int, TF: int, mode: str, with_window: bool):
         return jnp.dot(a32.astype(jnp.bfloat16), bank[:],
                        preferred_element_type=jnp.float32)
 
-    def kernel(x_ref, w_ref, tw_ref, b1r, b1i, b2r, b2i, o_ref):
-        # plane extraction + window (VPU)
+    def dotL(bank, a32):
+        """bank @ a32 (the stage-A major-axis contraction)."""
+        if mode == "x3":
+            bh, bl = bank
+            ah, al = _r5_split_bf16(a32)
+            y = jnp.dot(bh[:], ah, preferred_element_type=jnp.float32)
+            y += jnp.dot(bh[:], al, preferred_element_type=jnp.float32)
+            y += jnp.dot(bl[:], ah, preferred_element_type=jnp.float32)
+            return y
+        return jnp.dot(bank[:], a32.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+    def kernel(x_ref, w_ref, tw_ref, bar, bai, bc, o_ref):
         xr = x_ref[0]
         xi = x_ref[1]
         if with_window:
             w = w_ref[0]
             xr = xr * w
             xi = xi * w
-        # T1: (TF, n1, n2) -> (TF, n2, n1), stage A contracts n1 (minor)
-        xr3 = jnp.swapaxes(xr.reshape(TF, N1, N2), 1, 2)
-        xi3 = jnp.swapaxes(xi.reshape(TF, N1, N2), 1, 2)
-        a2 = (dot1(xr3.reshape(TF * N2, N1), b1r)
-              + dot1(xi3.reshape(TF * N2, N1), b1i))   # (TF*N2, 2N1)
-        ar = a2[:, :N1].reshape(TF, N2, N1)
-        ai = a2[:, N1:].reshape(TF, N2, N1)
-        # twiddle W^{n2 k1}: rows n2, cols k1 (broadcast over TF)
+        x2r = xr.reshape(TF * N1, N2)
+        x2i = xi.reshape(TF * N1, N2)
+        # stage A (contract major n1 via the block-diagonal bank):
+        # complex bank x complex data -> 4 real dots
+        arr = dotL(bar, x2r)          # (TF*N1, N2) rows (t, k1)
+        ari = dotL(bai, x2r)
+        air = dotL(bar, x2i)
+        aii = dotL(bai, x2i)
+        ar = arr - aii
+        ai = ari + air
+        # twiddle W_N^{n2 k1} (host-tiled constant planes)
         twr = tw_ref[0]
         twi = tw_ref[1]
         cr = ar * twr - ai * twi
         ci = ar * twi + ai * twr
-        # T2: (TF, n2, k1) -> (TF, k1, n2), stage C contracts n2 (minor)
-        cr2 = jnp.swapaxes(cr, 1, 2).reshape(TF * N1, N2)
-        ci2 = jnp.swapaxes(ci, 1, 2).reshape(TF * N1, N2)
-        d2 = (dot1(cr2, b2r) + dot1(ci2, b2i))          # (TF*N1, 2N2)
-        dr = d2[:, :N2].reshape(TF, N1, N2)
-        di = d2[:, N2:].reshape(TF, N1, N2)
-        # T3: X[k1 + N1 k2] -> flatten needs k2 major, k1 minor
-        dr = jnp.swapaxes(dr, 1, 2).reshape(TF, N)
-        di = jnp.swapaxes(di, 1, 2).reshape(TF, N)
-        o_ref[:] = jnp.concatenate([dr, di], axis=1)
+        # stage C (contract minor n2, plane-fused K = 2*N2 bank)
+        c2 = jnp.concatenate([cr, ci], axis=1)         # (TF*N1, 2N2)
+        d2 = dot1(c2, bc)                              # (TF*N1, 2N2)
+        o_ref[:] = d2
 
     return kernel
 
 
 def make_fused_windowed_fft(N: int, n_frames: int, window=None,
-                            TF: int = 32, mode: str = "x3", sign: int = -1,
+                            TF: int = 16, mode: str = "x3", sign: int = -1,
                             interpret: bool | None = None):
     """Build ``apply(x2) -> Y2`` for batched windowed N-point DFTs.
 
     x2: (2, F, N) re/im f32 planes of F frames; Y2: (F, 2N) [re|im]
-    columns of the unnormalized transforms (same values as
-    ``jnp.fft.fft(x * window)`` to the mode's accuracy).  N must be a
-    perfect square with sqrt(N) a lane-friendly size (64, 128);
+    columns of the unnormalized transforms in NATURAL bin order (same
+    values as ``jnp.fft.fft(x * window)`` to the mode's accuracy).
+    Currently N must be 4096 (= 32 x 128, the v5e-lane-friendly split);
     n_frames must divide by TF.
     """
-    N1 = int(round(np.sqrt(N)))
-    if N1 * N1 != N:
-        raise ValueError("fused windowed FFT needs a square size "
-                         f"(got {N})")
-    N2 = N1
+    if N != N1 * N2:
+        raise ValueError("fused windowed FFT currently supports N = 4096")
     F = int(n_frames)
     if F % TF:
         raise ValueError("n_frames must be a multiple of TF")
     if interpret is None:
         interpret = jax.default_backend() in ("cpu",)
-    b1r_np, b1i_np = _folded_bank_np(N1, sign)
-    b2r_np, b2i_np = _folded_bank_np(N2, sign)
-    tw = jnp.asarray(_twiddle_np(N1, N2, sign))
+    Bar_np, Bai_np = _stage_a_bank_np(TF, sign)
+    Bc_np = _stage_c_bank_np(sign)
+    tw = jnp.asarray(_twiddle_big_np(TF, sign))
     if window is None:
         w2 = jnp.asarray(np.ones((1, N), np.float32))
         with_window = False
@@ -156,21 +190,19 @@ def make_fused_windowed_fft(N: int, n_frames: int, window=None,
         w2 = jnp.asarray(np.asarray(window, np.float32).reshape(1, N))
         with_window = True
     if mode == "x3":
-        banks = (_split_bf16_np(b1r_np), _split_bf16_np(b1i_np),
-                 _split_bf16_np(b2r_np), _split_bf16_np(b2i_np))
+        banks = (_split_bf16_np(Bar_np), _split_bf16_np(Bai_np),
+                 _split_bf16_np(Bc_np))
     else:
-        banks = (jnp.asarray(b1r_np, jnp.bfloat16),
-                 jnp.asarray(b1i_np, jnp.bfloat16),
-                 jnp.asarray(b2r_np, jnp.bfloat16),
-                 jnp.asarray(b2i_np, jnp.bfloat16))
+        banks = (jnp.asarray(Bar_np, jnp.bfloat16),
+                 jnp.asarray(Bai_np, jnp.bfloat16),
+                 jnp.asarray(Bc_np, jnp.bfloat16))
 
-    kern = _make_fft_kernel(N1, N2, TF, mode, with_window)
+    kern = _make_fft_kernel(TF, mode, with_window)
     if mode == "x3":
-        def kern_wrap(x_ref, w_ref, tw_ref, b1rh, b1rl, b1ih, b1il,
-                      b2rh, b2rl, b2ih, b2il, o_ref):
-            return kern(x_ref, w_ref, tw_ref, (b1rh, b1rl), (b1ih, b1il),
-                        (b2rh, b2rl), (b2ih, b2il), o_ref)
-        kern_use = kern_wrap
+        def kern_use(x_ref, w_ref, tw_ref, barh, barl, baih, bail,
+                     bch, bcl, o_ref):
+            return kern(x_ref, w_ref, tw_ref, (barh, barl), (baih, bail),
+                        (bch, bcl), o_ref)
         bank_args = tuple(b for pair in banks for b in pair)
     else:
         kern_use = kern
@@ -179,25 +211,29 @@ def make_fused_windowed_fft(N: int, n_frames: int, window=None,
     const_spec = [pl.BlockSpec(a.shape, (lambda nd: lambda i: (0,) * nd)(
                                a.ndim), memory_space=pltpu.VMEM)
                   for a in (w2, tw, *bank_args)]
-    grid = (F // TF,)
     call = pl.pallas_call(
         kern_use,
-        grid=grid,
+        grid=(F // TF,),
         in_specs=[pl.BlockSpec((2, TF, N), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)] + const_spec,
-        out_specs=pl.BlockSpec((TF, 2 * N), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TF * N1, 2 * N2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, 2 * N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F * N1, 2 * N2), jnp.float32),
         interpret=interpret,
     )
 
     def apply(x2):
-        return call(x2, w2, tw, *bank_args)
+        d2 = call(x2, w2, tw, *bank_args)              # (F*N1, 2N2)
+        d3 = d2.reshape(F, N1, 2, N2)
+        # X[k1 + N1*k2] = D[k1, k2]: one XLA transpose pass to natural
+        # bin order (the kernel's only HBM round trip beyond in/out)
+        Y = jnp.transpose(d3, (0, 2, 3, 1)).reshape(F, 2 * N)
+        return Y
 
     return apply
 
 
-def fused_windowed_fft(x, window=None, TF: int = 32, mode: str = "x3"):
+def fused_windowed_fft(x, window=None, TF: int = 16, mode: str = "x3"):
     """Complex convenience wrapper: x (F, N) complex -> (F, N) complex
     spectra of ``fft(x * window)`` via the fused kernel."""
     x = jnp.asarray(x)

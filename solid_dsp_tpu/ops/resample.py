@@ -439,12 +439,28 @@ class ArbitraryResampler:
     """
 
     def __init__(self, rate: float, fpass: float = 0.4,
-                 stop_band_attenuation: float = 60.0, dtype=jnp.complex64):
+                 stop_band_attenuation: float = 60.0, dtype=jnp.complex64,
+                 block_len: int | None = None):
         if rate <= 0.0:
             raise ValueError("rate must be positive")
         if not (0.0 < fpass < 0.5):
             raise ValueError("fpass in (0, 0.5)")
         self.rate = float(rate)
+        # block_len: opt into the jittable fixed-block device fast path
+        # (make_arb_resampler): every execute_block must then pass
+        # exactly block_len samples; the whole multistage chain becomes
+        # ONE compiled dispatch + one scalar n_valid fetch (vs the
+        # host-staged legacy path, ~1000x slower over the TPU tunnel).
+        # Ratio semantics in this mode: each fractional stage runs at
+        # its quantized ratio (< 0.5 ppm off, exactly, drift-free).
+        self._grid = None
+        if block_len is not None and abs(rate - 1.0) > 1e-12:
+            init_g, apply_g, n_pad = make_arb_resampler(
+                rate, int(block_len), fpass=fpass,
+                stop_band_attenuation=stop_band_attenuation, dtype=dtype)
+            self._grid = (int(block_len), apply_g, n_pad)
+            self._grid_init = init_g
+            self._grid_state = init_g()
         self.stages: list = []
         as_db = float(stop_band_attenuation)
 
@@ -480,6 +496,14 @@ class ArbitraryResampler:
 
     def execute_block(self, x):
         y = jnp.asarray(x)
+        if self._grid is not None:
+            Lb, apply_g, n_pad = self._grid
+            if int(y.shape[-1]) != Lb:
+                raise ValueError(
+                    f"block_len mode: every block must have exactly {Lb} "
+                    "samples")
+            yp, nv, self._grid_state = apply_g(self._grid_state, y)
+            return yp[: int(nv)]
         if self._align > 1:
             # halfband stages need blocks divisible by 2^k: stash the
             # ragged tail and prepend it to the next block (streaming
@@ -524,6 +548,8 @@ class ArbitraryResampler:
         self._rem = None
         for st in self.stages:
             st.reset()
+        if self._grid is not None:
+            self._grid_state = self._grid_init()
 
     def __repr__(self):
         names = "+".join(type(s).__name__ for s in self.stages) or "identity"

@@ -353,7 +353,7 @@ def sec_pfft():
     w = np.hamming(N).astype(np.float32)
     flops = F * 5 * N * np.log2(N)
     for mode in ("x3", "fast"):
-        for TF in (16, 32, 64):
+        for TF in (8, 16, 32):
             try:
                 apply = make_fused_windowed_fft(N, F, window=w, TF=TF,
                                                 mode=mode)
@@ -381,3 +381,111 @@ if __name__ == "__main__":
         except Exception as e:
             print(json.dumps({"probe": name, "error": str(e)[:200]}),
                   flush=True)
+
+
+def sec_stream():
+    """Decompose the 13x stream-scan collapse (VERDICT weak #2):
+    per-dispatch vs scan, precision, block count, ingest format."""
+    from solid_dsp_tpu.models.rx_chain import (RxChainConfig, make_rx_chain,
+                                               make_rx_chain_stream)
+
+    L = 1 << 23
+    x_np = (0.1 * np.exp(2j * np.pi * 0.033 * np.arange(L))
+            ).astype(np.complex64)
+    x = put_complex(x_np)
+
+    def mk(prec):
+        return RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                             agc_mode="block", demod="fm", nco_mode="exact",
+                             fir_precision=prec, dtype=jnp.complex64)
+
+    # (a) per-dispatch block mode, highest precision (stream's config)
+    for prec in ("highest", "x3"):
+        init, apply = make_rx_chain(mk(prec))
+        st = apply and init()
+        r = measure_apply_devloop(apply, st, x, iters=8, ks=(1, 2, 4),
+                                  reps=2)
+        row(f"blockmode_cf32_{prec}_8M", r["t_iter"], L)
+
+    # (b) stream scan over NB blocks
+    for prec in ("highest", "x3"):
+        for NB in (2, 8):
+            init, apply_s = make_rx_chain_stream(mk(prec), L // NB)
+            st = init()
+
+            @jax.jit
+            def g(chk, st, xs):
+                out, st2 = apply_s(st, xs)
+                return chk + jnp.sum(out), st2
+
+            def step(carry):
+                chk, st = carry
+                c2, st2 = g(chk, st, x)
+                return c2, (c2, st2)
+
+            r = measure_step(step, (jnp.zeros(()), st), ks=(1, 2, 4),
+                             reps=2)
+            row(f"stream_{prec}_NB{NB}_8M", r["t_iter"], L)
+
+
+def sec_parity():
+    """Decompose the parity chain (235 Ms/s in r04): which stage binds?"""
+    from solid_dsp_tpu.models.rx_chain import RxChainConfig, make_rx_chain
+    from solid_dsp_tpu.ops import agc as agc_ops
+    from solid_dsp_tpu.ops import nco as nco_ops
+
+    L = 1 << 23
+    x_np = (0.1 * np.exp(2j * np.pi * 0.033 * np.arange(L))
+            ).astype(np.complex64)
+    x = put_complex(x_np)
+    lut = nco_ops.make_sine_lut(np.float32)
+
+    # (1) LUT-quantized NCO mix alone at full rate
+    @jax.jit
+    def g_mix(chk, x):
+        y, _ = nco_ops.mix_down_block(x, jnp.uint32(0),
+                                      nco_ops.constrain(0.2), lut, "lut")
+        return chk + jnp.sum(jnp.abs(jnp.real(y)))
+
+    def step(chk):
+        c2 = g_mix(chk, x)
+        return c2, c2
+
+    r = measure_step(step, jnp.zeros(()), ks=(1, 2, 4), reps=2)
+    row("parity_lut_mix_8M", r["t_iter"], L)
+
+    # (2) parallel (Newton/DEER) AGC alone at the decimated rate
+    Td = L // 4
+    yd = put_complex((0.2 * np.exp(2j * np.pi * 0.01 * np.arange(Td))
+                      ).astype(np.complex64))
+    st0 = agc_ops.agc_init(np.float32)
+
+    def agc_apply(st, y):
+        out, st2 = agc_ops.agc_apply_parallel(st, y, 0.01, 1.0, -1e30, 100)
+        return out, st2
+
+    r = measure_apply_devloop(agc_apply, st0, yd, iters=4, ks=(1, 2, 4),
+                              reps=2)
+    row("parity_agc_parallel_2M_dec", r["t_iter"] * 4, L)
+
+    # (3) full parity chain (the committed row's config)
+    cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                        agc_mode="parallel", nco_mode="lut", demod="fm",
+                        dtype=jnp.complex64)
+    init, apply = make_rx_chain(cfg)
+    st = init()
+    r = measure_apply_devloop(apply, st, x, iters=4, ks=(1, 2, 4), reps=2)
+    row("parity_chain_8M", r["t_iter"], L)
+
+    # (4) parity chain minus the AGC (block agc, LUT nco)
+    cfg2 = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
+                         agc_mode="block", nco_mode="lut", demod="fm",
+                         dtype=jnp.complex64)
+    init2, apply2 = make_rx_chain(cfg2)
+    r = measure_apply_devloop(apply2, init2(), x, iters=4, ks=(1, 2, 4),
+                              reps=2)
+    row("parity_lutnco_blockagc_8M", r["t_iter"], L)
+
+
+SECTIONS["stream"] = sec_stream
+SECTIONS["parity"] = sec_parity
