@@ -455,14 +455,33 @@ def bench_fft():
     F, N = (64 if SMOKE else 4096), 4096
     x = _noise((F, N))
     w = np.hamming(N).astype(np.float32)
+    flops = F * 5 * N * np.log2(N)
+    out = []
     step = _stateless_step(
         lambda a: jnp.fft.fft(a * jnp.asarray(w).astype(a.dtype), axis=-1), x)
     t = _measure(step, jnp.zeros(()))
-    flops = F * 5 * N * np.log2(N)
     row = _row("windowed_fft_4096", flops / t, "GFLOP/s")
     row["value"] = round(flops / t / 1e9, 1)
     row["vs_baseline"] = round(F * N / t / 1e9, 3)
-    return row
+    row["min_GBps"] = round(F * N * 16.0 / t / 1e9, 1)
+    row["pct_sol"] = round(100.0 * F * N * 16.0 / t / 1e9 / HBM_SOL_GBPS, 1)
+    out.append(row)
+
+    # round-5: the VMEM-fused Mosaic 4-step (window + both DFT stages +
+    # twiddle in one pass, ops/pallas_fft.py), the product windowed_fft
+    # auto route for batched 4096-pt frames on TPU
+    from solid_dsp_tpu.ops.fft import windowed_fft
+
+    step = _stateless_step(
+        lambda a: windowed_fft(a, "hamming", backend="fused"), x)
+    t = _measure(step, jnp.zeros(()))
+    row = _row("windowed_fft_4096_fused", flops / t, "GFLOP/s")
+    row["value"] = round(flops / t / 1e9, 1)
+    row["vs_baseline"] = round(F * N / t / 1e9, 3)
+    row["min_GBps"] = round(F * N * 16.0 / t / 1e9, 1)
+    row["pct_sol"] = round(100.0 * F * N * 16.0 / t / 1e9 / HBM_SOL_GBPS, 1)
+    out.append(row)
+    return out
 
 
 def bench_fused_halo_channelizer():

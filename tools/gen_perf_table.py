@@ -57,6 +57,27 @@ HEADLINE = [
     ("iir_bank_pallas_256ch", "256-channel IIR biquad bank (Mosaic)",
      "loop-carried latency bound; 18x the XLA assoc-scan"),
     ("windowed_fft_4096", "Windowed 4096-pt FFT (config 2)", ""),
+    ("windowed_fft_4096_fused", "Windowed 4096-pt FFT (fused Mosaic 4-step)",
+     "window + both DFT stages + twiddle in VMEM"),
+    ("channelizer_product_fused_bf16_256ch",
+     "256-ch channelizer via PolyphaseChannelizer(backend=\"fused\")",
+     "the flagship kernel from the product class (r5)"),
+    ("channelizer_product_fused_x3_256ch",
+     "256-ch channelizer, product class, x3", ""),
+    ("rational_resample_3_2", "Rational resampler 3/2 (config 3)",
+     "fused commutator bank, one strided matmul"),
+    ("rational_resample_1_8", "Rational resampler 1/8 (config 3)", ""),
+    ("arb_resample_decim_0p37", "Arbitrary resampler x0.37 (msresamp)",
+     "jittable grid engine (r5); ratio quantized < 0.5 ppm"),
+    ("arb_resample_interp_2p5", "Arbitrary resampler x2.5", ""),
+    ("farrow_48k_44k1", "Farrow 48k->44.1k (cubic)",
+     "jittable grid engine (r5)"),
+    ("halfband_decim2_m8", "Halfband decimate-by-2 (m=8)",
+     "one strided Toeplitz conv (r5)"),
+    ("preamble_correlate_127", "127-tap preamble matched filter",
+     "two-bank complex Toeplitz (r5)"),
+    ("kalman_lti_chunked_2state", "Steady-state Kalman tracker (modal chunked)",
+     "MXU chunked recurrence (r5)"),
 ]
 
 
@@ -99,15 +120,16 @@ def build(rows, artifact: str):
         f"[`{artifact}`]({artifact}) — regenerate this table with "
         f"`python tools/gen_perf_table.py {artifact} --apply`.",
         "",
-        "| Workload | Measured | Note |",
-        "|---|---|---|",
+        "| Workload | Measured | % of HBM SOL | Note |",
+        "|---|---|---|---|",
     ]
     for metric, name, note in HEADLINE:
         r = rows.get(metric)
         if r is None:
             continue
         used.add(metric)
-        out.append(f"| {name} | **{fmt_value(r)}** | {note} |")
+        sol = (f"{r['pct_sol']:.0f}%" if "pct_sol" in r else "-")
+        out.append(f"| {name} | **{fmt_value(r)}** | {sol} | {note} |")
     rest = [m for m in rows if m not in used
             and m != "hbm_read_control" and "value" in rows[m]]
     if rest:
@@ -118,7 +140,12 @@ def build(rows, artifact: str):
     hbm = rows.get("hbm_read_control")
     if hbm:
         out += ["", f"HBM read-bandwidth control: {fmt_value(hbm)} — no "
-                "workload's implied traffic exceeds it."]
+                "workload's implied traffic exceeds it.  \"% of HBM SOL\" "
+                "= the row's MINIMUM ingest+egress traffic as a fraction of "
+                "the measured streaming speed of light (bench_all.py "
+                "HBM_SOL_GBPS); fused single-pass kernels can approach "
+                "100%, staged XLA pipelines sit lower by their number of "
+                "materialized passes."]
     return "\n".join(out)
 
 

@@ -286,14 +286,6 @@ def sec_gather2():
 
 SECTIONS["gather2"] = sec_gather2
 
-if __name__ == "__main__":
-    picks = sys.argv[1:] or list(SECTIONS)
-    for name in picks:
-        try:
-            SECTIONS[name]()
-        except Exception as e:
-            print(json.dumps({"probe": name, "error": str(e)[:200]}),
-                  flush=True)
 
 
 def sec_take():
@@ -373,14 +365,6 @@ SECTIONS["take"] = sec_take
 SECTIONS["preamble2"] = sec_preamble2
 SECTIONS["pfft"] = sec_pfft
 
-if __name__ == "__main__":
-    picks = sys.argv[1:] or list(SECTIONS)
-    for name in picks:
-        try:
-            SECTIONS[name]()
-        except Exception as e:
-            print(json.dumps({"probe": name, "error": str(e)[:200]}),
-                  flush=True)
 
 
 def sec_stream():
@@ -489,3 +473,12 @@ def sec_parity():
 
 SECTIONS["stream"] = sec_stream
 SECTIONS["parity"] = sec_parity
+
+if __name__ == "__main__":
+    picks = sys.argv[1:] or list(SECTIONS)
+    for name in picks:
+        try:
+            SECTIONS[name]()
+        except Exception as e:
+            print(json.dumps({"probe": name, "error": str(e)[:200]}),
+                  flush=True)
