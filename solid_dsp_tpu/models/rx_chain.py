@@ -410,12 +410,25 @@ def make_rx_chain_stream(cfg: RxChainConfig, block_size: int):
             xb = x.reshape(2, n // block_size, block_size).swapaxes(0, 1)
         else:
             xb = x.reshape(n // block_size, block_size)
+        n_blocks = int(xb.shape[0])
+        # fori_loop + explicit output buffer instead of lax.scan: scan's
+        # carry/stacking machinery cost 4-5x at x3 precision (round-5
+        # probe: 19.3 Gs/s per-block devloop vs 3.7 Gs/s scanned for the
+        # identical chain); the fori form measures within ~25% of
+        # independent per-block dispatch
+        y0_shape = jax.eval_shape(apply, state,
+                                  jax.ShapeDtypeStruct(xb.shape[1:],
+                                                       xb.dtype))[0]
+        out0 = jnp.zeros((n_blocks, *y0_shape.shape), y0_shape.dtype)
 
-        def step(st, blk):
-            out, st = apply(st, blk)
-            return st, out
+        def body(i, carry):
+            st, out = carry
+            blk = jax.lax.dynamic_index_in_dim(xb, i, 0, keepdims=False)
+            y, st2 = apply(st, blk)
+            out = jax.lax.dynamic_update_index_in_dim(out, y, i, 0)
+            return (st2, out)
 
-        state, outs = jax.lax.scan(step, state, xb)
+        state, outs = jax.lax.fori_loop(0, n_blocks, body, (state, out0))
         return outs.reshape(-1), state
 
     return partial(rx_chain_init, cfg), apply_stream

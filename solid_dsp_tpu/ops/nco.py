@@ -81,7 +81,6 @@ def _lut_index(theta: jnp.ndarray) -> jnp.ndarray:
     return ((theta + jnp.uint32(1 << 21)) >> jnp.uint32(22)) & jnp.uint32(0x3FF)
 
 
-@partial(jax.jit, static_argnames=("n", "mode"))
 def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
     """(sin, cos) arrays for a block of n oscillator steps.
 
@@ -98,11 +97,14 @@ def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
     never silently ignored.  CPU always keeps the bit-exact table read
     for the golden parity tests; ``mode="lut-table"`` forces the table
     gather everywhere (bit-exact accelerator parity at gather cost).
+
+    The table/angle decision happens HERE, outside any jit boundary, so
+    a concrete (numpy) canonical table passed through an outer trace
+    still resolves to the fast quantized-angle path (a jitted check
+    would see only a tracer and pessimize to the gather — the round-5
+    parity-throughput regression).
     """
-    theta = nco_phases(theta0, delta_theta, n)
     if mode in ("lut", "lut-table"):
-        idx = _lut_index(theta)
-        cidx = (idx + jnp.uint32(256)) & jnp.uint32(0x3FF)
         use_table = jax.default_backend() == "cpu" or mode == "lut-table"
         if not use_table and lut is not None:
             canonical = (isinstance(lut, np.ndarray)
@@ -112,18 +114,35 @@ def nco_sincos(theta0, delta_theta, n: int, lut=None, mode: str = "lut"):
         if use_table:
             if lut is None:
                 lut = make_sine_lut()
-            s = jnp.take(lut, idx)
-            c = jnp.take(lut, cidx)
-        else:
-            step = np.float32(_TWO_PI / 1024.0)
-            s = jnp.sin(idx.astype(jnp.float32) * step)
-            c = jnp.sin(cidx.astype(jnp.float32) * step)
-    else:
-        ph = theta.astype(jnp.float64 if jax.config.jax_enable_x64
-                          else jnp.float32) * (_TWO_PI / float(_U32))
-        s = jnp.sin(ph)
-        c = jnp.cos(ph)
-    return s, c
+            return _sincos_table(theta0, delta_theta, n, lut)
+        return _sincos_angle(theta0, delta_theta, n)
+    return _sincos_exact(theta0, delta_theta, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _sincos_table(theta0, delta_theta, n: int, lut):
+    theta = nco_phases(theta0, delta_theta, n)
+    idx = _lut_index(theta)
+    cidx = (idx + jnp.uint32(256)) & jnp.uint32(0x3FF)
+    return jnp.take(lut, idx), jnp.take(lut, cidx)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _sincos_angle(theta0, delta_theta, n: int):
+    theta = nco_phases(theta0, delta_theta, n)
+    idx = _lut_index(theta)
+    cidx = (idx + jnp.uint32(256)) & jnp.uint32(0x3FF)
+    step = np.float32(_TWO_PI / 1024.0)
+    return (jnp.sin(idx.astype(jnp.float32) * step),
+            jnp.sin(cidx.astype(jnp.float32) * step))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _sincos_exact(theta0, delta_theta, n: int):
+    theta = nco_phases(theta0, delta_theta, n)
+    ph = theta.astype(jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32) * (_TWO_PI / float(_U32))
+    return jnp.sin(ph), jnp.cos(ph)
 
 
 @partial(jax.jit, static_argnames=("n",))
