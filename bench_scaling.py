@@ -104,6 +104,52 @@ def run_overhead(cps: int, samples: int):
                 1.0 - sharded / unsharded, 3)}
 
 
+def run_overhead_channelizer(samples: int):
+    """mesh(1) sharded channelizer vs the single-chip paths (config 5's
+    deployment shape): quantifies the psum-per-block front end the
+    round-4 verdict flagged as unmeasured, for both the XLA tap-parallel
+    frontend and the round-5 fused-kernel frontend."""
+    from solid_dsp_tpu import parallel
+    from solid_dsp_tpu.models.channelizer import (
+        channelizer_apply, channelizer_init, channelizer_taps)
+    from solid_dsp_tpu.parallel.sharded import make_sharded_channelizer
+    from solid_dsp_tpu.utils.benchtime import measure_apply_devloop
+    from solid_dsp_tpu.utils.transfer import put_complex
+
+    M, K = 256, 8
+    L = (samples // M) * M
+    rng = np.random.default_rng(0)
+    x = put_complex((rng.standard_normal(L) + 1j * rng.standard_normal(L)
+                     ).astype(np.complex64))
+    taps = np.asarray(channelizer_taps(M, K), np.complex64)
+
+    def timed(apply, st):
+        r = measure_apply_devloop(apply, st, x, iters=8, ks=(1, 2, 4),
+                                  reps=3)
+        return L / r["t_iter"] / 1e6
+
+    def ch1(tail, xx):
+        Y, t2 = channelizer_apply(jnp.asarray(taps), tail, xx, M)
+        return jnp.abs(Y), t2
+
+    single = timed(ch1, channelizer_init(M, K, jnp.complex64))
+
+    mesh = parallel.make_mesh(channel=1, time=1)
+    init_s, apply_s = make_sharded_channelizer(M, K, mesh=mesh)
+    shard_xla = timed(apply_s, init_s())
+
+    init_f, apply_f = make_sharded_channelizer(M, K, mesh=mesh,
+                                               frontend="fused",
+                                               precision="x3")
+    shard_fused = timed(apply_f, init_f())
+
+    return {"mesh": "1x1_overhead_channelizer", "M": M, "K": K,
+            "single_chip_xla_msps": round(single, 1),
+            "sharded_xla_msps": round(shard_xla, 1),
+            "sharded_fused_x3_msps": round(shard_fused, 1),
+            "xla_overhead_vs_single": round(1.0 - shard_xla / single, 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels-per-shard", type=int, default=2)
@@ -115,6 +161,9 @@ def main() -> None:
     ap.add_argument("--overhead", action="store_true",
                     help="measure mesh(1x1) sharded-vs-unsharded overhead "
                          "instead of the ladder")
+    ap.add_argument("--overhead-channelizer", action="store_true",
+                    help="measure mesh(1x1) sharded-channelizer overhead "
+                         "(config 5 deployment shape)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -129,6 +178,9 @@ def main() -> None:
 
     if args.overhead:
         print(json.dumps(run_overhead(1, args.samples)))
+        return
+    if args.overhead_channelizer:
+        print(json.dumps(run_overhead_channelizer(args.samples)))
         return
 
     n = len(jax.devices())
