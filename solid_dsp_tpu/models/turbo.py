@@ -198,45 +198,119 @@ def _bcjr_extrinsic(l_sys, l_par, l_apr, t_sys, t_par, tabs, m: int):
     l_sys/l_par/l_apr: (T,) channel systematic / parity / a-priori LLRs
     (positive favors 0); t_sys/t_par: (m,) tail LLRs.  Returns (T,)
     EXTRINSIC LLRs and the (T,) full a-posteriori LLRs.
+
+    The alpha/beta recurrences run as RADIX-R blocked max-plus scans:
+    per-step (S, S) transition matrices are built in parallel, R
+    consecutive matrices are pre-combined with R-1 PARALLEL max-plus
+    products (tropical semiring — associative), and the sequential scan
+    runs over T/R block steps instead of T.  The committed r4 row
+    measured ~0.9 us per scan STEP on this backend (scan overhead, not
+    compute — per-step work is tiny), so an 8x shorter scan is ~an 8x
+    faster decoder; the within-block prefix products reconstruct every
+    per-step alpha/beta exactly (max-plus algebra, identical values to
+    the step-by-step scan up to f32 max/add associativity).
     """
     ns_t, p_t, prev_t, prev_u_t, _ = tabs
     ns_j = jnp.asarray(ns_t)
-    prev_j = jnp.asarray(prev_t)
     sgn_p = jnp.asarray(1.0 - 2.0 * p_t, jnp.float32)          # (S,2)
-    sgn_pu = jnp.asarray(
-        1.0 - 2.0 * prev_u_t, jnp.float32)                     # (S,2)
     prev_p = p_t[prev_t, prev_u_t]                             # numpy
-    sgn_pp = jnp.asarray(1.0 - 2.0 * prev_p, jnp.float32)      # (S,2)
     S = ns_t.shape[0]
     NEG = jnp.float32(-1e9)
+    R = 8                                                      # radix
 
     ls = jnp.concatenate([l_sys + l_apr, t_sys]).astype(jnp.float32)
     lp = jnp.concatenate([l_par, t_par]).astype(jnp.float32)
-    # gamma contribution factored per step: for transition with input
-    # bit u and parity p, gamma = .5*(sgn(u)*ls_t + sgn(p)*lp_t)
+    Tm = ls.shape[-1]
+    pad = (-Tm) % R
+    # pad with zero-LLR steps: their transition matrices are valid
+    # (uniform gammas) and the padded alphas/betas are simply dropped
+    lsp = jnp.concatenate([ls, jnp.zeros((pad,), jnp.float32)])
+    lpp = jnp.concatenate([lp, jnp.zeros((pad,), jnp.float32)])
+    TB = (Tm + pad) // R
 
-    def fstep(alpha, lslp):
-        lst, lpt = lslp
-        # incoming transition c of state n carries (prev, u, p) tables
-        g_in = 0.5 * (sgn_pu * lst + sgn_pp * lpt)             # (S,2)
-        cand = alpha[prev_j] + g_in
-        a_new = jnp.max(cand, axis=-1)
-        return a_new - jnp.max(a_new), alpha
+    # forward transition matrices M[t, n, s'] = gamma(s' -> n at t), -inf
+    # where no transition exists: scatter the (S, 2) incoming-transition
+    # tables into dense (S, S) (host-side one-hot masks, numpy)
+    in_mask = np.full((S, S, 2), 0.0, np.float32)              # [n, s', c]
+    for n in range(S):
+        for c in range(2):
+            in_mask[n, prev_t[n, c], c] = 1.0
+    in_mask_j = jnp.asarray(in_mask)                           # (S, S, 2)
+    sgn_pu_d = jnp.asarray(1.0 - 2.0 * prev_u_t, jnp.float32)  # (S,2)
+    sgn_pp_d = jnp.asarray(1.0 - 2.0 * prev_p, jnp.float32)
+
+    g_in = 0.5 * (sgn_pu_d * lsp[:, None, None]
+                  + sgn_pp_d * lpp[:, None, None])             # (T', S, 2)
+    # M[t, n, s'] = max_c in_mask * (g_in) with -inf off-structure
+    M = jnp.max(jnp.where(in_mask_j[None], g_in[:, :, None, :], NEG),
+                axis=-1)                                       # (T', S, S)
+
+    def mp(A, B):
+        """Max-plus product C[.., i, j] = max_k A[.., i, k] + B[.., k, j]."""
+        return jnp.max(A[..., :, :, None] + B[..., None, :, :], axis=-2)
+
+    # padded steps must be the max-plus IDENTITY (0 diagonal, -inf off)
+    # so the backward terminal condition still applies at index T+m and
+    # forward propagation past the end is a no-op
+    if pad:
+        id_mp = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG)
+        M = M.at[Tm:].set(id_mp)
+
+    # within-block prefixes P[i] = M_{jR+i} (x) ... (x) M_{jR}
+    Mb = M.reshape(TB, R, S, S)
+    prefixes = [Mb[:, 0]]
+    for i in range(1, R):
+        prefixes.append(mp(Mb[:, i], prefixes[-1]))
+    Pstack = jnp.stack(prefixes, axis=1)                       # (TB, R, S, S)
+
+    def fstep_blk(alpha, Pj):
+        # alpha entering the block; emit alphas BEFORE each step
+        a_all = jnp.max(Pj + alpha[None, None, :], axis=-1)    # (R, S)
+        a_next = a_all[-1]
+        a_next = a_next - jnp.max(a_next)
+        # alphas[i] = alpha before step i: [alpha, a_all[0..R-2]]
+        outs = jnp.concatenate([alpha[None], a_all[:-1]], axis=0)
+        return a_next, outs
 
     alpha0 = jnp.full((S,), NEG).at[0].set(0.0)
-    _, alphas = jax.lax.scan(fstep, alpha0, (ls, lp))          # (T+m, S)
+    _, alphas_b = jax.lax.scan(fstep_blk, alpha0, Pstack)      # (TB, R, S)
+    alphas = alphas_b.reshape(TB * R, S)[:Tm]
 
     sgn_u = jnp.asarray([1.0, -1.0], jnp.float32)              # u=0, u=1
 
-    def bstep(beta_next, lslp):
-        lst, lpt = lslp
-        g_out = 0.5 * (sgn_u[None, :] * lst + sgn_p * lpt)     # (S,2)
-        cand = g_out + beta_next[ns_j]
-        b_t = jnp.max(cand, axis=-1)
-        return b_t - jnp.max(b_t), beta_next
+    # backward matrices N[t, s, n] = gamma(s -> n at t) (outgoing form)
+    out_mask = np.full((S, S, 2), 0.0, np.float32)             # [s, n, c]
+    for s in range(S):
+        for u in range(2):
+            out_mask[s, ns_t[s, u], u] = 1.0
+    out_mask_j = jnp.asarray(out_mask)
+    g_out_t = 0.5 * (sgn_u[None, None, :] * lsp[:, None, None]
+                     + sgn_p[None] * lpp[:, None, None])       # (T', S, 2)
+    N = jnp.max(jnp.where(out_mask_j[None], g_out_t[:, :, None, :], NEG),
+                axis=-1)                                       # (T', S, S)
+    if pad:
+        N = N.at[Tm:].set(jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG))
+    # beta_t = N_t (x) beta_{t+1}; block products run right-to-left
+    Nb = N.reshape(TB, R, S, S)
+    sufs = [Nb[:, R - 1]]
+    for i in range(R - 2, -1, -1):
+        sufs.append(mp(Nb[:, i], sufs[-1]))
+    # sufs[k] = N_i (x) ... (x) N_{R-1} for i = R-1-k
+    Sstack = jnp.stack(sufs[::-1], axis=1)                     # (TB, R, S, S)
+
+    def bstep_blk(beta_next, Sj):
+        # betas AFTER each step i: beta_{jR+i+1}; suffix products give
+        # beta_{jR+i} = S[i] (x) beta_{(j+1)R}; emit beta_next of step i
+        b_all = jnp.max(Sj + beta_next[None, None, :], axis=-1)  # (R, S)
+        b_start = b_all[0]
+        b_start = b_start - jnp.max(b_start)
+        # betas_next[i] = beta after step i = S[i+1]-products: b_all[1:]
+        outs = jnp.concatenate([b_all[1:], beta_next[None]], axis=0)
+        return b_start, outs
 
     betaT = jnp.full((S,), NEG).at[0].set(0.0)                 # terminated
-    _, betas_next = jax.lax.scan(bstep, betaT, (ls, lp), reverse=True)
+    _, betas_b = jax.lax.scan(bstep_blk, betaT, Sstack, reverse=True)
+    betas_next = betas_b.reshape(TB * R, S)[:Tm]
 
     # a-posteriori LLR per step: max over transitions with u=0 minus u=1
     g_out = 0.5 * (sgn_u[None, None, :] * ls[:, None, None]
