@@ -206,13 +206,16 @@ def _bench_chain_cfg(metric, L, ks=KS, **cfg_overrides):
 
 
 def bench_rx_chain_stream():
-    """One-dispatch stream scan: n_blocks chain blocks per dispatch."""
+    """One-dispatch stream driver: n_blocks chain blocks per dispatch
+    (fori_loop + output buffer since r5 — PERF_NOTES #25/#27).  Same x3
+    precision as the flagship so the row isolates the STREAMING cost,
+    not a precision mismatch (the r4 row compounded both)."""
     from solid_dsp_tpu.models.rx_chain import (RxChainConfig,
                                                make_rx_chain_stream)
 
     cfg = RxChainConfig(carrier_freq=0.2, decimation=4, fir_taps=64,
                         agc_mode="block", demod="fm", nco_mode="exact",
-                        dtype=jnp.complex64)
+                        fir_precision="x3", dtype=jnp.complex64)
     NB, L = 8, _size(23)
     init, apply_s = make_rx_chain_stream(cfg, L)
     xs = _tone(NB * L)

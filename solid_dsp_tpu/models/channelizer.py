@@ -192,8 +192,14 @@ class PolyphaseChannelizer:
         self.backend = backend
         self.precision = precision
         taps_np = channelizer_taps(self.M, self.K, attenuation)
-        self.taps = jnp.asarray(taps_np, dtype=dtype)
         self._taps_np = taps_np
+        # taps stay HOST-side: an eager jnp.asarray of a complex array is
+        # a complex device transfer the axon tunnel rejects (this exact
+        # class lost its on-chip bench row to it); the jitted paths embed
+        # them as closure constants instead
+        self.taps = np.asarray(taps_np, dtype=np.dtype(dtype))
+        self._dtype = dtype
+        self._xla_fn = None
         if backend == "pallas":
             from ..ops.pallas_kernels import pfb_frontend_taps
 
@@ -258,7 +264,15 @@ class PolyphaseChannelizer:
             Y, self._tail = fn(self._tail, x)
             return Y
         x = jnp.asarray(x, dtype=self._tail.dtype)
-        Y, self._tail = channelizer_apply(self.taps, self._tail, x, self.M)
+        if self._xla_fn is None:
+            tn = self.taps  # host numpy -> jit closure constant
+
+            @jax.jit
+            def _run(tail, xx):
+                return channelizer_apply(jnp.asarray(tn), tail, xx, self.M)
+
+            self._xla_fn = _run
+        Y, self._tail = self._xla_fn(self._tail, x)
         return Y
 
     def reset(self):
@@ -322,13 +336,20 @@ class PolyphaseSynthesizer:
         self.M = int(num_channels)
         self.K = int(taps_per_branch)
         taps_np = channelizer_taps(self.M, self.K, attenuation)
-        self.taps = jnp.asarray(taps_np, dtype=dtype)
+        # host-side taps (closure constant; see PolyphaseChannelizer)
+        self.taps = np.asarray(taps_np, dtype=np.dtype(dtype))
         self._tail = synthesis_init(self.M, self.K, dtype)
+        tn = self.taps
+
+        @jax.jit
+        def _run(tail, Y):
+            return channelizer_synthesize(jnp.asarray(tn), tail, Y, self.M)
+
+        self._run = _run
 
     def execute_block(self, Y):
         Y = jnp.asarray(Y, self.taps.dtype)
-        x, self._tail = channelizer_synthesize(self.taps, self._tail, Y,
-                                               self.M)
+        x, self._tail = self._run(self._tail, Y)
         return x
 
     def reset(self):
@@ -454,12 +475,21 @@ class OversampledChannelizer:
         else:
             raise ValueError(f"unknown prototype {prototype!r}")
         self.prototype = prototype
-        self.taps = jnp.asarray(taps_np, dtype=dtype)
+        # host-side taps (closure constant; see PolyphaseChannelizer)
+        self.taps = np.asarray(taps_np, dtype=np.dtype(dtype))
         self._state = os_channelizer_init(self.M, self.K, dtype)
+        tn = self.taps
+
+        @jax.jit
+        def _run(state, x):
+            return os_channelizer_apply(jnp.asarray(tn), state, x, self.M)
+
+        self._run = _run
 
     def synthesize(self, Y):
         """Whole-block reconstruction from this bank's channel streams."""
-        return os_channelizer_synthesize(self.taps, jnp.asarray(Y), self.M)
+        return os_channelizer_synthesize(jnp.asarray(self.taps),
+                                         jnp.asarray(Y), self.M)
 
     @property
     def oversample(self) -> int:
@@ -467,8 +497,7 @@ class OversampledChannelizer:
 
     def execute_block(self, x):
         x = jnp.asarray(x, self.taps.dtype)
-        Y, self._state = os_channelizer_apply(self.taps, self._state, x,
-                                              self.M)
+        Y, self._state = self._run(self._state, x)
         return Y
 
     def reset(self):
