@@ -484,6 +484,21 @@ def bench_fft():
     row["min_GBps"] = round(F * N * 16.0 / t / 1e9, 1)
     row["pct_sol"] = round(100.0 * F * N * 16.0 / t / 1e9 / HBM_SOL_GBPS, 1)
     out.append(row)
+
+    # planar contract (the layout spectral consumers actually want):
+    # skips the complex split/combine passes — the kernel's own rate
+    from solid_dsp_tpu.ops.fft import windowed_fft_planar
+
+    rng = np.random.default_rng(0)
+    x2 = jax.device_put(rng.standard_normal((2, F, N)).astype(np.float32))
+    step = _stateless_step(lambda a: windowed_fft_planar(a, "hamming"), x2)
+    t = _measure(step, jnp.zeros(()))
+    row = _row("windowed_fft_4096_fused_planar", flops / t, "GFLOP/s")
+    row["value"] = round(flops / t / 1e9, 1)
+    row["vs_baseline"] = round(F * N / t / 1e9, 3)
+    row["min_GBps"] = round(F * N * 16.0 / t / 1e9, 1)
+    row["pct_sol"] = round(100.0 * F * N * 16.0 / t / 1e9 / HBM_SOL_GBPS, 1)
+    out.append(row)
     return out
 
 

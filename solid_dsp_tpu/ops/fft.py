@@ -50,6 +50,7 @@ __all__ = [
     "fft",
     "ifft",
     "windowed_fft",
+    "windowed_fft_planar",
     "spectrogram",
     "welch_psd",
     "goertzel",
@@ -431,6 +432,37 @@ def windowed_fft(x, window: str = "hamming", nfft: int | None = None,
     w = jnp.asarray(get_window(window, n, *window_args))
     cdtype = jnp.result_type(x.dtype, jnp.complex64)
     return fft(x.astype(cdtype) * w.astype(cdtype), nfft or n)
+
+
+def windowed_fft_planar(x2, window: str = "hamming", *window_args,
+                        mode: str = "x3") -> jnp.ndarray:
+    """Planar fused windowed FFT: (2, F, 4096) re/im f32 planes in,
+    (F, 2*4096) [re-block | im-block] spectra out.
+
+    The zero-copy layout for chains that already carry float planes
+    (PERF_NOTES #3) and for power-spectrum consumers (|Y|^2 needs no
+    complex materialization): skips the complex split/combine passes
+    that cost the complex :func:`windowed_fft` wrapper ~2x the kernel
+    time (measured).  TPU: the VMEM-fused Mosaic 4-step; CPU: interpret
+    mode (tests only).
+    """
+    x2 = jnp.asarray(x2)
+    if x2.ndim != 3 or x2.shape[0] != 2 or x2.shape[-1] != 4096:
+        raise ValueError("windowed_fft_planar takes (2, F, 4096) planes")
+    F = int(x2.shape[1])
+    if F % 8:
+        raise ValueError("frame count must divide by 8")
+    from .pallas_fft import make_fused_windowed_fft
+
+    n = 4096
+    w_np = np.asarray(get_window(window, n, *window_args), np.float32)
+    key = ("planar", F, n, window, mode,
+           tuple(np.atleast_1d(window_args).tolist()))
+    apply = _FUSED_WFFT_CACHE.get(key)
+    if apply is None:
+        apply = make_fused_windowed_fft(n, F, window=w_np, TF=8, mode=mode)
+        _FUSED_WFFT_CACHE[key] = apply
+    return apply(x2.astype(jnp.float32))
 
 
 def spectrogram(x, frame: int, hop: int | None = None,
