@@ -15,8 +15,11 @@ from . import trig_transforms  # noqa: F401
 from . import czt  # noqa: F401
 from . import quantize  # noqa: F401
 from . import resample  # noqa: F401
+from . import gridresample  # noqa: F401
 from . import kalman  # noqa: F401
+from . import linrec  # noqa: F401
 from . import wavelet  # noqa: F401
 from . import zerophase  # noqa: F401
 
-# pallas_kernels imported lazily (pulls in Mosaic machinery)
+# pallas_kernels / pallas_fft / pallas_resample imported lazily (they
+# pull in Mosaic machinery)
