@@ -30,6 +30,14 @@ for slowly DRIFTING ratios driven per-block (timing loops) use
 ops.farrow.FarrowResampler.  The reference has no multirate
 architecture at all (its decimators run the full filter at the input
 rate, src/filter/fir/decim.rs:221-228).
+
+Round 5: the host-anchored classes remain the flexible/CPU-exact path;
+fixed-block deployments should use the fully jittable grid engines
+(:func:`make_pfb_resampler` / :func:`make_arb_resampler`, or
+``ArbitraryResampler(block_len=...)``) — exact fixed-point positions on
+device, one dispatch per block (ops/gridresample.py).  Their remaining
+distance to Gs/s is the backend's selection-primitive wall
+(PERF_NOTES.md #23).
 """
 
 from __future__ import annotations
