@@ -463,12 +463,20 @@ class ArbitraryResampler:
         # its quantized ratio (< 0.5 ppm off, exactly, drift-free).
         self._grid = None
         if block_len is not None and abs(rate - 1.0) > 1e-12:
-            init_g, apply_g, n_pad = make_arb_resampler(
-                rate, int(block_len), fpass=fpass,
-                stop_band_attenuation=stop_band_attenuation, dtype=dtype)
-            self._grid = (int(block_len), apply_g, n_pad)
-            self._grid_init = init_g
-            self._grid_state = init_g()
+            try:
+                init_g, apply_g, n_pad = make_arb_resampler(
+                    rate, int(block_len), fpass=fpass,
+                    stop_band_attenuation=stop_band_attenuation, dtype=dtype)
+            except ValueError:
+                # rate outside the fixed-point grid envelope (e.g.
+                # interpolation > 16x, block_len > 2^24): keep the
+                # host-anchored legacy path silently — same outputs,
+                # slower over the tunnel
+                pass
+            else:
+                self._grid = (int(block_len), apply_g, n_pad)
+                self._grid_init = init_g
+                self._grid_state = init_g()
         self.stages: list = []
         as_db = float(stop_band_attenuation)
 
